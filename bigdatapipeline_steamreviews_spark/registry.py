@@ -1,0 +1,121 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a named
+(PySpark query, DuckDB oracle SQL) pair.
+
+This is the engine's public query surface *and* its correctness contract:
+the driver runs each ``QuerySpec.fn(spark, sf_dir)`` against
+``QuerySpec.oracle`` (ANSI SQL on the same parquet, executed by DuckDB) and
+hash-compares results.  Column aliases therefore match exactly on both sides.
+
+Oracle-portability conventions (see functions.columns for the Spark halves):
+* doubles aggregate through exact DECIMAL(28,10) then one cast to double,
+  so sums/avgs are bitwise identical regardless of partitioning;
+* hashes are md5-based (bit-identical in every engine);
+* every query has a deterministic output (explicit tie-breaks on key
+  columns) so value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.aggregations import daily_summary
+from .sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One registered query: Spark implementation + DuckDB oracle + docs."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only
+    survey_ids: tuple[str, ...] = field(default_factory=tuple)
+    description: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    survey_ids: tuple[str, ...],
+    description: str = "",
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        REGISTRY[name] = QuerySpec(fn, oracle, survey_ids, description or fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+# Shared SQL fragment: deterministic mean — exact decimal sum, one double
+# division (mirror of functions.columns.avg_exact).
+def _avg_exact_sql(expr: str) -> str:
+    return f"(sum(CAST({expr} AS DECIMAL(28,10)))::DOUBLE / count({expr}))"
+
+
+def _count_if_sql(pred: str) -> str:
+    return f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: A1-A4 windowed daily summary (the reference's core query).
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = f"""
+SELECT
+  event_type,
+  date_trunc('day', ts) + INTERVAL 1 DAY AS time,
+  {_avg_exact_sql('value')} AS A_value,
+  {_avg_exact_sql('value / 60.0')} AS A_value_hours,
+  {_avg_exact_sql("json_extract_string(props, '$.k')")} AS A_k,
+  count(value) AS T_events,
+  {_count_if_sql('value > 100.0')} AS T_high,
+  {_count_if_sql('value < 50.0')} AS T_low,
+  {_count_if_sql("event_type IN ('purchase', 'signup')")} AS T_conversions
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "flagship_daily_summary",
+    FLAGSHIP_ORACLE,
+    ("A1", "A2", "A3", "A4", "P2", "P4", "P5", "P6", "P8", "T1"),
+    "Reference summarizer core: 1-day tumbling-window groupBy(event_type) "
+    "with avg/count/count-if aggregates (summarizer.py:61-100).",
+)
+def flagship_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_summary(load_table(spark, sf_dir, "events"))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver contract: name -> (spark, sf_dir) -> DataFrame."""
+    _ensure_all_registered()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    """Driver contract: name -> DuckDB SQL (omitting non-SQL-expressible)."""
+    _ensure_all_registered()
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+_loaded = False
+
+
+def _ensure_all_registered() -> None:
+    """Import every module that contributes @register'ed queries."""
+    global _loaded
+    if _loaded:
+        return
+    from . import queries_serving  # noqa: F401
+    from . import queries_relational  # noqa: F401
+    from . import queries_text  # noqa: F401
+    from . import queries_similarity  # noqa: F401
+    from . import queries_streaming  # noqa: F401
+
+    _loaded = True

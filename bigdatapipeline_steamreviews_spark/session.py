@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine (``/root/reference/summarizer.py:16-18``) builds a bare
+``SparkSession`` and relies on cluster defaults.  Here we centralize the
+settings that matter at 100 TB so every entry point (tests, bench, driver
+smoke) runs the same, deliberately-tuned session:
+
+* **AQE on** (runtime re-planning: partition coalescing, skew-join splitting,
+  broadcast demotion/promotion based on observed sizes).
+* **shuffle.partitions** sized for the local harness; on a real cluster this
+  is overridden per-deploy (rule of thumb: 2-3x total cores, or rely on AQE
+  coalescing from a high initial count).
+* **Session timezone UTC** so event-time windowing is reproducible and
+  matches the DuckDB oracle, which treats parquet timestamps as naive.
+* **ANSI off**: permissive Spark-3-style casts (the reference targets Spark
+  3.5.2, ``/root/reference/spark_server_setup.sh:5``); our expressions are
+  written to be exact regardless.
+* **Arrow on** for the few pandas-interop edges (multimodal UDF plumbing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "bigdatapipeline-steamreviews-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and let spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Files: pack small test files into few tasks; at 100 TB the same
+        # knob bounds per-task input so scans stay within executor memory.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp, so read as long and truncate to micros in the
+        # loader (matches DuckDB's nanos->micros truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

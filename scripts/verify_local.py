@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every registered query's Spark implementation AND its DuckDB oracle on
+the same parquet tables, then compares: row count, sorted column names, and
+order-insensitive exact values (columns sorted by name, rows sorted by all
+columns).  Usage:
+
+    python scripts/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from bigdatapipeline_steamreviews_spark import REGISTRY, get_spark  # noqa: E402
+from bigdatapipeline_steamreviews_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].dt.tz_localize(None) if getattr(df[c].dt, "tz", None) else df[c]
+        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, tuple)):
+            df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count differs: spark={len(spark_df)} duck={len(duck_df)}")
+    a, b = normalize(spark_df.copy()), normalize(duck_df.copy())
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            try:
+                eq = (av.astype("float64") == bv.astype("float64")) | (av.isna() & bv.isna())
+            except (ValueError, TypeError):
+                eq = (av.astype(str) == bv.astype(str))
+            if not eq.all():
+                i = int((~eq).idxmax())
+                problems.append(f"col {c}: {int((~eq).sum())}/{len(a)} mismatched, e.g. row {i}: spark={av.iloc[i]!r} duck={bv.iloc[i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("verify-local")
+    con = duck_connect(sf_dir)
+    failed = []
+    for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(spec.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            print(f"FAIL  {name}: [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+            failed.append(name)
+        else:
+            print(f"ok    {name}: {len(sdf)} rows match [{time.time()-t0:.1f}s]")
+    print(f"\n{len(REGISTRY) - len(failed)}/{len(REGISTRY) if not only else len(only)} queries verified" + (f"; FAILED: {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
