@@ -37,13 +37,24 @@ def sum_exact(col: Column | str) -> Column:
     oracle which uses the same recipe.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_ACC_DECIMAL)).cast("double")
+    return _dec_to_double(F.sum(c.cast(_ACC_DECIMAL)))
 
 
 def avg_exact(col: Column | str) -> Column:
     """Deterministic mean: exact decimal sum, one double division at the end."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_ACC_DECIMAL)).cast("double") / F.count(c)
+    return _dec_to_double(F.sum(c.cast(_ACC_DECIMAL))) / F.count(c)
+
+
+def _dec_to_double(c: Column) -> Column:
+    """Correctly-rounded decimal->double via a string round-trip.
+
+    A direct decimal->double cast is NOT correctly rounded in every engine
+    once the scaled integer exceeds 2^53 (DuckDB divides the scaled int by
+    10^scale in double arithmetic), which broke bitwise parity on money
+    sums.  Decimal->string->double is correctly rounded everywhere.
+    """
+    return c.cast("string").cast("double")
 
 
 def count_if(pred: Column) -> Column:

@@ -1,0 +1,104 @@
+"""Serving-layer operators (SURVEY.md §2: P9-P14, A5-A8, O1-O2).
+
+The reference's visualizer is a second, hidden query engine: a keyed upsert
+store (``/root/reference/visualizer.py:61-79``) plus ad-hoc rollup / top-N
+queries run in pandas on every UI interaction
+(``visualizer.py:188-274``).  Here each of those becomes a declarative
+DataFrame transformation, so Catalyst plans it and it scales past one
+process's RAM (the reference's global pandas table grows without bound —
+SURVEY.md §4 "spill-to-disk").
+
+Scale notes:
+* `upsert_compact` is the batch materialization of update-mode streaming
+  output — `row_number() OVER (PARTITION BY key ORDER BY seq DESC) = 1`.
+  One shuffle on the key; at 100 TB prefer writing the base table bucketed
+  by the key so repeated compactions avoid the exchange.
+* `top_n` compiles to TakeOrderedAndProject (per-partition heap + driver
+  merge of N rows), never a full sort of the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "upsert_compact",
+    "hierarchical_time_filter",
+    "distinct_values",
+    "top_n",
+    "with_date_parts",
+]
+
+
+def upsert_compact(
+    df: DataFrame, keys: list[str], order_by: list[Column]
+) -> DataFrame:
+    """A7 — keyed last-writer-wins compaction (ref visualizer.py:61-79).
+
+    The reference replaces the existing ``(app_id, year, month, day)`` row
+    with each newly-arrived summary row.  Batch equivalent: keep, per key,
+    the single row that is latest in ``order_by`` (callers must pass a
+    *total* order — include a unique id as the final tie-break so the
+    result is deterministic under any partitioning).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def hierarchical_time_filter(
+    df: DataFrame,
+    year: int | None = None,
+    month: int | None = None,
+    day: int | None = None,
+    year_col: str = "time_year",
+    month_col: str = "time_month",
+    day_col: str = "time_day",
+) -> DataFrame:
+    """P11 — all / year / year+month / year+month+day drilldown
+    (ref visualizer.py:241-252).
+
+    The reference chains bare ``if`` statements where ``if/elif`` was meant,
+    making the year-only branch unreachable (bug noted in SURVEY.md §2.2
+    P11); this implementation is the intended proper drilldown: each finer
+    grain only applies when every coarser grain is set.
+    """
+    if year is not None:
+        df = df.filter(F.col(year_col) == year)
+        if month is not None:
+            df = df.filter(F.col(month_col) == month)
+            if day is not None:
+                df = df.filter(F.col(day_col) == day)
+    return df
+
+
+def distinct_values(df: DataFrame, col: str) -> DataFrame:
+    """A8 — the visualizer's append-if-new dictionary of seen keys
+    (ref visualizer.py:81-82), as a proper distinct (partial-agg + shuffle
+    on the value, so it scales with distinct-cardinality not row count)."""
+    return df.select(col).distinct()
+
+
+def top_n(df: DataFrame, order_by: list[Column], n: int) -> DataFrame:
+    """O2 — ranking / top-N (ref visualizer.py:261 sort_values desc).
+
+    orderBy+limit compiles to TakeOrderedAndProject: each task keeps an
+    N-row heap and the driver merges — no global sort at any scale.
+    """
+    return df.orderBy(*order_by).limit(n)
+
+
+def with_date_parts(df: DataFrame, ts_col: str = "time") -> DataFrame:
+    """P12 — derive (time_year, time_month, time_day) from a timestamp
+    (ref visualizer.py:85-88 parses the ISO string by hand; Spark has
+    dedicated date-part expressions)."""
+    c = F.col(ts_col)
+    return (
+        df.withColumn("time_year", F.year(c))
+        .withColumn("time_month", F.month(c))
+        .withColumn("time_day", F.dayofmonth(c))
+    )

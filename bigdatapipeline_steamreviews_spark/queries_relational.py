@@ -1,1 +1,203 @@
-"""Placeholder — populated as operators land."""
+"""Relational coverage: scan-side projections (P1, P3), the classic
+pricing-summary aggregate shape, and the join strategies the reference never
+had but a 100 TB deployment needs (SURVEY.md §2.5: stream-static enrichment
+becomes broadcast joins; the serving upsert becomes a keyed merge).
+
+Join-strategy notes (visible in .explain("formatted")):
+* dimension joins (nation, region, filtered part) are explicitly
+  ``F.broadcast(...)`` — no shuffle of the fact side, ever;
+* fact-fact joins (orders x lineitem) shuffle on the join key; at 100 TB
+  both sides would be bucketed by orderkey at write time to elide the
+  exchange, and AQE handles skew at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import avg_exact, sum_exact
+from .operators.serving import top_n
+from .registry import _avg_exact_sql, _sum_exact_sql, register
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# P1 — cast projection (binary <-> string), the Kafka value decode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p01_cast_projection",
+    """
+SELECT event_id,
+       decode(encode(props)) AS props_str,
+       octet_length(encode(props)) AS props_bytes
+FROM events
+""",
+    ("P1",),
+    "Binary->string cast, the Kafka-value decode (summarizer.py:61 "
+    "selectExpr CAST(value AS STRING)), plus byte length of the encoded "
+    "payload — the multimodal binary-column convention's simplest form.",
+)
+def p01_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    binary = F.encode(F.col("props"), "UTF-8")
+    return e.select(
+        "event_id",
+        F.decode(binary, "UTF-8").alias("props_str"),
+        F.length(binary).cast("long").alias("props_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — epoch seconds <-> timestamp conversion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p03_epoch_roundtrip",
+    """
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS unix_ts,
+       make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS ts_second
+FROM events
+""",
+    ("P3",),
+    "Unix-seconds <-> TimestampType both ways (summarizer.py:66's "
+    "from_unixtime().cast(); we use the direct timestamp_seconds builtin).",
+)
+def p03_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    unix_ts = F.unix_timestamp(F.col("ts")).alias("unix_ts")
+    return e.select(
+        "event_id", unix_ts, F.timestamp_seconds(unix_ts).alias("ts_second")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary — the canonical scan->filter->agg shape at fact scale
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {_sum_exact_sql('l_quantity')} AS sum_qty,
+       {_sum_exact_sql('l_extendedprice')} AS sum_base_price,
+       {_sum_exact_sql('l_extendedprice * (1.0 - l_discount)')}
+         AS sum_disc_price,
+       {_sum_exact_sql('(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)')}
+         AS sum_charge,
+       {_avg_exact_sql('l_quantity')} AS avg_qty,
+       {_avg_exact_sql('l_extendedprice')} AS avg_price,
+       {_avg_exact_sql('l_discount')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    ("A2", "A3", "P4", "P7"),
+    "TPC-H Q1-shaped pricing summary: predicate pushed to the parquet scan, "
+    "partial+final hash aggregate, exact decimal money sums.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_exact("l_quantity").alias("sum_qty"),
+        sum_exact("l_extendedprice").alias("sum_base_price"),
+        sum_exact(disc_price).alias("sum_disc_price"),
+        sum_exact(charge).alias("sum_charge"),
+        avg_exact("l_quantity").alias("avg_qty"),
+        avg_exact("l_extendedprice").alias("avg_price"),
+        avg_exact("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fact-fact-dim join with top-N (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_top_revenue_orders",
+    f"""
+SELECT l.l_orderkey,
+       {_sum_exact_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    ("A4", "O2", "P10"),
+    "TPC-H Q3 shape: selective dim broadcast (filtered customer), "
+    "fact-fact shuffle join on orderkey, aggregate, bounded top-N.",
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        sum_exact(revenue).alias("revenue")
+    )
+    return top_n(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10).select(
+        "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-dim star join (broadcast chain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_region_enrichment",
+    f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       count(*) AS n_customers,
+       {_avg_exact_sql('c.c_acctbal')} AS avg_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    ("J*", "A2", "A3"),
+    "Star-schema enrichment via a chain of broadcast hash joins — the "
+    "stream-static enrichment pattern (SURVEY.md §2.5) in batch form; no "
+    "shuffle touches the fact side.",
+)
+def j1_region_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        avg_exact("c_acctbal").alias("avg_acctbal"),
+    )

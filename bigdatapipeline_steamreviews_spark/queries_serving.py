@@ -1,1 +1,334 @@
-"""Placeholder — populated as operators land."""
+"""Registered queries for the serving layer (SURVEY.md §2: P9-P14, A5-A8,
+O1-O2) — the visualizer's hidden query engine, re-expressed as Spark plans.
+
+Each query re-derives the daily summary (the flagship) as its input where
+the reference would read the upserted serving table; semantics follow
+``/root/reference/visualizer.py`` with the two reference bugs fixed as
+documented (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import avg_exact, sum_exact
+from .operators.aggregations import daily_summary
+from .operators.serving import (
+    distinct_values,
+    hierarchical_time_filter,
+    top_n,
+    upsert_compact,
+    with_date_parts,
+)
+from .registry import FLAGSHIP_ORACLE, _avg_exact_sql, register
+from .sources.tables import load_table
+
+# Daily serving table with date parts — shared input for A5/A6 queries.
+_DAILY_SQL = f"""
+WITH daily AS ({FLAGSHIP_ORACLE}),
+serving AS (
+  SELECT *, year(time) AS time_year, month(time) AS time_month,
+         day(time) AS time_day
+  FROM daily
+)
+"""
+
+
+def _serving_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_date_parts(daily_summary(load_table(spark, sf_dir, "events")))
+
+
+# ---------------------------------------------------------------------------
+# A7 — keyed last-writer-wins upsert compaction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "serving_upsert_compaction",
+    """
+SELECT user_id, day, event_id, event_type, value
+FROM (
+  SELECT user_id, date_trunc('day', ts) AS day, event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    ("A7", "P10"),
+    "Last-writer-wins merge keyed by (user_id, day): the batch "
+    "materialization of the reference's keyed upsert (visualizer.py:61-79).",
+)
+def serving_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    latest = upsert_compact(
+        events,
+        keys=["user_id", "day"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return latest.select("user_id", "day", "event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# A5 — day->month rollup with metric dispatch (+ O1 sort, P14 labels)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "serving_monthly_rollup",
+    _DAILY_SQL
+    + f"""
+SELECT event_type, time_year, time_month,
+       {_avg_exact_sql('"A_value"')} AS A_value,
+       CAST(sum("T_events") AS BIGINT) AS T_events,
+       CAST(sum("T_high") AS BIGINT) AS T_high,
+       concat_ws('/', time_year, time_month) AS time_label,
+       row_number() OVER (
+         PARTITION BY event_type ORDER BY time_year, time_month
+       ) AS seq
+FROM serving
+GROUP BY event_type, time_year, time_month
+""",
+    ("A5", "P12", "P14", "O1"),
+    "Month rollup of the daily summary with the reference's metric dispatch "
+    "(mean for A_*, sum for T_*; visualizer.py:197-207) — faithfully the "
+    "unweighted mean-of-daily-means — plus the 'YYYY/M' label (P14) and the "
+    "(year, month) ordering surfaced as a rank column (O1).",
+)
+def serving_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _serving_daily(spark, sf_dir)
+    monthly = daily.groupBy("event_type", "time_year", "time_month").agg(
+        avg_exact("A_value").alias("A_value"),
+        F.sum("T_events").alias("T_events"),
+        F.sum("T_high").alias("T_high"),
+    )
+    w = Window.partitionBy("event_type").orderBy("time_year", "time_month")
+    return monthly.withColumn(
+        "time_label", F.concat_ws("/", F.col("time_year"), F.col("time_month"))
+    ).withColumn("seq", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# A6 — global rollup of a time slice (+ P11 drilldown filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "serving_global_rollup",
+    _DAILY_SQL
+    + f"""
+SELECT event_type,
+       {_avg_exact_sql('"A_value"')} AS A_value,
+       {_avg_exact_sql('"A_k"')} AS A_k,
+       CAST(sum("T_events") AS BIGINT) AS T_events,
+       CAST(sum("T_conversions") AS BIGINT) AS T_conversions
+FROM serving
+WHERE time_year = 2024 AND time_month = 1
+GROUP BY event_type
+""",
+    ("A6", "P11"),
+    "Rollup of the year=2024, month=1 slice to one row per event_type "
+    "(visualizer.py:241-262), with the proper if/elif drilldown replacing "
+    "the reference's unreachable-branch bug.",
+)
+def serving_global_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _serving_daily(spark, sf_dir)
+    sliced = hierarchical_time_filter(daily, year=2024, month=1)
+    return sliced.groupBy("event_type").agg(
+        avg_exact("A_value").alias("A_value"),
+        avg_exact("A_k").alias("A_k"),
+        F.sum("T_events").alias("T_events"),
+        F.sum("T_conversions").alias("T_conversions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2 — ranking / top-N
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "serving_topn_users",
+    """
+SELECT user_id, total_value,
+       row_number() OVER (ORDER BY total_value DESC, user_id) AS rank
+FROM (
+  SELECT user_id,
+         (sum(CAST(value AS DECIMAL(28,10)))::VARCHAR)::DOUBLE AS total_value
+  FROM events GROUP BY user_id
+)
+ORDER BY total_value DESC, user_id
+LIMIT 10
+""",
+    ("O2", "A4"),
+    "Top-10 users by total event value with explicit rank "
+    "(visualizer.py:258-261's sort-desc, bounded). Compiles to "
+    "TakeOrderedAndProject — a per-partition heap, not a global sort.",
+)
+def serving_topn_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(sum_exact("value").alias("total_value"))
+    )
+    # Take the top 10 FIRST (TakeOrderedAndProject: per-partition heap, no
+    # global sort/window over all users), then rank the 10 survivors — the
+    # global row_number window only ever sees N rows.
+    order = [F.col("total_value").desc(), F.col("user_id")]
+    top = top_n(totals, order, 10)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
+
+# ---------------------------------------------------------------------------
+# A8 — distinct dictionary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "serving_distinct_types",
+    "SELECT DISTINCT event_type FROM events",
+    ("A8",),
+    "The visualizer's append-if-new seen-keys dictionary "
+    "(visualizer.py:81-82) as a distributed distinct.",
+)
+def serving_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_values(load_table(spark, sf_dir, "events"), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# P9 / P10 — filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p09_filter_equality",
+    """
+SELECT event_id, user_id, value
+FROM events WHERE event_type = 'purchase'
+""",
+    ("P9",),
+    "Single-key equality filter + projection (visualizer.py:203). The "
+    "predicate reaches the parquet scan as a pushed filter.",
+)
+def p09_filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "p10_filter_conjunctive",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+  AND year(o_orderdate) = 1998
+""",
+    ("P10",),
+    "Conjunctive multi-key filter (the upsert match predicate, "
+    "visualizer.py:67-69).",
+)
+def p10_filter_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_totalprice") > 200000.0)
+        & (F.year("o_orderdate") == 1998)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# P12 — date-part extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p12_date_parts",
+    """
+SELECT year(ts) AS time_year, month(ts) AS time_month, day(ts) AS time_day,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2, 3
+""",
+    ("P12",),
+    "Timestamp -> (year, month, day) via date-part expressions "
+    "(visualizer.py:85-88 parses an ISO string by hand).",
+)
+def p12_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.year("ts").alias("time_year"),
+            F.month("ts").alias("time_month"),
+            F.dayofmonth("ts").alias("time_day"),
+        )
+        .groupBy("time_year", "time_month", "time_day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P13 — null / missing-key defaulting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p13_null_defaulting",
+    """
+SELECT l.l_returnflag,
+       (sum(CAST(coalesce(p.p_retailprice, 0.0) AS DECIMAL(28,10)))::VARCHAR)::DOUBLE
+         AS sum_price_defaulted,
+       CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_defaulted
+FROM lineitem l
+LEFT JOIN (SELECT * FROM part WHERE p_size >= 30) p
+  ON l.l_partkey = p.p_partkey
+GROUP BY l.l_returnflag
+""",
+    ("P13",),
+    "coalesce(col, 0) defaulting for absent keys (visualizer.py:97-102's "
+    "dict.get defaults), realized over a left join with misses.",
+)
+def p13_null_defaulting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left")
+    return joined.groupBy("l_returnflag").agg(
+        sum_exact(F.coalesce(F.col("p_retailprice"), F.lit(0.0))).alias(
+            "sum_price_defaulted"
+        ),
+        F.sum(F.col("p_partkey").isNull().cast("int").cast("long")).alias("n_defaulted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P14 — string concat / label derivation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p14_string_labels",
+    """
+SELECT p_partkey,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       regexp_replace(p_name, ' ', '_', 'g') AS name_slug,
+       upper(p_brand) AS brand_upper
+FROM part
+""",
+    ("P14",),
+    "Label derivation: concat_ws time-label + str.replace prettify "
+    "(visualizer.py:208,264).",
+)
+def p14_string_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_slug"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+    )

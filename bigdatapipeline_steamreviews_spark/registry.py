@@ -51,10 +51,16 @@ def register(
     return deco
 
 
-# Shared SQL fragment: deterministic mean — exact decimal sum, one double
-# division (mirror of functions.columns.avg_exact).
+# Shared SQL fragments: deterministic sum/mean — exact decimal sum, then a
+# string round-trip to double (correctly rounded in every engine; a direct
+# decimal->double cast is not once the scaled int exceeds 2^53), then for
+# mean one double division (mirror of functions.columns.avg_exact/sum_exact).
+def _sum_exact_sql(expr: str) -> str:
+    return f"((sum(CAST({expr} AS DECIMAL(28,10)))::VARCHAR)::DOUBLE)"
+
+
 def _avg_exact_sql(expr: str) -> str:
-    return f"(sum(CAST({expr} AS DECIMAL(28,10)))::DOUBLE / count({expr}))"
+    return f"({_sum_exact_sql(expr)} / count({expr}))"
 
 
 def _count_if_sql(pred: str) -> str:

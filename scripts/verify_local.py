@@ -19,7 +19,9 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 
-from bigdatapipeline_steamreviews_spark import REGISTRY, get_spark  # noqa: E402
+from bigdatapipeline_steamreviews_spark import REGISTRY, get_spark, queries  # noqa: E402
+
+queries()  # populate REGISTRY (lazy module loading)
 from bigdatapipeline_steamreviews_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
