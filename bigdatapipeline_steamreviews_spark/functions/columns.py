@@ -107,7 +107,10 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(c, " ")
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    # Guard: sequence(1, 0) would count DOWN ([1, 0]); short texts get [].
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
     )

@@ -1,0 +1,207 @@
+"""X1/X2 — deduplication operators for training-data pipelines
+(SURVEY.md §2.8): exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, and
+SimHash.  Embedding-cosine near-dup lives in ``similarity.py``.
+
+Scale notes (100 TB):
+* **Exact dedup** groups on a 128-bit content digest, never on the raw
+  text: the shuffle key is constant-width, and the digest groupBy is a
+  partial-aggregatable operation (map-side combine kicks in).
+* **Shingle self-joins** shuffle on the shingle string.  Ubiquitous
+  shingles ("of the and") create hot keys; ``max_doc_freq`` drops shingles
+  seen in more than N docs before the join — the standard df-pruning from
+  set-similarity-join literature, and the difference between a join that
+  finishes and one that doesn't at corpus scale.
+* **MinHash+LSH** replaces the quadratic candidate space with
+  bands-of-minhashes bucket joins: only documents agreeing on one full band
+  ever meet.  k and bands tune the Jaccard-probability S-curve.
+* All hashes are md5 (portable to the DuckDB oracle bit-for-bit); swap one
+  choke point for xxhash64 when raw speed matters more than parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import word_shingles
+
+__all__ = [
+    "exact_dedup",
+    "shingle_table",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash_signatures",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X1 — exact dedup: one surviving (minimum) id per distinct content
+    digest, with the copy count.  Returns (keep_id, content_hash, n_copies).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "content_hash", "n_copies")
+    )
+
+
+def shingle_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exploded DISTINCT word-n-gram shingles: one (id, shingle) row per
+    distinct shingle per document.  ``max_doc_freq`` prunes shingles that
+    appear in more than that many documents (skew/hot-key control).
+    """
+    s = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
+    )
+    if max_doc_freq is not None:
+        counts = s.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        keep = counts.filter(F.col("df") <= max_doc_freq).select("sh")
+        s = s.join(F.broadcast(keep), "sh")
+    return s
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """X2a — exact n-gram Jaccard similarity join.
+
+    Classic set-similarity join: explode distinct shingles, self-join on
+    the shingle (only pairs sharing >=1 shingle are ever materialized),
+    count intersections, then Jaccard = inter / (|A| + |B| - inter).
+    Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
+    """
+    s = shingle_table(df, text_col, id_col, n, max_doc_freq)
+    sizes = s.groupBy("sid").agg(F.count(F.lit(1)).alias("nsh"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = (
+        inter.join(na, F.col("a_id") == F.col("na.sid"))
+        .join(nb, F.col("b_id") == F.col("nb.sid"))
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("inter")
+                / (F.col("na.nsh") + F.col("nb.nsh") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= F.lit(min_jaccard))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+) -> DataFrame:
+    """X2b — k-permutation MinHash signatures over word shingles.
+
+    Hash family: md5 of a per-function salt prepended to the shingle; the
+    minimum md5 *hex string* is the minimum of the underlying 128-bit
+    integer (fixed-width hex compares lexicographically = numerically), so
+    signatures are portable to any engine with md5.  One explode + one
+    groupBy with k min-aggregates — a single shuffle on the doc id.
+    """
+    s = shingle_table(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return s.groupBy(F.col("sid").alias(id_col)).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """X2b — LSH banding: documents agreeing on every minhash within any
+    band become candidate pairs.  Returns distinct (a_id, b_id), a < b.
+
+    The band key is md5 over the band's minhashes, so bucket joins shuffle
+    a constant-width key regardless of shingle sizes.
+    """
+    r = k // bands
+    band_cols = []
+    for bi in range(bands):
+        parts = [F.col(f"h{bi * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("key"),
+            )
+        )
+    exploded = sigs.select(
+        F.col(id_col).alias("bid"), F.explode(F.array(*band_cols)).alias("b")
+    ).select("bid", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.bid") < F.col("b.bid")),
+        )
+        .select(F.col("a.bid").alias("a_id"), F.col("b.bid").alias("b_id"))
+        .distinct()
+    )
+
+
+def _hex_digit(h: Column, pos: int) -> Column:
+    """Value 0-15 of one hex digit of a hash string (1-based position)."""
+    return F.conv(F.substring(h, pos, 1), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """X2c — SimHash: per-bit majority vote over token hashes.
+
+    Each distinct token votes +1/-1 on every bit of its md5; the signature
+    sets bit j iff the vote sum is positive.  Near-duplicate texts differ
+    in few tokens, so their signatures differ in few bits.  Uses pure
+    arithmetic (div/mod) for bit extraction — portable across engines.
+    """
+    toks = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    vote_cols = []
+    for j in range(bits):
+        digit = _hex_digit(h, 1 + j // 4)
+        bit = (digit / F.lit(2 ** (3 - j % 4))).cast("long") % 2
+        vote_cols.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
+    votes = toks.groupBy("sid").agg(*vote_cols)
+    sig = None
+    for j in range(bits):
+        term = (F.col(f"v{j}") > 0).cast("long") * F.lit(2**j)
+        sig = term if sig is None else sig + term
+    return votes.select(F.col("sid").alias(id_col), sig.alias("simhash"))

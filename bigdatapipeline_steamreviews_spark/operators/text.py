@@ -1,0 +1,146 @@
+"""X4 — text analysis for large-scale training-data pipelines
+(SURVEY.md §2.8): language ID, quality scoring, token counting, document
+fingerprinting.  All pure Catalyst expressions — no Python touches row data,
+so the whole stage stays in whole-stage codegen.
+
+These generalize the reference's text-adjacent surface (the review text
+column and lexicon-ish sentiment fields, ``/root/reference/summarizer.py:47``)
+into the operators a 100 TB corpus pipeline needs.
+
+Scale notes:
+* everything here is embarrassingly parallel per-row projection work — no
+  shuffle at all until a downstream aggregate;
+* hashes are md5 (engine-portable for the oracle); swap to xxhash64 via
+  functions.md5_hash64's choke point for ~3x cheaper hashing when parity
+  with external engines stops mattering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "LANG_PROFILES",
+]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (the corpus is space-separated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish piece count.
+
+    The piece regex splits runs of letters, runs of digits, and individual
+    other symbols — a crude stand-in for byte-pair tokenizer behavior whose
+    count correlates with real token counts well enough for budgeting.
+    """
+    toks = tokens(text_col)
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0
+    )
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks).cast("long"),
+            "n_pieces": F.size(pieces).cast("long"),
+            "n_chars_obs": F.length(F.col(text_col)).cast("long"),
+            "avg_token_len": (
+                F.length(F.regexp_replace(F.col(text_col), " ", ""))
+                / F.greatest(F.size(toks), F.lit(1))
+            ),
+        }
+    )
+
+
+# Tiny function-word profiles for the language-ID heuristic.  Order matters:
+# ties resolve to the earlier language (deterministic).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "es": ["el", "la", "de", "y", "que", "los"],
+    "de": ["der", "die", "das", "und", "zu", "ist"],
+}
+
+_STOPWORDS = LANG_PROFILES["en"]
+
+
+def _profile_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID: function-word profile scoring (n-gram-heuristic family).
+
+    Counts hits against per-language function-word lists and takes the
+    argmax with a fixed tie-break order.  O(tokens x profiles) per row, no
+    shuffle; real deployments swap in larger profiles or char n-gram
+    models — the dataflow shape is identical.
+    """
+    toks = tokens(text_col)
+    scored = df.withColumns(
+        {f"score_{lang}": _profile_hits(toks, words) for lang, words in LANG_PROFILES.items()}
+    )
+    langs = list(LANG_PROFILES)
+    pred = F.when(
+        (F.col(f"score_{langs[0]}") >= F.col(f"score_{langs[1]}"))
+        & (F.col(f"score_{langs[0]}") >= F.col(f"score_{langs[2]}")),
+        F.lit(langs[0]),
+    ).when(F.col(f"score_{langs[1]}") >= F.col(f"score_{langs[2]}"), F.lit(langs[1])).otherwise(
+        F.lit(langs[2])
+    )
+    return scored.withColumn("predicted_lang", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring from length / punctuation / stopword ratios.
+
+    score = 0.4 * min(1, n_tokens/100)        (length credit)
+          + 0.3 * (1 - |stopword_ratio - 0.4|) (natural function-word rate)
+          + 0.3 * (1 - punct_ratio)            (symbol-noise penalty)
+
+    All double arithmetic with a fixed evaluation order, so the score is
+    bit-reproducible across engines and partitionings.
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    stop_hits = _profile_hits(toks, _STOPWORDS)
+    alpha_sp = F.length(F.regexp_replace(c, "[^a-z ]", ""))
+    out = df.withColumns(
+        {
+            "n_tokens": n_tokens.cast("long"),
+            "stopword_ratio": stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double"),
+            "punct_ratio": (F.length(c) - alpha_sp) / F.greatest(F.length(c), F.lit(1)).cast("double"),
+        }
+    )
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(F.col("stopword_ratio") - F.lit(0.4)))
+        + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
+    )
+    return out.withColumn("quality_score", score)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", shingle_len: int = 5) -> DataFrame:
+    """Document fingerprinting: an exact content digest plus a
+    winnowing-style shingle fingerprint (the minimum hash over all
+    ``shingle_len``-token shingles — stable under small appends, unlike the
+    exact digest).
+    """
+    from ..functions import word_shingles
+
+    c = F.col(text_col)
+    sh = word_shingles(c, shingle_len)
+    return df.withColumns(
+        {
+            "doc_md5": F.md5(c),
+            "shingle_fp": F.array_min(F.transform(sh, F.md5)),
+        }
+    )

@@ -1,1 +1,244 @@
-"""Placeholder — populated as operators land."""
+"""Registered queries for text analysis (X4) and deduplication (X1/X2)
+over the ``documents`` table — the LLM-training-data operators from
+SURVEY.md §2.8, each with a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from .operators.text import fingerprint, language_id, quality_score, token_stats
+from .registry import register
+from .sources.tables import load_table
+
+# Shared DuckDB fragments ---------------------------------------------------
+
+# Distinct word-3-gram shingles per doc (mirror of operators.dedup.shingle_table).
+_SHINGLES3_SQL = """
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         )) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# X4 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_token_stats",
+    """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT
+         AS n_pieces,
+       length(text)::BIGINT AS n_chars_obs,
+       length(regexp_replace(text, ' ', '', 'g'))
+         / greatest(len(string_split(text, ' ')), 1) AS avg_token_len
+FROM documents
+""",
+    ("X4",),
+    "Token counting: whitespace tokens + BPE-ish regex piece count.",
+)
+def x4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_pieces", "n_chars_obs", "avg_token_len"
+    )
+
+
+@register(
+    "x4_language_id",
+    """
+SELECT doc_id, lang, score_en, score_es, score_de,
+       CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+            WHEN score_es >= score_de THEN 'es'
+            ELSE 'de' END AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text,' '),
+        t -> t IN ('the','a','of','and','to','is')))::BIGINT AS score_en,
+    len(list_filter(string_split(text,' '),
+        t -> t IN ('el','la','de','y','que','los')))::BIGINT AS score_es,
+    len(list_filter(string_split(text,' '),
+        t -> t IN ('der','die','das','und','zu','ist')))::BIGINT AS score_de
+  FROM documents
+)
+""",
+    ("X4",),
+    "Language ID via function-word profile scoring with deterministic "
+    "tie-break (en > es > de).",
+)
+def x4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "score_en", "score_es", "score_de", "predicted_lang"
+    )
+
+
+@register(
+    "x4_quality_score",
+    """
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
+       0.4 * least(1.0, n_tokens / 100.0)
+     + 0.3 * (1.0 - abs(stopword_ratio - 0.4))
+     + 0.3 * (1.0 - punct_ratio) AS quality_score
+FROM (
+  SELECT doc_id,
+         len(string_split(text,' '))::BIGINT AS n_tokens,
+         len(list_filter(string_split(text,' '),
+             t -> t IN ('the','a','of','and','to','is')))
+           / greatest(len(string_split(text,' ')), 1) AS stopword_ratio,
+         (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))
+           / greatest(length(text), 1) AS punct_ratio
+  FROM documents
+)
+""",
+    ("X4",),
+    "Quality scoring from length / stopword-rate / punctuation ratios, "
+    "bit-reproducible double arithmetic.",
+)
+def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "quality_score"
+    )
+
+
+@register(
+    "x4_fingerprint",
+    """
+SELECT doc_id, md5(text) AS doc_md5,
+       list_min(list_transform(
+         [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)],
+         s -> md5(s))) AS shingle_fp
+FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+""",
+    ("X4",),
+    "Document fingerprinting: exact md5 digest + winnowing-style min-hash "
+    "over 5-token shingles.",
+)
+def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "doc_md5", "shingle_fp")
+
+
+# ---------------------------------------------------------------------------
+# X1/X2 — deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x1_exact_dedup",
+    """
+SELECT min(doc_id) AS keep_id, md5(text) AS content_hash,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    ("X1",),
+    "Exact dedup on a 128-bit content digest: constant-width shuffle key, "
+    "min-id survivor per digest.",
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "x2_ngram_jaccard",
+    f"""
+WITH {_SHINGLES3_SQL},
+sizes AS (SELECT doc_id, count(*) AS nsh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       inter / (na.nsh + nb.nsh - inter) AS jaccard
+FROM inter
+JOIN sizes na ON a_id = na.doc_id
+JOIN sizes nb ON b_id = nb.doc_id
+WHERE inter / (na.nsh + nb.nsh - inter) >= 0.5
+""",
+    ("X2",),
+    "Exact n-gram Jaccard set-similarity join: pairs only materialize if "
+    "they share a shingle; df-pruning available for hot shingles at scale.",
+)
+def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.5)
+
+
+_MINHASH_MINS = ",\n         ".join(
+    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(8)
+)
+
+@register(
+    "x2_minhash_lsh",
+    f"""
+WITH {_SHINGLES3_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+""",
+    ("X2",),
+    "MinHash(k=8) + LSH(4 bands x 2 rows) candidate pairs: the quadratic "
+    "pair space becomes equality bucket joins on band keys.",
+)
+def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs(spark, sf_dir), k=8)
+    return lsh_candidate_pairs(sigs, k=8, bands=4)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ",\n    ".join(
+        f"sum((('0x' || substr(md5(tok), {1 + j // 4}, 1))::BIGINT // {2 ** (3 - j % 4)}) % 2 * 2 - 1) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(f"(v{j} > 0)::BIGINT * {2**j}" for j in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {sig} AS simhash FROM votes
+"""
+
+
+@register(
+    "x2_simhash",
+    _simhash_sql(16),
+    ("X2",),
+    "SimHash(16-bit): per-bit majority vote over distinct-token md5 bits; "
+    "near-dup texts land on near-identical signatures.",
+)
+def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(_docs(spark, sf_dir), bits=16)

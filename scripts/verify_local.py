@@ -96,7 +96,8 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"ok    {name}: {len(sdf)} rows match [{time.time()-t0:.1f}s]")
-    print(f"\n{len(REGISTRY) - len(failed)}/{len(REGISTRY) if not only else len(only)} queries verified" + (f"; FAILED: {failed}" if failed else ""))
+    total = len(only) if only else len(REGISTRY)
+    print(f"\n{total - len(failed)}/{total} queries verified" + (f"; FAILED: {failed}" if failed else ""))
     return 1 if failed else 0
 
 
