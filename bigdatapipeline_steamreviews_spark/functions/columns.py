@@ -136,7 +136,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """X3 — cosine similarity over ``array<float>`` embeddings, computed in
-    double with left-to-right summation so Spark and the oracle agree bitwise.
+    """X3 — cosine similarity over ``array<float>`` embeddings.
+
+    All math in double with a sequential left-to-right fold.  The array's
+    element order is fixed per row (no partitioning involvement), so the
+    value is fully deterministic — and bitwise identical to any engine that
+    folds lists sequentially (DuckDB's list_sum does; verified empirically).
     """
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))

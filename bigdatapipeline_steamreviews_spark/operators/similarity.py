@@ -1,0 +1,154 @@
+"""X3 — similarity search over embedding columns (SURVEY.md §2.8), plus
+embedding-cosine near-dup detection (the X2 family's vector member).
+
+Two physical strategies behind one logical operation:
+
+* **Brute force** (`cosine_topk`): broadcast the (small) query set against
+  every candidate — O(|queries| x |corpus|) dot products, all JVM-side
+  array arithmetic inside codegen.  The right plan when queries are few:
+  the corpus is scanned once, never shuffled.
+* **Bucketed / IVF-style** (`sign_bucket` + `bucketed` variants): a
+  deterministic coarse quantizer (sign bits of leading dimensions — a
+  fixed-hyperplane LSH) partitions the corpus; search touches only the
+  query's bucket, trading recall for a 2^bits reduction in candidates.
+  At 100 TB the corpus would be written partitioned by bucket so the scan
+  prunes to matching files (partition pruning visible in .explain).
+
+No Python UDFs anywhere: `zip_with`/`transform`/`aggregate` keep the math
+in Tungsten.  A Pandas-UDF BLAS path would win above ~1k dims; at 64-256
+dims codegen'd expressions are competitive and keep plans fusable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.columns import cosine_similarity
+
+__all__ = [
+    "sign_bucket",
+    "cosine_topk",
+    "cosine_topk_bucketed",
+    "embedding_near_dup_pairs",
+]
+
+
+def sign_bucket(emb: Column, bits: int = 4) -> Column:
+    """Deterministic coarse quantizer: bit j = sign of dimension j.
+
+    Equivalent to LSH with axis-aligned hyperplanes — chosen over random
+    hyperplanes so any engine (and the oracle) derives identical buckets.
+    """
+    acc = None
+    for j in range(bits):
+        term = (F.element_at(emb, j + 1) > 0).cast("long") * F.lit(2**j)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _topk(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors for each query row.
+
+    The query side is broadcast; the corpus is scanned exactly once with no
+    shuffle of the candidate side.  The per-query top-k window partitions
+    by query id, so ranking state is tiny regardless of corpus size.
+    """
+    q = embeddings.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    return _topk(pairs, k).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def cosine_topk_bucketed(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: candidates restricted to the query's
+    sign bucket.  The cross join becomes an equality join on the bucket —
+    a hash join that scales with bucket size, not corpus size."""
+    with_bucket = embeddings.withColumn("bucket", sign_bucket(F.col(vec_col), bits))
+    q = with_bucket.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("bucket"),
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    return _topk(pairs, k).select("query_id", "neighbor_id", "bucket", "cosine", "rank")
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    min_cosine: float,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X2d — embedding-cosine near-duplicate pairs, bucket-prefiltered.
+
+    Only same-bucket pairs are scored (candidate space / 2^bits); returns
+    (a_id, b_id, cosine) with a_id < b_id and cosine >= threshold.  Recall
+    loss is bounded: a pair above ~0.9 cosine rarely disagrees on leading
+    sign bits; raise `bits` = cheaper + lossier, 0 = exact quadratic.
+    """
+    with_bucket = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    a, b = with_bucket.alias("a"), with_bucket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(min_cosine))
+    )

@@ -1,1 +1,113 @@
-"""Placeholder — populated as operators land."""
+"""Registered queries for similarity search (X3) and embedding near-dup
+(X2d) over the ``embeddings`` table, with bit-exact DuckDB oracles.
+
+The oracle mirrors the engine's exact-decimal cosine: per-element double
+products, DECIMAL accumulation (order-independent), one correctly-rounded
+conversion to double — so `cosine` matches bitwise, not within-epsilon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.similarity import (
+    cosine_topk,
+    cosine_topk_bucketed,
+    embedding_near_dup_pairs,
+)
+from .registry import register
+from .sources.tables import load_table
+
+# DuckDB fragment: cosine between lists qe and ce.  list_sum folds the list
+# sequentially left-to-right — bitwise identical to Spark's F.aggregate fold
+# (verified empirically), so no tolerance is needed in the compare.
+_COS_EXPR = (
+    "(list_sum(list_transform(list_zip(qe, ce), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE)))))"
+)
+
+_COS_TERMS = f"""
+sims AS (
+  SELECT query_id, neighbor_id{{extra_cols}}, {_COS_EXPR} AS cosine
+  FROM pairs
+)
+"""
+
+_BUCKET_SQL = (
+    "((embedding[1] > 0)::BIGINT + (embedding[2] > 0)::BIGINT * 2"
+    " + (embedding[3] > 0)::BIGINT * 4 + (embedding[4] > 0)::BIGINT * 8)"
+)
+
+
+@register(
+    "x3_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+pairs AS (SELECT query_id, neighbor_id, qe, ce FROM q, c WHERE neighbor_id != query_id),
+{_COS_TERMS.format(extra_cols="")}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+""",
+    ("X3",),
+    "Brute-force top-5 cosine neighbors for 10 query vectors: broadcast "
+    "queries, single corpus scan, per-query window top-k.",
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+@register(
+    "x3_cosine_topk_bucketed",
+    f"""
+WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM e),
+pairs AS (
+  SELECT query_id, neighbor_id, c.bucket, qe, ce
+  FROM q JOIN c USING (bucket) WHERE neighbor_id != query_id
+),
+{_COS_TERMS.format(extra_cols=", bucket")}
+SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+""",
+    ("X3",),
+    "IVF-style approximate top-5: sign-bit coarse quantizer (4 bits) "
+    "restricts candidates to the query's bucket — equality join instead of "
+    "cross join; the 100 TB scale path.",
+)
+def x3_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bucketed(emb, F.col("vec_id") < 10, k=5, bits=4)
+
+
+@register(
+    "x2_embedding_near_dup",
+    f"""
+WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         a.embedding AS qe, b.embedding AS ce
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+{_COS_TERMS.format(extra_cols="")}
+SELECT query_id AS a_id, neighbor_id AS b_id, cosine
+FROM sims WHERE cosine >= 0.4
+""",
+    ("X2", "X3"),
+    "Embedding-cosine near-dup pairs, sign-bucket prefiltered (candidate "
+    "space / 2^bits). Threshold 0.4 exercises the path on the synthetic "
+    "corpus; production dedup would use ~0.9+.",
+)
+def x2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, min_cosine=0.4, bits=4)
