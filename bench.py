@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf"}.
+
+Execution is measured end-to-end through a noop sink (full plan runs, no
+driver-side collect), after one small warmup to exclude JVM/session start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdatapipeline_steamreviews_spark import get_spark, queries  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship + one representative per operator family.
+BENCH_QUERIES = [
+    "flagship_daily_summary",      # A1-A4 windowed aggregate
+    "stream_daily_summary",        # the same, as a live streaming replay
+    "serving_upsert_compaction",   # A7 keyed compaction (window function)
+    "serving_monthly_rollup",      # A5 re-aggregation rollup
+    "q1_pricing_summary",          # fact-scan aggregate (decimal-exact sums)
+    "q3_top_revenue_orders",       # fact-fact join + top-N
+    "j1_region_enrichment",        # broadcast star join
+    "x1_exact_dedup",              # digest groupBy dedup
+    "x2_ngram_jaccard",            # set-similarity self-join
+    "x2_minhash_lsh",              # MinHash+LSH banding
+    "x2_simhash",                  # SimHash signatures
+    "x3_cosine_topk",              # brute-force ANN baseline
+    "x3_cosine_topk_bucketed",     # IVF-style ANN scale path
+    "x4_quality_score",            # text quality scoring
+    "x5_feature_extract",          # Arrow/pandas multimodal path
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    regs = queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        df = regs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+
+    # Warmup: spin up executors / codegen on a tiny query, untimed.
+    regs["serving_distinct_types"](spark, SF_DIR).count()
+
+    per_query = {name: run(name) for name in BENCH_QUERIES}
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock, noop sink",
+                "value": round(sum(per_query.values()), 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,75 @@
-"""Placeholder — populated as operators land."""
+"""Registered streaming queries: the reference's core pipeline run as a
+real Structured Streaming job (file-source micro-batch replay, availableNow)
+whose final state is compared against the SAME DuckDB oracle as the batch
+flagship — the no-watermark equivalence property (SURVEY.md §2.6 T3) made
+into a correctness gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import FLAGSHIP_ORACLE, register
+from .streaming.summarizer import (
+    events_file_stream,
+    run_to_memory_table,
+    stage_events_for_replay,
+    streaming_daily_summary,
+)
+
+_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_stream_stage")
+_query_counter = 0
+
+
+def _stage_events_chunks(spark: SparkSession, sf_dir: str, chunks: int = 4) -> str:
+    """Stage the events table as time-ordered replay chunks under /tmp —
+    each file becomes one micro-batch.  Staged once per sf_dir and reused
+    (content is deterministic)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    stage = os.path.join(_STAGE_ROOT, f"events_{key}_{chunks}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        stage_events_for_replay(spark, sf_dir, stage, chunks)
+    return stage
+
+
+def _run_stream(
+    spark: SparkSession, sf_dir: str, watermark: str | None, output_mode: str
+) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_summary_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=1)
+    result = streaming_daily_summary(stream, watermark=watermark)
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(result, name, checkpoint, output_mode)
+
+
+@register(
+    "stream_daily_summary",
+    FLAGSHIP_ORACLE,
+    ("A1", "T1", "T2", "T3", "T4", "T5", "S3"),
+    "The reference summarizer as a live Structured Streaming job: 4-file "
+    "micro-batch replay (availableNow), no watermark — final compacted "
+    "state must equal the batch groupBy, checked against the same oracle "
+    "as the batch flagship.",
+)
+def stream_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_stream(spark, sf_dir, watermark=None, output_mode="complete")
+
+
+@register(
+    "stream_daily_summary_watermarked",
+    None,  # closed-window subset isn't cleanly SQL-expressible; rows-only
+    ("T3",),
+    "Production mode: 1-day watermark bounds state; append mode emits each "
+    "window once, closed and final. Emits only windows whose end is below "
+    "the final watermark (the replay's last day stays open), so the batch "
+    "oracle doesn't apply; pytest asserts the subset/equality semantics.",
+)
+def stream_daily_summary_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_stream(spark, sf_dir, watermark="1 day", output_mode="append")

@@ -123,5 +123,6 @@ def _ensure_all_registered() -> None:
     from . import queries_text  # noqa: F401
     from . import queries_similarity  # noqa: F401
     from . import queries_streaming  # noqa: F401
+    from . import queries_multimodal  # noqa: F401
 
     _loaded = True

@@ -1,0 +1,137 @@
+"""The streaming summarizer — the reference engine's core
+(``/root/reference/summarizer.py``), as a parameterized Structured
+Streaming pipeline.
+
+Design: the aggregation logic is the SAME DataFrame transformation used in
+batch (``operators.aggregations.daily_summary`` / ``review_daily_summary``)
+— Structured Streaming incrementalizes the identical logical plan
+(StateStoreRestore -> partial agg -> StateStoreSave per micro-batch,
+SURVEY.md §3.1 step 4).  One query, two runtimes; no forked semantics.
+
+Watermarking (SURVEY.md §2.6 T3): the reference sets NO watermark, so every
+window stays open forever and any late row re-emits its day's aggregate —
+faithful-mode here, and the property our replay tests assert (final state
+== batch groupBy).  At 100 TB of stream state that is an anti-pattern, so
+``watermark=`` bounds state; with it, append-mode emits each window once,
+closed and final.
+
+Checkpointing (T6): every start() takes a checkpoint dir — the
+fault-tolerance unit (offsets WAL + state store), exactly as the reference
+pins ``/tmp/spark_checkpoint_sentiment`` (summarizer.py:110).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.aggregations import daily_summary
+from ..schemas import EVENT_SCHEMA
+
+__all__ = [
+    "events_file_stream",
+    "streaming_daily_summary",
+    "run_to_memory_table",
+    "stage_events_for_replay",
+]
+
+# File-stream schema for the events table: ts arrives as nanos-int64
+# (see sources.tables.load_table) and is normalized right after load.
+_EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stage_events_for_replay(
+    spark: SparkSession, sf_dir: str, out_dir: str, chunks: int = 4
+) -> str:
+    """Split the events table into ``chunks`` time-range files with strictly
+    increasing modification times.
+
+    The file stream source replays files in mtime order; writing all chunks
+    in one job gives them identical mtimes and an arbitrary replay order,
+    which makes whole chunks late under a watermark.  Sequential writes
+    (one commit per range, with a small mtime gap) guarantee replay order
+    == event-time order — what a real in-order source (Kafka per-partition)
+    provides.
+    """
+    import time
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays nanos-long
+    qs = raw.approxQuantile("ts", [i / chunks for i in range(1, chunks)], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(chunks):
+        part = raw.filter(
+            (F.col("ts") > F.lit(bounds[i])) & (F.col("ts") <= F.lit(bounds[i + 1]))
+        )
+        part.coalesce(1).write.mode("append").parquet(out_dir)
+        time.sleep(0.05)
+    return out_dir
+
+
+def events_file_stream(
+    spark: SparkSession, directory: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """S3-equivalent for tests: a file stream over events-shaped parquet.
+
+    Each file becomes (at most) one micro-batch — the replay harness for
+    asserting streaming semantics without a Kafka broker.  Schema is
+    declared, never inferred (streaming sources require it anyway).
+    """
+    reader = spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(directory)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_daily_summary(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """The reference's windowed aggregation over a *streaming* events frame.
+
+    ``watermark=None`` is the faithful mode (unbounded state, late rows
+    always merge — summarizer.py keeps every window live); pass e.g.
+    ``"1 day"`` for the bounded-state production mode.
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return daily_summary(events, window_duration)
+
+
+def run_to_memory_table(
+    result: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run a streaming aggregate to completion (availableNow) into an
+    in-memory table; returns the final table as a batch DataFrame.
+
+    availableNow drains all currently-available input in micro-batches and
+    stops — the deterministic replay used by tests and the driver-facing
+    ``stream_daily_summary`` query.  complete-mode output == the compacted
+    final state (emission traces are trigger-timing-dependent and never
+    asserted; SURVEY.md §5.2).
+    """
+    spark = result.sparkSession
+    query = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)

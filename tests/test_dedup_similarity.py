@@ -1,0 +1,89 @@
+"""Planted-duplicate tests for X1/X2 dedup and X3 similarity operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdatapipeline_steamreviews_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from bigdatapipeline_steamreviews_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    sign_bucket,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("today", "tonight")),  # near dup of 0
+        (3, "completely different words about spark query engines and shuffles here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_survivor_and_counts(spark):
+    got = {r.keep_id: r.n_copies for r in exact_dedup(_docs(spark)).collect()}
+    assert got[0] == 2  # docs 0,1 collapse, min id survives
+    assert got[2] == 1 and got[3] == 1
+
+
+def test_ngram_jaccard_finds_planted_pair(spark):
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), min_jaccard=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert 0.5 < pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_candidates(spark):
+    sigs = minhash_signatures(_docs(spark), k=8)
+    cands = {(r.a_id, r.b_id) for r in lsh_candidate_pairs(sigs, k=8, bands=4).collect()}
+    assert (0, 1) in cands  # identical docs always collide
+    assert (0, 3) not in cands and (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(_docs(spark), bits=16).collect()}
+    assert sig[0] == sig[1]
+    ham_near = bin(sig[0] ^ sig[2]).count("1")
+    ham_far = bin(sig[0] ^ sig[3]).count("1")
+    assert ham_near < ham_far
+
+
+def _embs(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.999, -0.04, 0.0, 0.0]),  # near dup of 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk_ordering(spark):
+    got = cosine_topk(_embs(spark), F.col("vec_id") == 0, k=3).collect()
+    assert [r.neighbor_id for r in got] == [1, 2, 3]
+    assert got[0].cosine > 0.99
+
+
+def test_embedding_near_dup_bucketed(spark):
+    pairs = {(r.a_id, r.b_id) for r in embedding_near_dup_pairs(_embs(spark), 0.9, bits=2).collect()}
+    assert pairs == {(0, 1)}  # 0-1 share bucket + high cosine; 3 in other bucket
+
+
+def test_sign_bucket_bits(spark):
+    df = _embs(spark).select("vec_id", sign_bucket(F.col("embedding"), 2).alias("b"))
+    got = {r.vec_id: r.b for r in df.collect()}
+    assert got[0] == 1 and got[1] == 1 and got[2] == 2 and got[3] == 0

@@ -1,0 +1,54 @@
+"""Physical-plan assertions (the 100 TB story, checkable at any scale):
+pushdown reaches the scan, small dims broadcast, top-N never global-sorts,
+and the zero-UDF core stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from bigdatapipeline_steamreviews_spark import queries
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    return queries()[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    plan = _plan(spark, "p09_filter_equality")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    # The 3-column projection must not read value/props columns it doesn't use.
+    plan = _plan(spark, "serving_distinct_types")
+    assert "ReadSchema: struct<event_type:string>" in plan
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(spark, "j1_region_enrichment")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topn_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "serving_topn_users")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_stays_in_codegen(spark):
+    df = queries()["flagship_daily_summary"](spark, SF_DIR)
+    df.collect()  # materialize the AQE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark whole-stage-codegen stages; scan+filter and both
+    # aggregate stages must carry one, and no Python evaluator may appear.
+    assert "*(1)" in plan and "*(2)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_every_query_has_oracle_or_reason(spark):
+    from bigdatapipeline_steamreviews_spark import REGISTRY, oracle_sql
+
+    missing = [n for n, s in REGISTRY.items() if s.oracle is None]
+    # Only the watermarked streaming variant is rows-only by design.
+    assert missing == ["stream_daily_summary_watermarked"]
+    assert set(oracle_sql()) == set(REGISTRY) - set(missing)

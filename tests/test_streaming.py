@@ -1,0 +1,88 @@
+"""Streaming semantics tests (SURVEY.md §5.2): micro-batch replay of the
+windowed aggregation, asserting final compacted state — never emission
+traces (those are trigger-timing-dependent).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatapipeline_steamreviews_spark.operators.aggregations import daily_summary
+from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+from bigdatapipeline_steamreviews_spark.streaming.summarizer import (
+    events_file_stream,
+    run_to_memory_table,
+    streaming_daily_summary,
+)
+from tests.conftest import SF_DIR
+
+_qn = 0
+
+
+def _stream_result(spark, stage_dir, watermark=None, output_mode="complete"):
+    global _qn
+    _qn += 1
+    stream = events_file_stream(spark, stage_dir, max_files_per_trigger=1)
+    result = streaming_daily_summary(stream, watermark=watermark)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    return run_to_memory_table(result, f"t_stream_{_qn}", ckpt, output_mode)
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark):
+    """events split into 4 time-ordered replay files = 4 micro-batches."""
+    from bigdatapipeline_steamreviews_spark.streaming.summarizer import (
+        stage_events_for_replay,
+    )
+
+    return stage_events_for_replay(spark, SF_DIR, tempfile.mkdtemp(prefix="stage_"))
+
+
+def test_stream_final_state_equals_batch(spark, staged_events):
+    """No watermark (faithful T3): replayed stream's final state == batch
+    groupBy of the same input, exactly."""
+    streamed = _stream_result(spark, staged_events).orderBy("event_type", "time")
+    batch = daily_summary(load_table(spark, SF_DIR, "events")).orderBy(
+        "event_type", "time"
+    )
+    assert streamed.collect() == batch.collect()
+
+
+def test_watermarked_append_emits_closed_windows_only(spark, staged_events):
+    """Production mode: append emits a window once it's below the watermark;
+    emitted rows must agree with batch values; the tail stays open."""
+    streamed = _stream_result(spark, staged_events, watermark="1 day", output_mode="append")
+    batch = daily_summary(load_table(spark, SF_DIR, "events"))
+    s_rows = {(r.event_type, r.time): r for r in streamed.collect()}
+    b_rows = {(r.event_type, r.time): r for r in batch.collect()}
+    assert 0 < len(s_rows) < len(b_rows)  # something emitted, tail open
+    for key, row in s_rows.items():
+        assert row == b_rows[key]  # closed windows are final and exact
+
+
+def test_late_data_updates_open_window(spark):
+    """Out-of-order rows across micro-batches merge into their window when
+    no watermark bounds state (T3: every window stays live forever)."""
+    stage = tempfile.mkdtemp(prefix="late_")
+    spark.createDataFrame(
+        [(1, 1_700_000_000_000_000_000, 1, "click", 10.0, '{"k":1}')],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{stage}/f1.parquet")
+    # second file: one row a full day LATER, plus one LATE row in day 1
+    spark.createDataFrame(
+        [
+            (2, 1_700_000_000_000_000_000 + 86_400 * 10**9, 1, "click", 30.0, '{"k":1}'),
+            (3, 1_700_000_000_000_000_000 + 1, 1, "click", 50.0, '{"k":1}'),
+        ],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{stage}/f2.parquet")
+    got = _stream_result(spark, f"{stage}/*").orderBy("time").collect()
+    by_day = {r.time.day: r for r in got}
+    days = sorted(by_day)
+    assert len(days) == 2
+    assert by_day[days[0]].T_events == 2  # late row merged into day-1 window
+    assert by_day[days[0]].A_value == 30.0  # avg(10, 50)
+    assert by_day[days[1]].T_events == 1
