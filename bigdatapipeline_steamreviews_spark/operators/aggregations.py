@@ -145,16 +145,36 @@ def _dispatch_agg(metric: str) -> Column:
     return F.sum(metric).alias(metric)
 
 
-def monthly_rollup(daily: DataFrame, metrics: list[str], keys: list[str]) -> DataFrame:
+def monthly_rollup(
+    daily: DataFrame,
+    metrics: list[str],
+    keys: list[str],
+    weight_col: str | None = None,
+) -> DataFrame:
     """A5 — day->month re-aggregation with metric dispatch
     (ref visualizer.py:204-207).
 
-    Faithful semantics: `A_*` metrics take the **unweighted mean of daily
-    means** — not the true monthly mean (SURVEY.md §2.3 A5 note).  Callers
-    wanting the statistically-correct rollup should re-aggregate from raw
-    events instead; this operator reproduces the serving layer's behavior.
+    Faithful semantics (default): `A_*` metrics take the **unweighted mean
+    of daily means** — not the true monthly mean (SURVEY.md §2.3 A5 note);
+    this reproduces the serving layer's behavior exactly.
+
+    Correct semantics (``weight_col=`` e.g. the daily row count): `A_*`
+    metrics become count-weighted means, sum(mean_d * n_d) / sum(n_d) —
+    algebraically equal to re-aggregating the raw events, without touching
+    them (the rollup stays a cheap second-stage aggregate at any scale).
     """
-    return daily.groupBy(*keys).agg(*[_dispatch_agg(m) for m in metrics])
+    if weight_col is None:
+        return daily.groupBy(*keys).agg(*[_dispatch_agg(m) for m in metrics])
+
+    from ..functions import sum_exact
+
+    def agg_for(m: str) -> Column:
+        if m.startswith("A_"):
+            num = sum_exact(F.col(m) * F.col(weight_col))
+            return (num / F.sum(weight_col)).alias(m)
+        return F.sum(m).alias(m)
+
+    return daily.groupBy(*keys).agg(*[agg_for(m) for m in metrics])
 
 
 def global_rollup(daily: DataFrame, metrics: list[str], key: str = "event_type") -> DataFrame:

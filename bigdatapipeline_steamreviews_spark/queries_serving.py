@@ -112,6 +112,34 @@ def serving_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("seq", F.row_number().over(w))
 
 
+@register(
+    "serving_monthly_rollup_weighted",
+    _DAILY_SQL
+    + """
+SELECT event_type, time_year, time_month,
+       ((sum(CAST("A_value" * "T_events" AS DECIMAL(28,10)))::VARCHAR)::DOUBLE
+         / sum("T_events")) AS A_value,
+       CAST(sum("T_events") AS BIGINT) AS T_events
+FROM serving
+GROUP BY event_type, time_year, time_month
+""",
+    ("A5",),
+    "The statistically-correct month rollup: count-weighted mean of daily "
+    "means == re-aggregating raw events, computed without touching them. "
+    "The faithful unweighted variant is serving_monthly_rollup.",
+)
+def serving_monthly_rollup_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _serving_daily(spark, sf_dir)
+    from .operators.aggregations import monthly_rollup
+
+    return monthly_rollup(
+        daily,
+        ["A_value", "T_events"],
+        ["event_type", "time_year", "time_month"],
+        weight_col="T_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # A6 — global rollup of a time slice (+ P11 drilldown filter)
 # ---------------------------------------------------------------------------

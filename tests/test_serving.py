@@ -55,6 +55,21 @@ def test_monthly_rollup_mean_of_means_dispatch(spark):
     assert row[("a", 2024, 1)] == (25.0, 8)  # mean(20,30), sum(7,1)
 
 
+def test_weighted_rollup_equals_raw_reaggregation(spark):
+    # weighted mean of daily means == mean over the raw rows
+    raw = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 1, 20.0), ("a", 1, 30.0), ("a", 2, 100.0)],
+        ["k", "day", "v"],
+    )
+    daily = raw.groupBy("k", "day").agg(
+        F.avg("v").alias("A_v"), F.count("v").alias("T_n")
+    )
+    rolled = monthly_rollup(daily, ["A_v", "T_n"], ["k"], weight_col="T_n")
+    r = rolled.collect()[0]
+    assert r.A_v == 40.0  # (10+20+30+100)/4 — not mean(20, 100) = 60
+    assert r.T_n == 4
+
+
 def test_global_rollup(spark):
     df = _serving_rows(spark).filter(F.col("seq") != 1)
     got = {r.k: r.T_m for r in global_rollup(df, ["T_m"], key="k").collect()}
