@@ -1,0 +1,254 @@
+"""Analytic-window and temporal-join operators.
+
+The reference has **no** analytic window functions and no joins of any kind
+(SURVEY.md §2.5) — but its serving layer's upsert/rollup queries are one
+step away from them, and any production deployment of this pipeline needs
+them (session analysis over the review stream, trailing-window metrics for
+the dashboard, point-in-time enrichment of events with the latest known
+entity state).  Each operator here is a pure DataFrame composition — no
+UDFs, whole-stage codegen end-to-end.
+
+Scale notes (100 TB):
+* Every window function here partitions by a key (`user_id`, group key)
+  before ordering — one shuffle on the key, then per-partition sort.  A
+  global `ORDER BY` window (no partition) is only used over *already
+  aggregated* inputs (daily rollups: thousands of rows, one task is fine).
+* `as_of_join` is the union-tag algorithm: tag both sides, one shuffle on
+  the key, one per-key sort, one `last(ignorenulls)` carry-forward.  This
+  is O(n log n) per key and never materializes the O(events × orders)
+  range-join product a naive `ts >= o_ts` join would.
+* `range_join_count` keeps an equality key in the join so Spark plans a
+  hash/sort-merge join on the key with the range as a cheap residual
+  filter — never a broadcast-nested-loop over the cross product.
+* Rolling frames accumulate in exact DECIMAL, so results are identical
+  under any partitioning (see functions.columns.sum_exact rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "event_deltas",
+    "sessionize",
+    "session_stats",
+    "rolling_frame_avg",
+    "nearest_rank_percentiles",
+    "as_of_join",
+    "range_join_count",
+]
+
+_ACC_DECIMAL = "decimal(28,10)"
+
+
+def _dec_to_double(c: Column) -> Column:
+    # Correctly-rounded decimal->double (see functions.columns._dec_to_double).
+    return c.cast("string").cast("double")
+
+
+def event_deltas(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """lag/lead over a per-key event timeline: previous-event gap in seconds
+    and the next event's id.  The (ts, id) ordering is a total order, so
+    results are deterministic under any partitioning.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    unix = F.unix_timestamp(F.col(ts_col))
+    prev_unix = F.unix_timestamp(F.lag(ts_col).over(w))
+    return events.select(
+        key_col,
+        id_col,
+        unix.alias("event_unix"),
+        prev_unix.alias("prev_unix"),
+        (unix - prev_unix).alias("gap_s"),
+        F.lead(id_col).over(w).alias("next_event_id"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the key's previous event exceeds ``gap_seconds`` (or there is none).
+    Adds ``session_id`` = running count of session starts per key — the
+    classic lag + cumulative-sum formulation, two window passes over one
+    shuffle (both windows share the same partitioning and ordering, so
+    Catalyst plans a single exchange + sort).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    unix = F.unix_timestamp(F.col(ts_col))
+    prev_unix = F.unix_timestamp(F.lag(ts_col).over(w))
+    is_new = F.when(
+        prev_unix.isNull() | ((unix - prev_unix) > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(key_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_id", F.sum(is_new).over(running))
+
+
+def session_stats(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session aggregates over the sessionized stream: bounds, length,
+    event count, and an exact-decimal value sum."""
+    s = sessionize(events, gap_seconds, key_col, ts_col, id_col)
+    unix = F.unix_timestamp(F.col(ts_col))
+    return s.groupBy(key_col, "session_id").agg(
+        F.min(unix).alias("session_start_unix"),
+        F.max(unix).alias("session_end_unix"),
+        (F.max(unix) - F.min(unix)).alias("duration_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_to_double(F.sum(F.col(value_col).cast(_ACC_DECIMAL))).alias(
+            "total_value"
+        ),
+    )
+
+
+def rolling_frame_avg(
+    daily: DataFrame,
+    order_col: str,
+    value_col: str,
+    preceding: int = 6,
+    out_col: str = "rolling_avg",
+) -> DataFrame:
+    """Trailing-window mean over an ordered (already-aggregated) series:
+    ROWS BETWEEN <preceding> PRECEDING AND CURRENT ROW.  Accumulates in
+    exact DECIMAL so the frame sum is order-exact, then one double divide.
+
+    Unpartitioned global window — correct only over small aggregated
+    inputs (e.g. one row per day).  For per-key trailing metrics at scale,
+    add ``partitionBy`` keys (same frame, sharded by key).
+    """
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    frame_sum = _dec_to_double(F.sum(F.col(value_col).cast(_ACC_DECIMAL)).over(w))
+    frame_n = F.count(F.lit(1)).over(w)
+    return daily.withColumn(out_col, frame_sum / frame_n)
+
+
+def nearest_rank_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact nearest-rank percentiles per group: the value at
+    ``row_number == ceil(p * n)`` under (value, tiebreak) order.
+
+    Nearest-rank (no interpolation) keeps the result an actual data value —
+    bit-exact in every engine, unlike interpolated percentile_cont whose
+    float blend can differ in the last ulp.  One shuffle (the window) +
+    one partial-aggregatable groupBy.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(value_col, tiebreak_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("__rn") == F.ceil(F.lit(p) * F.col("__n")), F.col(value_col)
+            )
+        ).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    return ranked.groupBy(*group_cols).agg(
+        *aggs, F.max("__n").alias("n_rows")
+    )
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    carry_cols: list[str],
+) -> DataFrame:
+    """As-of join: each left row picks up ``carry_cols`` from the right row
+    with the greatest ``right_ts <= left_ts`` for the same key (point-in-
+    time enrichment; Spark has no builtin for this).
+
+    Union-tag algorithm: tag right rows 0 and left rows 1, sort each key's
+    timeline by (ts, tag), and carry the latest non-null right values
+    forward with ``last(ignorenulls=True)``.  Right rows sort before left
+    rows at equal timestamps, so an exactly-simultaneous right row IS
+    visible to the left row (<= semantics).  One shuffle on the key, one
+    sort — never the O(|L|·|R|) product of a naive range join.
+
+    The right side must be unique per (key, right_ts) — pre-compact it
+    (e.g. keyed max-struct) or the carried values are nondeterministic.
+    """
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c) for c in carry_cols],
+    )
+    l_tagged = left.select(
+        "*",
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+    )
+    for c in carry_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(r_tagged.schema[c].dataType))
+    unioned = l_tagged.select(r_tagged.columns + left.columns).unionByName(
+        r_tagged.select("*", *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns])
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *left.columns,
+        F.col("__tag"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry_cols],
+    )
+    return carried.filter(F.col("__tag") == 1).drop("__tag")
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    ts_left_lo: Column,
+    ts_left_hi: Column,
+    ts_right: str,
+) -> DataFrame:
+    """Banded range join: right rows with ``ts in [lo, hi)`` per left row,
+    counted.  The equality key keeps this a hash/sort-merge join with the
+    range as a residual filter — check ``.explain``: no
+    BroadcastNestedLoopJoin may appear.  At heavy skew, band the timestamp
+    (join on (key, time_bucket)) to split hot keys.
+    """
+    cond = (
+        (F.col(key_left) == F.col(key_right))
+        & (F.col(ts_right) >= ts_left_lo)
+        & (F.col(ts_right) < ts_left_hi)
+    )
+    return left.join(right, cond, "left")

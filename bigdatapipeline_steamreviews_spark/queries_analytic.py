@@ -1,0 +1,401 @@
+"""Registered analytic-window, temporal-join, and relational-algebra
+queries — the operator families the reference never had (SURVEY.md §2.5
+lists "none implemented") but that complete the engine: lag/lead deltas,
+sessionization, rolling frames, ROLLUP drilldown, set operations,
+semi/anti joins, exact percentiles, as-of joins, and range joins.
+
+Every query carries a bit-exact DuckDB oracle; determinism comes from
+total-order tie-breaks on every window and exact-decimal accumulation for
+every double aggregate (see functions.columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import avg_exact, sum_exact
+from .operators.analytic import (
+    as_of_join,
+    event_deltas,
+    nearest_rank_percentiles,
+    range_join_count,
+    rolling_frame_avg,
+    session_stats,
+)
+from .registry import _avg_exact_sql, _sum_exact_sql, register
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# W1 — lag/lead event deltas (analytic window functions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_event_deltas",
+    """
+SELECT user_id, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS event_unix,
+       CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS prev_unix,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s,
+       lead(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    ("W*",),
+    "lag/lead over per-user event timelines: previous-event gap and next "
+    "event id. One shuffle on user_id, per-partition sort, total-order "
+    "tie-break (ts, event_id).",
+)
+def w1_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_deltas(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# W2 — gap-based sessionization (lag + running sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w2_session_stats",
+    f"""
+WITH marked AS (
+  SELECT user_id, event_id, value, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS unix_ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, unix_ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       min(unix_ts) AS session_start_unix,
+       max(unix_ts) AS session_end_unix,
+       max(unix_ts) - min(unix_ts) AS duration_s,
+       count(*) AS n_events,
+       {_sum_exact_sql('value')} AS total_value
+FROM sessions GROUP BY user_id, session_id
+""",
+    ("W*", "A1"),
+    "Gap-based sessionization (30-min inactivity): lag + running-sum "
+    "session ids, then per-session bounds/count/exact value sum. The two "
+    "windows share partitioning+ordering, so Catalyst plans one exchange.",
+)
+def w2_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+# ---------------------------------------------------------------------------
+# W3 — trailing 7-row rolling average over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w3_rolling_revenue",
+    """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS day,
+         sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
+           AS rev_dec
+  FROM lineitem GROUP BY 1
+)
+SELECT day,
+       ((rev_dec::VARCHAR)::DOUBLE) AS revenue,
+       (((sum(rev_dec) OVER w)::VARCHAR)::DOUBLE / count(*) OVER w)
+         AS rolling7_avg
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    ("W*", "A5"),
+    "Trailing-7-day mean of daily revenue: aggregate first (fact scan -> "
+    "~2.5k rows), then an ordered rolling frame in exact decimal. The "
+    "global window runs over the tiny aggregated series, never the fact.",
+)
+def w3_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    daily = l.groupBy(F.date_trunc("day", F.col("l_shipdate")).alias("day")).agg(
+        F.sum(rev.cast("decimal(28,10)")).alias("rev_dec")
+    )
+    rolled = rolling_frame_avg(
+        daily, "day", "rev_dec", preceding=6, out_col="rolling7_avg"
+    )
+    return rolled.select(
+        "day",
+        F.col("rev_dec").cast("string").cast("double").alias("revenue"),
+        "rolling7_avg",
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1 — ROLLUP drilldown (grouping sets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g1_priority_rollup",
+    f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(oyear, -1) AS oyear,
+       count(*) AS n_orders,
+       {_sum_exact_sql('o_totalprice')} AS total_price
+FROM (SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS oyear,
+             o_totalprice
+      FROM orders)
+GROUP BY ROLLUP (o_orderpriority, oyear)
+""",
+    ("P11", "A5"),
+    "ROLLUP over (priority, year): the serving drilldown (P11) as grouping "
+    "sets — every grain computed in one pass with partial aggregation, "
+    "instead of one query per drilldown level.",
+)
+def g1_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("long").alias("oyear"),
+        "o_totalprice",
+    )
+    return (
+        o.rollup("o_orderpriority", "oyear")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_exact("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("oyear"), F.lit(-1)).alias("oyear"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1 — set operations (INTERSECT / EXCEPT / UNION)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_nation_set_ops",
+    """
+SELECT 'both' AS membership, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'customer_only', nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'supplier_only', nationkey FROM (
+  SELECT s_nationkey AS nationkey FROM supplier
+  EXCEPT SELECT c_nationkey FROM customer)
+""",
+    ("SET*",),
+    "INTERSECT / EXCEPT / UNION ALL over customer vs supplier nation keys "
+    "— the relational set algebra the reference lacks, one tagged result.",
+)
+def s1_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+
+    def tag(df: DataFrame, label: str) -> DataFrame:
+        return df.select(F.lit(label).alias("membership"), "nationkey")
+
+    return (
+        tag(c.intersect(s), "both")
+        .unionAll(tag(c.subtract(s), "customer_only"))
+        .unionAll(tag(s.subtract(c), "supplier_only"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — semi / anti join cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j2_customer_order_cohorts",
+    f"""
+SELECT 'with_orders' AS cohort, count(*) AS n_customers,
+       {_avg_exact_sql('c_acctbal')} AS avg_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders', count(*), {_avg_exact_sql('c_acctbal')}
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    ("J*",),
+    "LEFT SEMI / LEFT ANTI join cohorts (EXISTS / NOT EXISTS): customers "
+    "with vs without orders. The semi join never materializes order "
+    "columns — only the key reaches the join.",
+)
+def j2_customer_order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cond = c.c_custkey == o.o_custkey
+
+    def cohort(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            avg_exact("c_acctbal").alias("avg_acctbal"),
+        ).select(F.lit(label).alias("cohort"), "n_customers", "avg_acctbal")
+
+    return cohort(c.join(o, cond, "left_semi"), "with_orders").unionAll(
+        cohort(c.join(o, cond, "left_anti"), "without_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — exact nearest-rank percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a9_order_percentiles",
+    """
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                THEN o_totalprice END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                THEN o_totalprice END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                THEN o_totalprice END) AS p99,
+       max(n) AS n_rows
+FROM ranked GROUP BY o_orderstatus
+""",
+    ("A*",),
+    "Exact nearest-rank p50/p90/p99 of order value per status: the value "
+    "at row ceil(p*n) — an actual data point, bit-exact in every engine "
+    "(interpolated percentile_cont is not).",
+)
+def a9_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nearest_rank_percentiles(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus"],
+        "o_totalprice",
+        "o_orderkey",
+        (0.5, 0.9, 0.99),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1 — as-of join (point-in-time enrichment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t1_asof_latest_order",
+    """
+WITH ocompact AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS event_unix,
+       o.o_orderkey AS last_orderkey,
+       o.o_totalprice AS last_totalprice
+FROM events e
+ASOF LEFT JOIN ocompact o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+    ("T*", "J*"),
+    "As-of join: each event picks up the user's most recent order at-or-"
+    "before the event time. Spark has no builtin; implemented as the "
+    "union-tag + last(ignorenulls) carry-forward — one shuffle, one sort, "
+    "never the O(events x orders) range product. Right side pre-compacted "
+    "to one row per (custkey, orderdate) for determinism.",
+)
+def t1_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    # Deterministic compaction: per (custkey, orderdate) keep the max-
+    # orderkey row (struct max orders by the first field; orderkey unique).
+    ocompact = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max(F.struct("o_orderkey", "o_totalprice")).alias("s"))
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.col("s.o_orderkey").alias("last_orderkey"),
+            F.col("s.o_totalprice").alias("last_totalprice"),
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = as_of_join(
+        e,
+        ocompact,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        carry_cols=["last_orderkey", "last_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("event_unix"),
+        "last_orderkey",
+        "last_totalprice",
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 — range join (equality key + time band)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t2_shipments_within_30d",
+    """
+SELECT o.o_orderkey,
+       count(l.l_orderkey) AS n_shipped_30d
+FROM orders o
+LEFT JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+GROUP BY o.o_orderkey
+""",
+    ("T*", "J*"),
+    "Range join with an equality key: per order, lineitems shipped within "
+    "30 days. The orderkey equality keeps this a shuffled hash join with "
+    "the time band as a residual filter — .explain must show no "
+    "BroadcastNestedLoopJoin.",
+)
+def t2_shipments_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = range_join_count(
+        o,
+        l,
+        key_left="o_orderkey",
+        key_right="l_orderkey",
+        ts_left_lo=F.col("o_orderdate"),
+        ts_left_hi=F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+        ts_right="l_shipdate",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("l_orderkey").alias("n_shipped_30d")
+    )

@@ -120,6 +120,7 @@ def _ensure_all_registered() -> None:
         return
     from . import queries_serving  # noqa: F401
     from . import queries_relational  # noqa: F401
+    from . import queries_analytic  # noqa: F401
     from . import queries_text  # noqa: F401
     from . import queries_similarity  # noqa: F401
     from . import queries_streaming  # noqa: F401
