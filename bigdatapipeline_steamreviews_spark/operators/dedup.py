@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import word_shingles
+from .partitioning import ensure_min_parallelism
 
 __all__ = [
     "exact_dedup",
@@ -60,7 +61,10 @@ def shingle_table(
     distinct shingle per document.  ``max_doc_freq`` prunes shingles that
     appear in more than that many documents (skew/hot-key control).
     """
-    s = df.select(
+    # Shingling expands rows ~(tokens-n+1)x; guarantee the explode and the
+    # joins behind it run wide even when the scan yields few partitions
+    # (broadcast joins add no exchange, so nothing downstream re-partitions).
+    s = ensure_min_parallelism(df, id_col).select(
         F.col(id_col).alias("sid"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
     )
@@ -189,7 +193,7 @@ def simhash_signatures(
     in few tokens, so their signatures differ in few bits.  Uses pure
     arithmetic (div/mod) for bit extraction — portable across engines.
     """
-    toks = df.select(
+    toks = ensure_min_parallelism(df, id_col).select(
         F.col(id_col).alias("sid"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )

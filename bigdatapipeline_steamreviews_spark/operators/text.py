@@ -17,8 +17,10 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .partitioning import ensure_min_parallelism
 
 __all__ = [
     "tokens",
@@ -26,6 +28,8 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "tfidf_top_terms",
+    "vocab_stats",
     "LANG_PROFILES",
 ]
 
@@ -126,6 +130,72 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
     )
     return out.withColumn("quality_score", score)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by a tf-idf-style score.
+
+    score = tf * N / df — the classic shape with the log dropped: rational
+    arithmetic over exact integers (one double division at the end), so the
+    score is bit-identical in every engine, and the ranking it induces per
+    document matches log-idf's for fixed N.  Ties break on the token string.
+
+    Dataflow: explode -> (doc, token) count [shuffle 1, partial-agg] ->
+    doc-frequency join on token [shuffle 2] -> per-doc top-k window
+    [shuffle 3, on doc id].  At corpus scale the doc-frequency table is
+    vocabulary-sized (≪ corpus); AQE picks a broadcast when it fits.
+    """
+    tok = ensure_min_parallelism(df, id_col).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: per-token total occurrences + document frequency,
+    top-k by (count desc, token).  The global ranking window runs over the
+    aggregated vocabulary (distinct tokens, ≪ corpus rows) — the corpus
+    itself is only touched by the partial-aggregatable groupBy.
+    """
+    tok = ensure_min_parallelism(df, id_col).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct(F.col("doc_id")).alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_total"), F.asc("token"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("token", "n_total", "n_docs", "rank")
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", shingle_len: int = 5) -> DataFrame:

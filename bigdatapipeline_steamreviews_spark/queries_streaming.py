@@ -46,7 +46,12 @@ def _run_stream(
     stream = events_file_stream(spark, stage, max_files_per_trigger=1)
     result = streaming_daily_summary(stream, watermark=watermark)
     checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
-    return run_to_memory_table(result, name, checkpoint, output_mode)
+    # State cardinality is tiny (days x event types), so 8 state partitions
+    # ample; the session's batch default would pay 4x the state-task
+    # overhead per micro-batch (see run_to_memory_table docstring).
+    return run_to_memory_table(
+        result, name, checkpoint, output_mode, shuffle_partitions=8
+    )
 
 
 @register(

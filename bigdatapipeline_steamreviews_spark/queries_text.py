@@ -15,7 +15,14 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from .operators.text import fingerprint, language_id, quality_score, token_stats
+from .operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    tfidf_top_terms,
+    token_stats,
+    vocab_stats,
+)
 from .registry import register
 from .sources.tables import load_table
 
@@ -134,6 +141,54 @@ FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 )
 def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "doc_md5", "shingle_fp")
+
+
+@register(
+    "x4_tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+docfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, score, rank FROM (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score,
+         CAST(row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY CAST(t.tf * n.n_docs AS DOUBLE) / d.df DESC, t.token
+         ) AS INTEGER) AS rank
+  FROM tf t JOIN docfreq d USING (token) CROSS JOIN n
+) WHERE rank <= 3
+""",
+    ("X4",),
+    "Per-doc top-3 terms by tf-idf (log-free rational score: tf*N/df, "
+    "bit-exact and rank-equivalent to log idf for fixed N).",
+)
+def x4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(_docs(spark, sf_dir), top_k=3)
+
+
+@register(
+    "x4_vocab_stats",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, n_total, n_docs, rank FROM (
+  SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, token)
+              AS INTEGER) AS rank
+  FROM tok GROUP BY token
+) WHERE rank <= 100
+""",
+    ("X4",),
+    "Corpus vocabulary: top-100 tokens by total count with document "
+    "frequency; the ranking window only ever sees the aggregated vocab.",
+)
+def x4_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_stats(_docs(spark, sf_dir), top_k=100)
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,7 @@ def run_to_memory_table(
     query_name: str,
     checkpoint_dir: str,
     output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming aggregate to completion (availableNow) into an
     in-memory table; returns the final table as a batch DataFrame.
@@ -123,15 +124,30 @@ def run_to_memory_table(
     ``stream_daily_summary`` query.  complete-mode output == the compacted
     final state (emission traces are trigger-timing-dependent and never
     asserted; SURVEY.md §5.2).
+
+    ``shuffle_partitions`` sizes the state store: a streaming aggregation
+    runs one state task per shuffle partition EVERY micro-batch, and the
+    count is frozen into the checkpoint at first start.  Size it to state
+    volume (distinct group keys), not to the session's batch default — a
+    small-cardinality aggregate at 32 partitions pays 32 state tasks per
+    trigger for nothing.  Applied around start() and restored after, since
+    it is read from session conf at query start.
     """
     spark = result.sparkSession
-    query = (
-        result.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        query = (
+            result.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(query_name)
