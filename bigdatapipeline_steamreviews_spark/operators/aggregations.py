@@ -29,6 +29,7 @@ from ..schemas import EVENT_PROPS_SCHEMA
 __all__ = [
     "daily_summary",
     "review_daily_summary",
+    "segment_daily_summary",
     "monthly_rollup",
     "global_rollup",
     "AGG_DISPATCH_PREFIXES",
@@ -130,6 +131,38 @@ def review_daily_summary(reviews: DataFrame, window_duration: str = "1 day") -> 
         "T_recommendations",
         "T_pos_reviews",
         "T_neg_reviews",
+    )
+
+
+def segment_daily_summary(
+    events: DataFrame, customer_dim: DataFrame, window_duration: str = "1 day"
+) -> DataFrame:
+    """Stream-static enrichment (SURVEY.md §2.5's natural extension): join
+    the event stream to a static customer dimension, then the tumbling-
+    window aggregate per (day, market segment).
+
+    One transformation, two runtimes: on a batch frame it is a broadcast
+    join + hash aggregate; on a streaming frame Structured Streaming plans
+    the same broadcast join per micro-batch (the static side is read once
+    and reused) feeding the stateful windowed aggregate.  The explicit
+    ``broadcast`` keeps the unbounded side shuffle-free — the only exchange
+    is the aggregate's own (window, segment) hash partitioning.
+    """
+    from ..functions import sum_exact
+
+    dim = customer_dim.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    enriched = events.join(F.broadcast(dim), "user_id", "left")
+    agg = enriched.groupBy(
+        F.window(F.col("ts"), window_duration).alias("window"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        sum_exact("value").alias("total_value"),
+    )
+    return agg.select(
+        "segment", F.col("window.end").alias("time"), "n_events", "total_value"
     )
 
 

@@ -23,6 +23,7 @@ from .operators.analytic import (
     rolling_frame_avg,
     session_stats,
 )
+from .operators.partitioning import salted_join
 from .registry import _avg_exact_sql, _sum_exact_sql, register
 from .sources.tables import load_table
 
@@ -256,6 +257,39 @@ def j2_customer_order_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cohort(c.join(o, cond, "left_semi"), "with_orders").unionAll(
         cohort(c.join(o, cond, "left_anti"), "without_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — salted skew join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j3_salted_segment_stats",
+    f"""
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       {_sum_exact_sql('e.value')} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+    ("J*",),
+    "Skew-safe salted join: the hot-keyed event side routes by (key, "
+    "salt), the dimension side replicates once per salt, so each hot "
+    "key's volume spreads over n_salts reducers. Result is identical to "
+    "the plain join (salting is pure routing) — which is exactly what "
+    "the oracle checks.",
+)
+def j3_salted_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, c, "user_id", n_salts=8)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        sum_exact("value").alias("total_value"),
     )
 
 

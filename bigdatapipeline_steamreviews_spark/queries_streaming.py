@@ -13,7 +13,10 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .registry import FLAGSHIP_ORACLE, register
+from .operators.aggregations import segment_daily_summary
+from .registry import _sum_exact_sql, FLAGSHIP_ORACLE, register
+from .sources.tables import load_table
+from .streaming.sessions import streaming_sessionize
 from .streaming.summarizer import (
     events_file_stream,
     run_to_memory_table,
@@ -78,3 +81,57 @@ def stream_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_daily_summary_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, sf_dir, watermark="1 day", output_mode="append")
+
+
+@register(
+    "stream_sessionization",
+    None,  # custom stateful op: closed-session emission isn't SQL-expressible
+    ("W*", "T3", "X*"),
+    "Custom stateful streaming operator (applyInPandasWithState): gap-"
+    "based session windows with per-key fixed-width state and event-time "
+    "timeouts, emitting each session once when it closes. Sessions still "
+    "open when the replay drains are withheld, as on a live stream; "
+    "closed-session parity with batch sessionize is asserted in "
+    "tests/test_streaming_sessions.py.",
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_sessions_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=1)
+    result = streaming_sessionize(stream, gap_seconds=1800, watermark="30 minutes")
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        result, name, checkpoint, "append", shuffle_partitions=8
+    )
+
+
+@register(
+    "stream_enriched_summary",
+    f"""
+SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS time,
+       count(*) AS n_events,
+       {_sum_exact_sql('value')} AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    ("J*", "A1", "T1", "S3"),
+    "Stream-static enrichment: the event stream broadcast-joined to the "
+    "static customer dimension per micro-batch, then the windowed per-"
+    "segment aggregate. Final compacted state must equal the batch "
+    "join+groupBy (same no-watermark equivalence as the flagship).",
+)
+def stream_enriched_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_enriched_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=1)
+    dim = load_table(spark, sf_dir, "customer")
+    result = segment_daily_summary(stream, dim)
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        result, name, checkpoint, "complete", shuffle_partitions=8
+    )

@@ -111,6 +111,23 @@ def test_nearest_rank_percentiles_small(spark):
     assert (row.p50, row.p90, row.n_rows) == (5.0, 9.0, 10)
 
 
+def test_salted_join_shuffles_not_broadcasts(spark):
+    from bigdatapipeline_steamreviews_spark.operators.partitioning import salted_join
+
+    left = spark.range(100).withColumnRenamed("id", "k")
+    right = spark.range(10).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2
+    )
+    out = salted_join(left, right, "k", n_salts=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The whole point: hot keys spread over (key, salt) shuffle buckets —
+    # a broadcast would erase the shuffle the salt is spreading.
+    assert "BroadcastHashJoin" not in plan
+    assert "__salt" not in out.columns
+    # Routing never changes results.
+    assert out.count() == 10
+
+
 def test_sessionize_single_exchange(spark):
     df = spark.createDataFrame(
         [(1, 1, _ts("2024-01-01 10:00:00"))], "user_id long, event_id long, ts timestamp"

@@ -48,7 +48,9 @@ def test_flagship_stays_in_codegen(spark):
 def test_every_query_has_oracle_or_reason(spark):
     from bigdatapipeline_steamreviews_spark import REGISTRY, oracle_sql
 
-    missing = [n for n, s in REGISTRY.items() if s.oracle is None]
-    # Only the watermarked streaming variant is rows-only by design.
-    assert missing == ["stream_daily_summary_watermarked"]
-    assert set(oracle_sql()) == set(REGISTRY) - set(missing)
+    missing = {n for n, s in REGISTRY.items() if s.oracle is None}
+    # Rows-only by design: the watermarked streaming variant (closed-window
+    # subset isn't cleanly SQL) and the custom stateful sessionization
+    # (parity asserted against batch sessionize in pytest instead).
+    assert missing == {"stream_daily_summary_watermarked", "stream_sessionization"}
+    assert set(oracle_sql()) == set(REGISTRY) - missing
