@@ -25,11 +25,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES = [
     "flagship_daily_summary",      # A1-A4 windowed aggregate
     "stream_daily_summary",        # the same, as a live streaming replay
+    "stream_sessionization",       # applyInPandasWithState session windows
     "serving_upsert_compaction",   # A7 keyed compaction (window function)
     "serving_monthly_rollup",      # A5 re-aggregation rollup
     "q1_pricing_summary",          # fact-scan aggregate (decimal-exact sums)
     "q3_top_revenue_orders",       # fact-fact join + top-N
     "j1_region_enrichment",        # broadcast star join
+    "j3_salted_segment_stats",     # salted skew join
+    "w2_session_stats",            # sessionization (window functions)
+    "t1_asof_latest_order",        # as-of join (union-tag)
     "x1_exact_dedup",              # digest groupBy dedup
     "x2_ngram_jaccard",            # set-similarity self-join
     "x2_minhash_lsh",              # MinHash+LSH banding
@@ -37,6 +41,7 @@ BENCH_QUERIES = [
     "x3_cosine_topk",              # brute-force ANN baseline
     "x3_cosine_topk_bucketed",     # IVF-style ANN scale path
     "x4_quality_score",            # text quality scoring
+    "x4_tfidf_top_terms",          # tf-idf (explode + join + window)
     "x5_feature_extract",          # Arrow/pandas multimodal path
 ]
 

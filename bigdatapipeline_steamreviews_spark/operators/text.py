@@ -30,7 +30,9 @@ __all__ = [
     "fingerprint",
     "tfidf_top_terms",
     "vocab_stats",
+    "lexicon_sentiment",
     "LANG_PROFILES",
+    "DEFAULT_LEXICON",
 ]
 
 
@@ -195,6 +197,48 @@ def vocab_stats(
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("token", "n_total", "n_docs", "rank")
+    )
+
+
+# Tiny signed lexicon for sentiment scoring; real deployments broadcast a
+# table of thousands of terms — the dataflow (broadcast join) is identical.
+DEFAULT_LEXICON: dict[str, float] = {
+    "fast": 1.0,
+    "big": 0.5,
+    "small": -0.5,
+    "slow": -1.0,
+}
+
+
+def lexicon_sentiment(
+    df: DataFrame,
+    lexicon: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexicon-based sentiment: mean signed weight over all tokens.
+
+    The engine-side realization of the reference's precomputed ``sentiment``
+    column (``/root/reference/summarizer.py:47`` — arrives scored in the
+    CSV): explode tokens, broadcast-join the weight lexicon (the lexicon is
+    dictionary-sized, so the corpus side never shuffles for the join), and
+    aggregate per document: hit count + sum(weight)/n_tokens in exact
+    decimal.  Unmatched tokens contribute 0 (left join + coalesce).
+    """
+    lex_rows = sorted((lexicon or DEFAULT_LEXICON).items())
+    lex = df.sparkSession.createDataFrame(lex_rows, "token string, weight double")
+    tok = ensure_min_parallelism(df, id_col).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    scored = tok.join(F.broadcast(lex), "token", "left")
+    w = F.coalesce(F.col("weight"), F.lit(0.0))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.col("weight")).alias("n_hits"),
+        (
+            F.sum(w.cast("decimal(28,10)")).cast("string").cast("double")
+            / F.count(F.lit(1))
+        ).alias("lexicon_sentiment"),
     )
 
 

@@ -18,6 +18,7 @@ from .operators.dedup import (
 from .operators.text import (
     fingerprint,
     language_id,
+    lexicon_sentiment,
     quality_score,
     tfidf_top_terms,
     token_stats,
@@ -141,6 +142,32 @@ FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 )
 def x4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "doc_md5", "shingle_fp")
+
+
+@register(
+    "x4_lexicon_sentiment",
+    """
+WITH lex(token, weight) AS (
+  VALUES ('big', 0.5), ('fast', 1.0), ('slow', -1.0), ('small', -0.5)
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       count(l.weight) AS n_hits,
+       ((sum(CAST(coalesce(l.weight, 0.0) AS DECIMAL(28,10)))::VARCHAR)::DOUBLE)
+         / count(*) AS lexicon_sentiment
+FROM tok t LEFT JOIN lex l USING (token)
+GROUP BY t.doc_id
+""",
+    ("X4", "J*"),
+    "Lexicon sentiment via broadcast join of a signed term-weight table — "
+    "the engine-side form of the reference's precomputed sentiment column "
+    "(summarizer.py:47).",
+)
+def x4_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lexicon_sentiment(_docs(spark, sf_dir))
 
 
 @register(

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -68,6 +69,22 @@ def streaming_sessionize(
     at least the expected disorder and is naturally ~= the session gap.
     """
 
+    def sessions_df(
+        user_id: int, starts: list, lasts: list, ns: list, tots: list
+    ) -> pd.DataFrame:
+        starts_a = np.asarray(starts, dtype="int64")
+        lasts_a = np.asarray(lasts, dtype="int64")
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(starts_a), user_id, dtype="int64"),
+                "session_start_unix": starts_a,
+                "session_end_unix": lasts_a,
+                "duration_s": lasts_a - starts_a,
+                "n_events": np.asarray(ns, dtype="int64"),
+                "total_value": np.asarray(tots, dtype="float64"),
+            }
+        )
+
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -75,28 +92,16 @@ def streaming_sessionize(
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
 
-        def closed(start: int, last: int, n: int, tot: float) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start_unix": [start],
-                    "session_end_unix": [last],
-                    "duration_s": [last - start],
-                    "n_events": [n],
-                    "total_value": [tot],
-                }
-            )
-
         if state.hasTimedOut:
             start, last, n, tot = state.get
             state.remove()
-            yield closed(start, last, n, tot)
+            yield sessions_df(user_id, [start], [last], [n], [tot])
             return
 
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         if rows.empty:
             if state.exists:
-                start, last, n, tot = state.get
+                _, last, _, _ = state.get
                 wm0 = state.getCurrentWatermarkMs()
                 state.setTimeoutTimestamp(
                     max((last + gap_seconds) * 1000 + 1, wm0 + 1)
@@ -106,54 +111,62 @@ def streaming_sessionize(
         unix = (
             rows["ts"].astype("datetime64[ns]").astype("int64") // 10**9
         ).to_numpy()
-        vals = rows["value"].fillna(0.0).to_numpy()
+        vals = rows["value"].fillna(0.0).to_numpy(dtype="float64")
 
         # Seed from the open session in state, if any.
         has_open = state.exists
         if has_open:
             start, last, n, tot = state.get
         else:
-            start, last, n, tot = 0, None, 0, 0.0
+            start, last, n, tot = 0, 0, 0, 0.0
 
-        # Vectorized split: a new session starts where the gap from the
-        # previous event (or from the carried-over state) exceeds the gap.
-        prev = pd.Series(unix).shift(1)
+        # Vectorized run split: a session boundary sits wherever the gap
+        # from the previous event (or from the carried-over open session)
+        # exceeds gap_seconds.  All O(n) numpy, no per-row Python.
+        is_new = np.empty(len(unix), dtype=bool)
+        is_new[1:] = (unix[1:] - unix[:-1]) > gap_seconds
+        is_new[0] = (not has_open) or (unix[0] - last > gap_seconds)
+
+        run_starts = np.flatnonzero(is_new)
+        if run_starts.size == 0 or run_starts[0] != 0:
+            run_starts = np.insert(run_starts, 0, 0)  # continuation run
+        run_last = np.append(run_starts[1:] - 1, len(unix) - 1)
+        r_start = unix[run_starts].astype("int64")
+        r_end = unix[run_last].astype("int64")
+        r_cnt = np.diff(np.append(run_starts, len(unix))).astype("int64")
+        r_sum = np.add.reduceat(vals, run_starts)
+
+        c_starts: list = []
+        c_lasts: list = []
+        c_ns: list = []
+        c_tots: list = []
         if has_open:
-            prev.iloc[0] = last
-        is_new = (prev.isna() | ((unix - prev) > gap_seconds)).to_numpy()
-
-        out = []
-        if has_open and is_new[0]:
-            # The batch's first event doesn't extend the open session.
-            out.append(closed(start, last, n, tot))
-            has_open = False
-
-        sess_ids = is_new.cumsum()  # 1-based run ids within this batch
-        n_runs = int(sess_ids[-1])
-        for sid in range(1, n_runs + 1):
-            m = sess_ids == sid
-            s_unix, s_vals = unix[m], vals[m]
-            if sid == 1 and has_open:
-                # First run continues the open session from state.
-                last = int(s_unix[-1])
-                n += int(m.sum())
-                tot += float(s_vals.sum())
+            if is_new[0]:
+                # The batch's first event doesn't extend the open session.
+                c_starts.append(start); c_lasts.append(last)
+                c_ns.append(n); c_tots.append(tot)
             else:
-                start, last = int(s_unix[0]), int(s_unix[-1])
-                n, tot = int(m.sum()), float(s_vals.sum())
-                has_open = True
-            if sid < n_runs:
-                # A later in-batch run exists -> this session is closed.
-                out.append(closed(start, last, n, tot))
-                has_open = False
+                # First run continues the open session from state.
+                r_start[0] = start
+                r_cnt[0] += n
+                r_sum[0] += tot
+
+        # Every run but the last is closed by the run after it.
+        if len(run_starts) > 1:
+            c_starts.extend(r_start[:-1].tolist())
+            c_lasts.extend(r_end[:-1].tolist())
+            c_ns.extend(r_cnt[:-1].tolist())
+            c_tots.extend(r_sum[:-1].tolist())
 
         # The final run stays open in state, flushed by event-time timeout
         # when the watermark passes last + gap.
+        start, last = int(r_start[-1]), int(r_end[-1])
+        n, tot = int(r_cnt[-1]), float(r_sum[-1])
         state.update((start, last, n, tot))
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max((last + gap_seconds) * 1000 + 1, wm + 1))
-        for o in out:
-            yield o
+        if c_starts:
+            yield sessions_df(user_id, c_starts, c_lasts, c_ns, c_tots)
 
     marked = events.withWatermark("ts", watermark)
     return marked.groupBy("user_id").applyInPandasWithState(
