@@ -33,6 +33,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash_signatures",
+    "connected_components",
 ]
 
 
@@ -173,6 +174,70 @@ def lsh_candidate_pairs(
         .select(F.col("a.bid").alias("a_id"), F.col("b.bid").alias("b_id"))
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup-cluster formation: connected components over candidate pairs,
+    labelling every node with the minimum id in its component.
+
+    This is the step after any near-dup pair generator (LSH, Jaccard,
+    embedding buckets): pairs only say "a ~ b"; keeping one survivor per
+    *transitive* duplicate group needs components.  Iterative min-label
+    propagation: every node starts as its own label, then repeatedly takes
+    the min of its neighbors' labels until a fixpoint — converges in
+    O(component diameter) rounds, and near-dup components are shallow
+    (stars and short chains), so 3-5 rounds is typical.  The classic
+    alternating large-star/small-star optimization (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") halves round count at
+    extreme diameters; plain propagation keeps the plan to one join + one
+    aggregate per round.
+
+    Scale notes: each round is one shuffle join (edges x labels on node
+    id) + one min-aggregate; ``localCheckpoint`` truncates the growing
+    lineage each round so plan compilation stays O(1) per round.  The
+    convergence test is a driver-side count of changed labels — one tiny
+    action per round, the standard pattern for iterative dataflow (GraphX
+    does the same under the hood).
+    """
+    # Undirected edge list, both directions.
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.unionAll(rev).distinct().localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+                (F.col("nbr_lbl") < F.col("lbl")).alias("changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
 def _hex_digit(h: Column, pos: int) -> Column:

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.dedup import (
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -293,6 +294,49 @@ JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(_docs(spark, sf_dir), k=8)
     return lsh_candidate_pairs(sigs, k=8, bands=4)
+
+
+@register(
+    "x2_dedup_clusters",
+    f"""
+WITH RECURSIVE {_SHINGLES3_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+""",
+    ("X2",),
+    "Dedup-cluster formation: connected components over the MinHash-LSH "
+    "candidate pairs (iterative min-label propagation in Spark; the "
+    "transitive-closure recursive CTE in the oracle). cluster_id = min "
+    "doc id in the component — the survivor each duplicate group keeps.",
+)
+def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs(spark, sf_dir), k=8)
+    pairs = lsh_candidate_pairs(sigs, k=8, bands=4)
+    return connected_components(pairs)
 
 
 def _simhash_sql(bits: int = 16) -> str:

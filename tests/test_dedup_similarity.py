@@ -87,3 +87,18 @@ def test_sign_bucket_bits(spark):
     df = _embs(spark).select("vec_id", sign_bucket(F.col("embedding"), 2).alias("b"))
     got = {r.vec_id: r.b for r in df.collect()}
     assert got[0] == 1 and got[1] == 1 and got[2] == 2 and got[3] == 0
+
+
+def test_connected_components_chain_and_star(spark):
+    from bigdatapipeline_steamreviews_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3 (transitive: 3 never pairs with 1 directly), star 10<-{11,12},
+        # isolated pair (20, 21)
+        [(2, 1), (2, 3), (10, 11), (10, 12), (20, 21)],
+        "a_id long, b_id long",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
