@@ -24,7 +24,7 @@ from .operators.analytic import (
     session_stats,
 )
 from .operators.partitioning import salted_join
-from .registry import _avg_exact_sql, _sum_exact_sql, register
+from .registry import _avg_exact_sql, _count_if_sql, _sum_exact_sql, register
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -177,6 +177,47 @@ def g1_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "total_price",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2 — pivot (long -> wide reporting table)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_ALIASES = ["p_urgent", "p_high", "p_medium", "p_not_specified", "p_low"]
+
+
+@register(
+    "g2_priority_pivot",
+    f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS oyear,
+       {', '.join(
+           _count_if_sql(f"o_orderpriority = '{v}'") + f' AS {a}'
+           for v, a in zip(_PRIORITIES, _PIVOT_ALIASES)
+       )}
+FROM orders GROUP BY 1
+""",
+    ("A*", "P14"),
+    "Pivot: order counts per year spread across one column per priority "
+    "(long->wide). The pivot values are declared, so Spark skips the "
+    "extra distinct-values pass and plans a single aggregate.",
+)
+def g2_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("oyear"), "o_orderpriority"
+    )
+    wide = (
+        o.groupBy("oyear")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "oyear",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a)
+            for v, a in zip(_PRIORITIES, _PIVOT_ALIASES)
+        ],
     )
 
 

@@ -108,6 +108,73 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_click_purchase",
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_unix,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_unix
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+""",
+    ("J*", "T3", "S3"),
+    "Stream-stream interval join: purchases attributed to same-user "
+    "clicks within the preceding hour. Both sides are watermarked streams;"
+    " the time band bounds each side's state. The replay is in event-time "
+    "order and the watermark (1 day) dominates the interval (1 h), so no "
+    "match is ever evicted early — the appended output equals the batch "
+    "interval join, which is exactly what the oracle checks.",
+)
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_ss_join_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+
+    from pyspark.sql import functions as F
+
+    clicks = (
+        events_file_stream(spark, stage, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        events_file_stream(spark, stage, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_unix"),
+        F.unix_timestamp("purchase_ts").alias("purchase_unix"),
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        joined, name, checkpoint, "append", shuffle_partitions=8
+    )
+
+
+@register(
     "stream_enriched_summary",
     f"""
 SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
