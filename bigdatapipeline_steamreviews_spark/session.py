@@ -24,7 +24,24 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+__all__ = ["get_spark", "ensure_parity_conf", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+
+def ensure_parity_conf(spark: SparkSession) -> SparkSession:
+    """Set the two runtime confs correctness depends on, idempotently.
+
+    Query functions are handed arbitrary sessions (the driver harness
+    builds a bare one), so every table load routes through this instead of
+    assuming our tuned factory:
+
+    * ``nanosAsLong`` — the events table is parquet TIMESTAMP(NANOS),
+      which Spark otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
+    * ``UTC session timezone`` — event-time windows and date_trunc must
+      agree with the DuckDB oracle, which treats timestamps as naive.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 

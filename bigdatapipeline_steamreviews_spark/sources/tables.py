@@ -41,6 +41,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds here — the same truncation DuckDB applies — so both engines
     see identical timestamps.
     """
+    from ..session import ensure_parity_conf
+
+    ensure_parity_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

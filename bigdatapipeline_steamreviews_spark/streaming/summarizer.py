@@ -65,6 +65,9 @@ def stage_events_for_replay(
     """
     import time
 
+    from ..session import ensure_parity_conf
+
+    ensure_parity_conf(spark)
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays nanos-long
     qs = raw.approxQuantile("ts", [i / chunks for i in range(1, chunks)], 0.0)
     bounds = [float("-inf"), *qs, float("inf")]
@@ -86,6 +89,9 @@ def events_file_stream(
     asserting streaming semantics without a Kafka broker.  Schema is
     declared, never inferred (streaming sources require it anyway).
     """
+    from ..session import ensure_parity_conf
+
+    ensure_parity_conf(spark)
     reader = spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
