@@ -90,6 +90,37 @@ def x3_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bucketed(emb, F.col("vec_id") < 10, k=5, bits=4)
 
 
+_NORM_SQL = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+@register(
+    "x3_normalize_embeddings",
+    f"""
+SELECT vec_id,
+       {_NORM_SQL} AS l2_norm,
+       list_transform(embedding, x -> x::DOUBLE / {_NORM_SQL}) AS unit_vec
+FROM embeddings
+""",
+    ("X3",),
+    "Embedding preprocessing: L2 norm + unit-normalized vector per row "
+    "(pure array expressions — transform/aggregate — no UDF, no shuffle; "
+    "normalizing once at ingest makes cosine a plain dot product "
+    "downstream).",
+)
+def x3_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        norm.alias("l2_norm"),
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") / norm
+        ).alias("unit_vec"),
+    )
+
+
 @register(
     "x2_embedding_near_dup",
     f"""

@@ -128,6 +128,75 @@ def x4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared quality-score derivation (mirror of operators.text.quality_score);
+# used by both the scoring query and the percentile-filter query.
+_QUALITY_INNER_SQL = """
+q AS (
+  SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
+         0.4 * least(1.0, n_tokens / 100.0)
+       + 0.3 * (1.0 - abs(stopword_ratio - 0.4))
+       + 0.3 * (1.0 - punct_ratio) AS quality_score
+  FROM (
+    SELECT doc_id,
+           len(string_split(text,' '))::BIGINT AS n_tokens,
+           len(list_filter(string_split(text,' '),
+               t -> t IN ('the','a','of','and','to','is')))
+             / greatest(len(string_split(text,' ')), 1) AS stopword_ratio,
+           (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))
+             / greatest(length(text), 1) AS punct_ratio
+    FROM documents
+  )
+)
+"""
+
+
+@register(
+    "x4_quality_filter",
+    f"""
+WITH {_QUALITY_INNER_SQL},
+ranked AS (
+  SELECT quality_score,
+         row_number() OVER (ORDER BY quality_score, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM q
+)
+SELECT doc_id, n_tokens, quality_score
+FROM q
+WHERE quality_score >= (
+  SELECT max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+             THEN quality_score END)
+  FROM ranked
+)
+""",
+    ("X4", "A*"),
+    "Corpus quality filtering — the operator a training-data pipeline "
+    "actually runs: keep documents at or above the corpus's nearest-rank "
+    "p25 quality score. The threshold is one scalar (broadcast), so the "
+    "filter is a single scan pass; at 100 TB the percentile would come "
+    "from approx_percentile or a sampled rank, same dataflow.",
+)
+def x4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    w = Window.orderBy("quality_score", "doc_id")
+    ranked = scored.select(
+        "quality_score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    thr = ranked.filter(
+        F.col("rn") == F.ceil(F.lit(0.25) * F.col("n"))
+    ).select(F.col("quality_score").alias("thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("thr"))
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+
+
 @register(
     "x4_fingerprint",
     """

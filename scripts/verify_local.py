@@ -37,8 +37,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].dt.tz_localize(None) if getattr(df[c].dt, "tz", None) else df[c]
-        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, tuple)):
-            df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
+        if df[c].dtype == object and len(df):
+            import numpy as np
+
+            if isinstance(df[c].iloc[0], (list, tuple, np.ndarray)):
+                df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
