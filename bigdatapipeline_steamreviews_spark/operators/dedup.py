@@ -127,15 +127,32 @@ def minhash_signatures(
     Hash family: md5 of a per-function salt prepended to the shingle; the
     minimum md5 *hex string* is the minimum of the underlying 128-bit
     integer (fixed-width hex compares lexicographically = numerically), so
-    signatures are portable to any engine with md5.  One explode + one
-    groupBy with k min-aggregates — a single shuffle on the doc id.
+    signatures are portable to any engine with md5.
+
+    **Shuffle-free**: the whole signature is a per-row projection —
+    ``array_min(transform(shingles, md5))`` per hash function — instead of
+    the explode + groupBy(doc) formulation, which shuffles every
+    (doc, shingle) row just to bring them back together.  Per-row array
+    expressions compute the same mins with zero data movement; at 100 TB
+    that is the difference between a map-only stage and a corpus-sized
+    shuffle.  (`ensure_min_parallelism` still applies for the LSH join
+    that typically follows.)
     """
-    s = shingle_table(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+    c = F.col(text_col)
+    shingled = ensure_min_parallelism(df, id_col).select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(c, n)).alias("__sh"),
+    ).filter(F.size("__sh") > 0)  # <n-token docs have no signature (as before)
+    def salted_md5(i: int):
+        # NB: must be a one-arg lambda — a two-arg lambda makes F.transform
+        # pass the ARRAY INDEX as the second argument.
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    mins = [
+        F.array_min(F.transform(F.col("__sh"), salted_md5(i))).alias(f"h{i}")
         for i in range(k)
     ]
-    return s.groupBy(F.col("sid").alias(id_col)).agg(*aggs)
+    return shingled.select(F.col(id_col), *mins)
 
 
 def lsh_candidate_pairs(
@@ -257,20 +274,29 @@ def simhash_signatures(
     sets bit j iff the vote sum is positive.  Near-duplicate texts differ
     in few tokens, so their signatures differ in few bits.  Uses pure
     arithmetic (div/mod) for bit extraction — portable across engines.
+
+    **Shuffle-free**: token hashes are materialized once per row
+    (``transform(tokens, md5)``), then each bit's vote is a sequential
+    ``aggregate`` fold over that array — replacing the explode +
+    groupBy(doc) formulation that shuffled every (doc, token) row.
     """
-    toks = ensure_min_parallelism(df, id_col).select(
-        F.col(id_col).alias("sid"),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    hashed = ensure_min_parallelism(df, id_col).select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(F.split(F.col(text_col), " ")), F.md5
+        ).alias("__hs"),
     )
-    h = F.md5(F.col("tok"))
-    vote_cols = []
-    for j in range(bits):
-        digit = _hex_digit(h, 1 + j // 4)
-        bit = (digit / F.lit(2 ** (3 - j % 4))).cast("long") % 2
-        vote_cols.append(F.sum(bit * 2 - 1).alias(f"v{j}"))
-    votes = toks.groupBy("sid").agg(*vote_cols)
+
+    def vote(j: int) -> Column:
+        def bit_vote(acc: Column, h: Column) -> Column:
+            digit = _hex_digit(h, 1 + j // 4)
+            bit = (digit / F.lit(2 ** (3 - j % 4))).cast("long") % 2
+            return acc + (bit * 2 - 1)
+
+        return F.aggregate(F.col("__hs"), F.lit(0).cast("long"), bit_vote)
+
     sig = None
     for j in range(bits):
-        term = (F.col(f"v{j}") > 0).cast("long") * F.lit(2**j)
+        term = (vote(j) > 0).cast("long") * F.lit(2**j)
         sig = term if sig is None else sig + term
-    return votes.select(F.col("sid").alias(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
