@@ -50,11 +50,17 @@ def main() -> None:
     spark = get_spark("bench")
     regs = queries()
 
-    def run(name: str) -> float:
+    def run_once(name: str) -> float:
         t0 = time.time()
         df = regs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 3)
+        return time.time() - t0
+
+    def run(name: str) -> float:
+        # Best-of-2: the first run pays one-time costs (codegen cache,
+        # Python-worker spawn, replay staging) that are not the query's
+        # steady-state cost; the min is the stable, comparable number.
+        return round(min(run_once(name), run_once(name)), 3)
 
     # Warmup: spin up executors / codegen on a tiny query, untimed.
     regs["serving_distinct_types"](spark, SF_DIR).count()
