@@ -142,10 +142,13 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """Per-document top-k terms by a tf-idf-style score.
 
-    score = tf * N / df — the classic shape with the log dropped: rational
-    arithmetic over exact integers (one double division at the end), so the
-    score is bit-identical in every engine, and the ranking it induces per
-    document matches log-idf's for fixed N.  Ties break on the token string.
+    score = tf * N / df — the classic shape with the log dropped so the
+    arithmetic stays rational over exact integers (one double division at
+    the end) and the score is bit-identical in every engine.  Rankings can
+    differ from log-idf where tf and df trade off (log-idf zeroes
+    corpus-wide terms; N/df only down-weights them) — swap the score
+    expression for ``tf * log(N/df)`` when that behavior matters more than
+    cross-engine exactness.  Ties break on the token string.
 
     Dataflow: explode -> (doc, token) count [shuffle 1, partial-agg] ->
     doc-frequency join on token [shuffle 2] -> per-doc top-k window

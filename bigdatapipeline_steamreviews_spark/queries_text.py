@@ -260,8 +260,9 @@ SELECT doc_id, token, tf, df, score, rank FROM (
 ) WHERE rank <= 3
 """,
     ("X4",),
-    "Per-doc top-3 terms by tf-idf (log-free rational score: tf*N/df, "
-    "bit-exact and rank-equivalent to log idf for fixed N).",
+    "Per-doc top-3 terms by tf-idf (log-free rational score tf*N/df for "
+    "bit-exact cross-engine arithmetic; see operator docstring for the "
+    "log-idf trade-off).",
 )
 def x4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), top_k=3)
@@ -331,6 +332,40 @@ WHERE inter / (na.nsh + nb.nsh - inter) >= 0.5
 )
 def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.5)
+
+
+@register(
+    "x2_ngram_jaccard_pruned",
+    f"""
+WITH {_SHINGLES3_SQL},
+pruned AS (
+  SELECT s.doc_id, s.sh FROM shingles s
+  JOIN (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= 5) keep
+    USING (sh)
+),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM pruned GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       inter / (na.nsh + nb.nsh - inter) AS jaccard
+FROM inter
+JOIN sizes na ON a_id = na.doc_id
+JOIN sizes nb ON b_id = nb.doc_id
+WHERE inter / (na.nsh + nb.nsh - inter) >= 0.5
+""",
+    ("X2",),
+    "Document-frequency-pruned Jaccard join — the scale knob the exact "
+    "variant exposes: shingles seen in more than 5 documents are dropped "
+    "before the self-join, removing exactly the hot keys that dominate "
+    "the shuffle at corpus scale (standard df-pruning from the "
+    "set-similarity-join literature). Jaccard is then computed over the "
+    "pruned shingle sets on both engines identically.",
+)
+def x2_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.5, max_doc_freq=5)
 
 
 _MINHASH_MINS = ",\n         ".join(
