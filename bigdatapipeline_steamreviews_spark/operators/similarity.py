@@ -30,6 +30,7 @@ __all__ = [
     "sign_bucket",
     "cosine_topk",
     "cosine_topk_bucketed",
+    "cosine_topk_multiprobe",
     "embedding_near_dup_pairs",
 ]
 
@@ -117,6 +118,47 @@ def cosine_topk_bucketed(
         )
     )
     return _topk(pairs, k).select("query_id", "neighbor_id", "bucket", "cosine", "rank")
+
+
+def cosine_topk_multiprobe(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe bucketed top-k: each query searches its own bucket plus
+    every bucket at Hamming distance 1 (one sign bit flipped) — the
+    standard recall/cost lever for LSH-bucketed ANN (Lv et al.,
+    "Multi-Probe LSH").  A true neighbor lost to one borderline dimension
+    sign is recovered; candidates grow (1 + bits)x, still a 2^bits /
+    (1 + bits) reduction over brute force.  Each candidate lives in
+    exactly one bucket, so no probe produces duplicate pairs.
+    """
+    with_bucket = embeddings.withColumn("bucket", sign_bucket(F.col(vec_col), bits))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+    )
+    q = with_bucket.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probes).alias("bucket"),
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    return _topk(pairs, k).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 def embedding_near_dup_pairs(

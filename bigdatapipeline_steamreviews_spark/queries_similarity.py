@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from .operators.similarity import (
     cosine_topk,
     cosine_topk_bucketed,
+    cosine_topk_multiprobe,
     embedding_near_dup_pairs,
 )
 from .registry import register
@@ -88,6 +89,40 @@ SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
 def x3_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_bucketed(emb, F.col("vec_id") < 10, k=5, bits=4)
+
+
+@register(
+    "x3_cosine_topk_multiprobe",
+    f"""
+WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS b0
+       FROM e WHERE vec_id < 10),
+q AS (
+  SELECT query_id, qe,
+         unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+  FROM q0
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM e),
+pairs AS (
+  SELECT query_id, neighbor_id, qe, ce
+  FROM q JOIN c USING (bucket) WHERE neighbor_id != query_id
+),
+{_COS_TERMS.format(extra_cols="")}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+""",
+    ("X3",),
+    "Multi-probe bucketed top-5: each query also searches every bucket at "
+    "Hamming distance 1 from its own — recovers neighbors lost to one "
+    "borderline sign bit at (1+bits)x candidate cost, still far below "
+    "brute force.",
+)
+def x3_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_multiprobe(emb, F.col("vec_id") < 10, k=5, bits=4)
 
 
 _NORM_SQL = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"

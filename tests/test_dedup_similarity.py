@@ -102,3 +102,25 @@ def test_connected_components_chain_and_star(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_multiprobe_recovers_adjacent_buckets(spark):
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        cosine_topk_bucketed,
+        cosine_topk_multiprobe,
+    )
+
+    emb = _embs(spark)
+    single = {
+        r.neighbor_id
+        for r in cosine_topk_bucketed(emb, F.col("vec_id") == 0, k=3, bits=2).collect()
+    }
+    multi = {
+        r.neighbor_id
+        for r in cosine_topk_multiprobe(emb, F.col("vec_id") == 0, k=3, bits=2).collect()
+    }
+    # Bucket of query 0 (=1) holds only {0, 1}; probing the Hamming-1
+    # buckets {0, 3} also reaches vec 3 (bucket 0). Vec 2 sits at
+    # Hamming distance 2 (bucket 2) and stays correctly unprobed.
+    assert single == {1}
+    assert multi == {1, 3}
