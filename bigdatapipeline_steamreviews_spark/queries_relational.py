@@ -75,6 +75,34 @@ def p03_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P15 — deterministic (hash-based) sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p15_deterministic_sample",
+    """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+""",
+    ("P*",),
+    "Reproducible ~10% sample by content hash: md5(id) mod 100 — the "
+    "sampling a training pipeline can re-run months later on any engine "
+    "and get the SAME rows (rand()-based TABLESAMPLE cannot, and RNGs "
+    "differ across engines). Pure projection + filter, no shuffle; the "
+    "predicate composes with partition pruning.",
+)
+def p15_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return e.filter(bucket < 10).select("event_id", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
 # Pricing summary — the canonical scan->filter->agg shape at fact scale
 # ---------------------------------------------------------------------------
 

@@ -39,6 +39,33 @@ def _stage_events_chunks(spark: SparkSession, sf_dir: str, chunks: int = 4) -> s
     return stage
 
 
+def _stage_events_chunks_duped(spark: SparkSession, sf_dir: str) -> str:
+    """Replay staging with at-least-once delivery simulated: the time-
+    ordered chunks, plus one chunk REDELIVERED at the end (a copy with a
+    later mtime, so the file source replays it as a new micro-batch)."""
+    import shutil
+    import time
+
+    src = _stage_events_chunks(spark, sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    duped = os.path.join(_STAGE_ROOT, f"events_duped_{key}")
+    if not os.path.exists(os.path.join(duped, "_DONE")):
+        os.makedirs(duped, exist_ok=True)
+        parts = sorted(
+            (f for f in os.listdir(src) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(os.path.join(src, f)),
+        )
+        for f in parts:
+            shutil.copy(os.path.join(src, f), os.path.join(duped, f))
+            time.sleep(0.05)
+        # Redeliver the second chunk (duplicate rows, arriving late).
+        shutil.copy(
+            os.path.join(src, parts[1]), os.path.join(duped, "redelivered.parquet")
+        )
+        open(os.path.join(duped, "_DONE"), "w").close()
+    return duped
+
+
 def _run_stream(
     spark: SparkSession, sf_dir: str, watermark: str | None, output_mode: str
 ) -> DataFrame:
@@ -81,6 +108,30 @@ def stream_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_daily_summary_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, sf_dir, watermark="1 day", output_mode="append")
+
+
+@register(
+    "stream_dedup_daily_summary",
+    FLAGSHIP_ORACLE,
+    ("T7", "A1", "X1"),
+    "Exactly-once semantics over at-least-once delivery: the replay "
+    "redelivers a whole chunk (duplicate rows, arriving late), a "
+    "streaming dropDuplicates(event_id) absorbs the redelivery, and the "
+    "windowed aggregate's final state must STILL equal the batch result "
+    "over the original input — the same oracle as the flagship.",
+)
+def stream_dedup_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_dedup_{_query_counter}"
+    stage = _stage_events_chunks_duped(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=1)
+    deduped = stream.dropDuplicates(["event_id"])
+    result = streaming_daily_summary(deduped, watermark=None)
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        result, name, checkpoint, "complete", shuffle_partitions=8
+    )
 
 
 @register(
