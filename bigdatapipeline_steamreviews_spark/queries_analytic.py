@@ -221,6 +221,40 @@ def g2_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "g3_priority_unpivot",
+    f"""
+WITH wide AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS oyear,
+         {', '.join(
+             _count_if_sql(f"o_orderpriority = '{v}'") + f' AS {a}'
+             for v, a in zip(_PRIORITIES, _PIVOT_ALIASES)
+         )}
+  FROM orders GROUP BY 1
+)
+SELECT oyear, priority, n_orders FROM (
+  {' UNION ALL '.join(
+      f"SELECT oyear, '{a}' AS priority, {a} AS n_orders FROM wide"
+      for a in _PIVOT_ALIASES
+  )}
+)
+""",
+    ("A*",),
+    "Unpivot (wide->long): the pivoted priority counts melted back to one "
+    "row per (year, priority) via stack() — a single generator projection, "
+    "no shuffle beyond the pivot's own aggregate.",
+)
+def g3_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = g2_priority_pivot(spark, sf_dir)
+    stack_args = ", ".join(f"'{a}', {a}" for a in _PIVOT_ALIASES)
+    return wide.select(
+        "oyear",
+        F.expr(
+            f"stack({len(_PIVOT_ALIASES)}, {stack_args}) AS (priority, n_orders)"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S1 — set operations (INTERSECT / EXCEPT / UNION)
 # ---------------------------------------------------------------------------
