@@ -508,3 +508,47 @@ def t2_shipments_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderkey").agg(
         F.count("l_orderkey").alias("n_shipped_30d")
     )
+
+
+# ---------------------------------------------------------------------------
+# W4 — per-group top-k (rank inside partition, not a global sort)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w4_topk_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+""",
+    ("W*", "O2"),
+    "Top-3 orders per customer: row_number inside a per-key window, then a "
+    "rank filter. The scale-out dual of global top-N — one shuffle on the "
+    "group key, per-partition sort, no global ordering ever materialized; "
+    "the rank predicate prunes before anything leaves the exchange "
+    "(Spark's WindowGroupLimit pushes rk<=3 into the sort).",
+)
+def w4_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )

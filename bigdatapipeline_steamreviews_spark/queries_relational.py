@@ -281,3 +281,199 @@ def j1_region_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         avg_exact("c_acctbal").alias("avg_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nation-pair trade volume (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_nation_volume",
+    f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       {_sum_exact_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS volume
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+""",
+    ("J*", "A2", "P10", "P12"),
+    "TPC-H Q7 shape: the same dimension (nation) joined twice under two "
+    "aliases with a disjunctive cross-nation predicate, grouped by shipment "
+    "year. Both nation sides broadcast; the only shuffles are the "
+    "orderkey fact-fact join and the final aggregate. The disjunction is "
+    "applied after the joins so Catalyst can still push the date bounds "
+    "into the lineitem scan.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(sum_exact(volume).alias("volume"))
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count with exclusion anti-join (TPC-H Q16 shape, no partsupp)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+SELECT p.p_brand, p.p_type,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 20
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2
+""",
+    ("J*", "A8"),
+    "TPC-H Q16 shape (adapted: lineitem stands in for partsupp): "
+    "count(DISTINCT supplier) per (brand, type) after excluding a "
+    "blocklist via anti-join. The NOT IN subquery becomes a broadcast "
+    "left-anti hash join (s_suppkey is non-null, so NOT IN == anti-join); "
+    "distinct-count expands to a two-level aggregate.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    kept = l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+    return (
+        kept.join(F.broadcast(p), kept.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery, decorrelated (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+WITH part_avg AS (
+  SELECT l_partkey, {_avg_exact_sql('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       {_sum_exact_sql('l.l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND l.l_quantity < 0.2 * a.avg_qty
+GROUP BY p.p_brand
+""",
+    ("J*", "A2"),
+    "TPC-H Q17 shape: the correlated scalar subquery 'quantity below 20% "
+    "of this part's average' decorrelated into a per-part aggregate joined "
+    "back to the fact — one extra shuffle on l_partkey instead of a "
+    "per-row subquery. The threshold comparison uses the deterministic "
+    "decimal-exact mean so the boundary predicate is engine-independent.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    part_avg = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        avg_exact("l_quantity").alias("avg_qty")
+    )
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(part_avg, l.l_partkey == part_avg.a_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return joined.groupBy("p_brand").agg(
+        (sum_exact("l_extendedprice") / 7.0).alias("avg_yearly")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING-subquery join-back (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_large_orders",
+    f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       {_sum_exact_sql('l.l_quantity')} AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING (sum(CAST(l_quantity AS DECIMAL(28,10)))::VARCHAR)::DOUBLE > 250.0
+)
+GROUP BY 1, 2, 3, 4, 5
+""",
+    ("J*", "A2", "O2"),
+    "TPC-H Q18 shape: orders whose total quantity exceeds a threshold — a "
+    "grouped-HAVING subquery semi-joined back to the same fact. Spark plan: "
+    "one aggregate over lineitem produces the qualifying keyset, "
+    "left-semi join prunes orders, then the enrich joins re-aggregate. "
+    "The keyset is usually small (top ~1% of orders) so the semi-join "
+    "broadcasts under AQE.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(sum_exact("l_quantity").alias("q"))
+        .filter(F.col("q") > 250.0)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    pruned = o.join(big, o.o_orderkey == big.big_orderkey, "left_semi")
+    joined = pruned.join(F.broadcast(c), pruned.o_custkey == c.c_custkey).join(
+        l, pruned.o_orderkey == l.l_orderkey
+    )
+    return joined.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(sum_exact("l_quantity").alias("total_qty"))
