@@ -56,3 +56,92 @@ def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering — multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+#
+# Partitioning prunes on ONE column hierarchy; bucketing co-locates ONE join
+# key.  When queries filter on several independent columns (user AND value,
+# lat AND lon), a Morton (Z-order) curve interleaves the bits of all filter
+# columns into one sort key, so sorting by it clusters the file on every
+# dimension at once: each parquet row group then covers a small rectangle of
+# the space, and min/max footer stats prune row groups for predicates on ANY
+# of the dimensions.  This is the same layout idea Delta's OPTIMIZE ZORDER BY
+# applies — here as plain expressions + a range-partitioned sorted write.
+#
+# Everything is built-in bit arithmetic (shiftleft/shiftright/bitwiseOR), so
+# the key computation is whole-stage-codegen'd; the only shuffle is the
+# range partitioner's, which a clustered rewrite needs anyway.
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
+    """Morton key column: each column rank-scaled to ``bits`` bits via
+    approximate quantile boundaries, then bit-interleaved.
+    ``bits * len(cols)`` must stay <= 63 (long key).
+
+    Quantile scaling (not min-max) is what makes this work on real data:
+    skewed columns — the normal case — would otherwise collapse most rows
+    into a few cells of the grid and row-group stats would stop pruning in
+    exactly the dense region queries actually hit.  Equal-population cells
+    keep the curve's rectangles equally *full* instead of equally *wide*.
+    The pre-pass is one ``approxQuantile`` sketch pass (GK summaries,
+    merged on the driver — metadata-cheap at 100 TB), and approximation
+    only degrades clustering, never correctness.
+    """
+    from pyspark.sql import functions as F
+
+    if bits * len(cols) > 63:
+        raise ValueError("zorder key exceeds 63 bits")
+    n_cells = 1 << bits
+    probs = [i / n_cells for i in range(1, n_cells)]
+    all_bounds = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    ).approxQuantile(cols, probs, 1.0 / (4 * n_cells))
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        # Strictly increasing boundaries (ties collapse cells, harmlessly).
+        bnds = sorted(set(all_bounds[d]))
+        # cell = #boundaries <= value: a codegen'd fold over an array
+        # literal — O(cells) comparisons per row, paid once at write time.
+        scaled = F.aggregate(
+            F.lit(bnds),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0).cast("long"),
+        )
+        # Low-cardinality columns collapse to few cells; stretch them over
+        # the full bit range so their HIGH interleave bits still vary —
+        # otherwise the curve degenerates to other-columns-major order and
+        # this dimension stops pruning.
+        if len(bnds) < n_cells - 1:
+            scaled = F.least(
+                F.lit(n_cells - 1).cast("long"),
+                F.floor(scaled * ((n_cells - 1) / max(len(bnds), 1))).cast("long"),
+            )
+        for i in range(bits):
+            bit = F.shiftright(scaled, i).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + d))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    target_files: int = 32,
+) -> None:
+    """Rewrite ``df`` clustered on the Z-curve over ``cols``: range-partition
+    by the Morton key (balanced files regardless of key skew), sort each
+    partition by it, drop the key, write parquet.  Skipping granularity is
+    the file / row group; ``target_files`` sizes it."""
+    keyed = df.withColumn("__zkey", zorder_key(df, cols, bits))
+    (
+        keyed.repartitionByRange(target_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -83,3 +83,58 @@ def test_partitioned_serving_table_prunes(spark, tmp_path_factory):
         (F.col("time_year") == 1995) & (F.col("time_month") == 3)
     ).count()
     assert back.count() == expected
+
+
+def _overlap_fraction(path: str, col: str, lo: float, hi: float) -> float:
+    """Fraction of parquet row groups whose [min,max] for ``col`` overlaps
+    [lo, hi] — i.e. the fraction a stats-pruning reader must actually read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = overlapping = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[col]
+        for rg in range(meta.num_row_groups):
+            stats = meta.row_group(rg).column(idx).statistics
+            total += 1
+            if stats.min <= hi and stats.max >= lo:
+                overlapping += 1
+    return overlapping / total
+
+
+def test_zorder_skips_on_both_dimensions(spark, tmp_path_factory):
+    from bigdatapipeline_steamreviews_spark.sources.layout import write_zordered
+
+    base = tmp_path_factory.mktemp("zorder")
+    e = load_table(spark, SF_DIR, "events").select("user_id", "value", "event_id")
+
+    # Contrast layout: clustered on user_id only (single-column sort).
+    single = str(base / "single")
+    e.repartitionByRange(16, "user_id").sortWithinPartitions("user_id").write.mode(
+        "overwrite"
+    ).parquet(single)
+    # Z-ordered on (user_id, value).
+    zpath = str(base / "zorder")
+    # 64 files -> the top 3 bits of each dimension select a file strip;
+    # fewer files would make each strip too coarse to show pruning on a
+    # 1000-row fixture (at 100 TB the file count is in the thousands).
+    write_zordered(e, zpath, ["user_id", "value"], bits=8, target_files=64)
+
+    # Query ranges holding ~10% of the ROWS (quantile-based, not span-based:
+    # on skewed columns a 10%-of-span range can hold half the data, and no
+    # layout can skip data the query actually selects).
+    u_lo, u_hi = e.approxQuantile("user_id", [0.45, 0.55], 0.01)
+    v_lo, v_hi = e.approxQuantile("value", [0.45, 0.55], 0.01)
+
+    # Single-column sort: skips on the sort column, reads everything for the
+    # other dimension.
+    assert _overlap_fraction(single, "user_id", u_lo, u_hi) <= 0.3
+    assert _overlap_fraction(single, "value", v_lo, v_hi) >= 0.9
+    # Z-order: a 10% range on EITHER dimension prunes most row groups.
+    assert _overlap_fraction(zpath, "user_id", u_lo, u_hi) <= 0.5
+    assert _overlap_fraction(zpath, "value", v_lo, v_hi) <= 0.5
+
+    # And the rewrite is lossless.
+    assert spark.read.parquet(zpath).count() == e.count()
