@@ -1,0 +1,100 @@
+"""Portable sketches: approximate aggregates whose *algorithm* is pinned,
+not just their answer's error bound.
+
+Spark's builtin ``approx_count_distinct`` is a fine HyperLogLog — but its
+register layout is engine-private, so two engines (or two Spark versions)
+can disagree on the estimate, and nothing but an error-bound test can check
+it.  Here the sketch is expressed in portable integer/bit builtins (md5,
+bin, %, pow) that every engine evaluates identically, so the SAME algorithm
+runs as a DuckDB oracle and the estimate hash-matches bitwise — the
+engine's "approximate ops are still deterministic, testable ops" claim.
+
+Scale shape: one narrow shuffle keyed by (group, bucket) carrying a single
+max per bucket — register state is ``m`` longs per group regardless of
+input size, the whole point of HLL at 100 TB.  All expressions are
+whole-stage-codegen'd; no UDFs, no driver state.
+
+Reference connection: the serving layer keeps a distinct-key dictionary
+(`visualizer.py:81-82`, SURVEY.md A8); this is its sublinear-memory scale
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_register_table", "hll_distinct", "HLL_P", "hll_alpha_numerator"]
+
+# Sketch geometry: m = 2^p buckets; a 60-bit md5-derived hash splits into
+# p bucket bits + (60-p) rank bits.
+HLL_P = 6
+_M = 1 << HLL_P
+_RANK_BITS = 60 - HLL_P  # 54
+_RHO_MAX = _RANK_BITS + 1  # 55
+
+
+def hll_alpha_numerator() -> float:
+    """alpha_m * m^2 * 2^RHO_MAX, folded into one double literal so both
+    engines evaluate one multiply-free division (order-independent)."""
+    alpha = 0.7213 / (1.0 + 1.079 / _M)
+    return alpha * _M * _M * float(1 << _RHO_MAX)
+
+
+def _hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5 of the string
+    form — the same recipe as deterministic sampling (P15), identical in
+    every engine that has md5."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def hll_register_table(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
+    """Register state: per (group, bucket), the max rank rho (position of
+    the leftmost 1-bit in the rank field; all-zeros -> RHO_MAX)."""
+    h = _hash60(F.col(key))
+    w = F.shiftright(h, HLL_P)  # rank bits
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    rho = (F.lit(_RHO_MAX) - bitlen).cast("long")
+    return (
+        df.select(*group_cols, (h % _M).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+
+
+def hll_distinct(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
+    """Raw HLL estimate per group (no small-range correction: the
+    correction needs ln(), whose last ulp is libm-specific and would break
+    bitwise portability — callers wanting corrected small-n estimates apply
+    it on the returned (raw, empty_buckets) pair, as the tests do).
+
+    Output: group_cols + hll_raw (double), empty_buckets, n_buckets."""
+    regs = hll_register_table(df, key, group_cols)
+    # Harmonic mean in exact integer arithmetic: sum of 2^(RHO_MAX - rho)
+    # per present bucket, plus 2^RHO_MAX per absent bucket; max total is
+    # m * 2^RHO_MAX = 2^61 — inside int64.
+    term = F.pow(F.lit(2.0), F.lit(_RHO_MAX) - F.col("m_rho")).cast("long")
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(term).alias("s_present"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    s_total = F.col("s_present") + (F.lit(_M) - F.col("n_buckets")) * F.lit(
+        1 << _RHO_MAX
+    ).cast("long")
+    return per_group.select(
+        *group_cols,
+        (F.lit(hll_alpha_numerator()) / s_total.cast("double")).alias("hll_raw"),
+        (F.lit(_M) - F.col("n_buckets")).cast("long").alias("empty_buckets"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+    )
+
+
+def hll_corrected(raw: float, empty_buckets: int) -> float:
+    """Small-range (linear counting) correction, host-side: when the raw
+    estimate is small and empty buckets remain, linear counting is the
+    better estimator (Flajolet et al. 2007)."""
+    import math
+
+    if raw <= 2.5 * _M and empty_buckets > 0:
+        return _M * math.log(_M / empty_buckets)
+    return raw

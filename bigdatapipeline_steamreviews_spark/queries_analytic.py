@@ -552,3 +552,55 @@ def w4_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# A10 — portable HyperLogLog distinct sketch (approximate, still hash-gated)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a10_hll_distinct_users",
+    """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv % 64 AS bucket,
+         CAST(55 - CASE WHEN hv // 64 = 0 THEN 0
+                        ELSE length(bin(hv // 64)) END AS BIGINT) AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, bucket, max(rho) AS m_rho FROM r GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(sum(CAST(power(2.0, 55 - m_rho) AS BIGINT)) AS BIGINT)
+           AS s_present,
+         count(*) AS n_buckets
+  FROM regs GROUP BY 1
+)
+SELECT event_type,
+       1.046802484394006e+20
+         / CAST(s_present
+                + (64 - n_buckets) * CAST(power(2.0, 55) AS BIGINT)
+                AS DOUBLE) AS hll_raw,
+       CAST(64 - n_buckets AS BIGINT) AS empty_buckets,
+       CAST(n_buckets AS BIGINT) AS n_buckets
+FROM agg
+""",
+    ("A8", "X*"),
+    "Distinct-user sketch per event type via a PORTABLE HyperLogLog: "
+    "md5-derived 60-bit hash, 64 buckets, max-rank registers, exact-integer "
+    "harmonic mean — every step an engine-agnostic builtin, so the DuckDB "
+    "oracle runs the same algorithm and the approximate estimate "
+    "hash-matches bitwise. Register state is 64 longs per group however "
+    "large the input: the sublinear scale path for the serving layer's "
+    "distinct-key dictionary (A8). operators/sketches.py.",
+)
+def a10_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import hll_distinct
+
+    return hll_distinct(
+        load_table(spark, sf_dir, "events"), "user_id", ["event_type"]
+    )

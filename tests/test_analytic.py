@@ -136,3 +136,32 @@ def test_sessionize_single_exchange(spark):
     # lag-window and running-sum-window share partitioning+ordering: one
     # exchange, not two.
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hll_corrected_estimate_accuracy(spark):
+    """The portable HLL's corrected estimate lands within the expected
+    error band of the exact distinct count (m=64 -> ~13% standard error;
+    linear counting takes over in the small-n regime)."""
+    from pyspark.sql import functions as F
+
+    from bigdatapipeline_steamreviews_spark.operators.sketches import (
+        hll_corrected,
+        hll_distinct,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "events")
+    est = {
+        r["event_type"]: hll_corrected(r["hll_raw"], r["empty_buckets"])
+        for r in hll_distinct(e, "user_id", ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for etype, n in exact.items():
+        assert abs(est[etype] - n) / n < 0.35, (etype, est[etype], n)
