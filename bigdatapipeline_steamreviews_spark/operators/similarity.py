@@ -32,6 +32,7 @@ __all__ = [
     "cosine_topk_bucketed",
     "cosine_topk_multiprobe",
     "embedding_near_dup_pairs",
+    "cosine_topk_ivf",
 ]
 
 
@@ -194,3 +195,91 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= F.lit(min_cosine))
     )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with *trained* centroids: k-means (MLlib) learns ``n_lists``
+    inverted lists from the data, each corpus vector is assigned to its
+    nearest centroid once, and a query probes only its ``n_probe`` closest
+    lists, re-ranked by exact cosine.
+
+    Against ``cosine_topk_bucketed``'s fixed sign-hyperplane quantizer this
+    is the data-adaptive upgrade: cells follow the embedding distribution,
+    so candidate lists are balanced even when the corpus is clustered
+    (sign buckets degenerate to a few hot cells on clustered data — the
+    same skew problem salting solves for joins, solved here by training).
+
+    Scale shape: training samples/aggregates per-partition (MLlib), the
+    assignment is one model.transform map, and search is an equi-join on
+    list_id — candidates per query ~ n_probe/n_lists of the corpus.  At
+    100 TB the corpus would be written partitioned by list_id so probes
+    prune to files.  Centroid distance evaluation for queries stays in
+    codegen'd array expressions (centroids enter the plan as literals —
+    n_lists x dim doubles, metadata-sized).
+
+    Non-SQL-expressible (iterative training) => registered rows-only; the
+    recall-vs-brute-force property is pytest-asserted instead.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dense = embeddings.withColumn(
+        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="__v", predictionCol="list_id"
+    ).fit(dense)
+    corpus = model.transform(dense).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("list_id").cast("long").alias("list_id"),
+    )
+
+    # Query side: distance to every centroid as literal array expressions,
+    # then explode the n_probe nearest list ids.
+    centers = [c.tolist() for c in model.clusterCenters()]
+    dist_structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        F.lit(c),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(i).cast("long").alias("list_id"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    q = (
+        embeddings.filter(query_pred)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(F.slice(F.array_sort(dist_structs), 1, n_probe)).alias("probe"),
+        )
+        .select("query_id", "qv", F.col("probe.list_id").alias("list_id"))
+    )
+    pairs = (
+        corpus.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    return _topk(pairs, k).select("query_id", "neighbor_id", "cosine", "rank")

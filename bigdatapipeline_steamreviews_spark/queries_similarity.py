@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from .operators.similarity import (
     cosine_topk,
     cosine_topk_bucketed,
+    cosine_topk_ivf,
     cosine_topk_multiprobe,
     embedding_near_dup_pairs,
 )
@@ -177,3 +178,19 @@ FROM sims WHERE cosine >= 0.4
 def x2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, min_cosine=0.4, bits=4)
+
+
+@register(
+    "x3_cosine_topk_ivf",
+    None,  # iterative k-means training is not SQL-expressible; recall
+    # vs brute force is asserted in tests/test_dedup_similarity.py.
+    ("X3",),
+    "Trained-centroid IVF ANN: MLlib k-means learns 16 inverted lists, "
+    "queries probe their 3 nearest lists, exact cosine re-ranks. The "
+    "data-adaptive scale path beyond the fixed sign-bucket quantizer "
+    "(balanced lists even on clustered corpora). operators/similarity.py::"
+    "cosine_topk_ivf.",
+)
+def x3_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(emb, F.col("vec_id") < 10, k=5)

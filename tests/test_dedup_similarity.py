@@ -124,3 +124,31 @@ def test_multiprobe_recovers_adjacent_buckets(spark):
     # Hamming distance 2 (bucket 2) and stays correctly unprobed.
     assert single == {1}
     assert multi == {1, 3}
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """Trained-centroid IVF with 3/16 probes recovers most of the exact
+    top-5 neighbor sets (the labels cluster the corpus, so learned lists
+    align with true neighborhoods)."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pred = F.col("vec_id") < 10
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, pred, k=5).collect()
+    }
+    # n_lists ~ sqrt(N) for the ~50-vector fixture (the registered query
+    # keeps the 16-list default for the 500+-vector scale factors).
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(emb, pred, k=5, n_lists=8, n_probe=3).collect()
+    }
+    assert len(exact) == len(approx)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
