@@ -477,3 +477,60 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     ).agg(sum_exact("l_quantity").alias("total_qty"))
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive join predicate (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_discounted_revenue",
+    f"""
+SELECT {_sum_exact_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 15 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+""",
+    ("J*", "P10"),
+    "TPC-H Q19 shape: a three-arm disjunctive predicate mixing columns "
+    "from both join sides. Catalyst extracts the common per-side "
+    "implications (brand IN (...), quantity in the disjunction's hull) and "
+    "pushes them into the scans, so the join sees pre-filtered inputs even "
+    "though the full OR can only be evaluated post-join; the filtered "
+    "part side broadcasts.",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    arms = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(15, 50)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 40)
+        )
+    )
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).filter(arms)
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return joined.agg(
+        sum_exact(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
