@@ -534,3 +534,74 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         sum_exact(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery threshold + NOT EXISTS (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_dormant_rich_customers",
+    f"""
+WITH threshold AS (
+  SELECT {_avg_exact_sql('c_acctbal')} AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey,
+       count(*) AS n_custs,
+       {_sum_exact_sql('c.c_acctbal')} AS total_bal
+FROM customer c, threshold t
+WHERE c.c_acctbal > t.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+""",
+    ("J*", "A2"),
+    "TPC-H Q22 shape: above-average-balance customers with no orders. The "
+    "scalar aggregate subquery becomes a one-row broadcast (every executor "
+    "compares against it for free) and NOT EXISTS becomes a left-anti hash "
+    "join on custkey — no correlated per-row probing anywhere.",
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    threshold = c.filter(F.col("c_acctbal") > 0.0).agg(
+        avg_exact("c_acctbal").alias("ab")
+    )
+    rich = c.crossJoin(F.broadcast(threshold)).filter(F.col("c_acctbal") > F.col("ab"))
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        sum_exact("c_acctbal").alias("total_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P16 — stratified deterministic sampling (per-stratum rates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p16_stratified_sample",
+    """
+SELECT event_id, event_type, user_id
+FROM events
+WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 100
+      < (CASE WHEN event_type = 'purchase' THEN 50 ELSE 5 END)
+""",
+    ("P*",),
+    "Stratified reproducible sampling: rare strata kept at a higher rate "
+    "than bulk strata (50% of purchases, 5% of everything else) — the "
+    "class-rebalancing a training pipeline applies to terabytes of "
+    "clickstream. Same content-hash determinism as P15 (re-runnable on "
+    "any engine, any partitioning), still a pure scan-side predicate with "
+    "no shuffle.",
+)
+def p16_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.when(F.col("event_type") == "purchase", 50).otherwise(5)
+    return e.filter(bucket < rate).select("event_id", "event_type", "user_id")
