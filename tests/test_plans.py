@@ -50,7 +50,13 @@ def test_every_query_has_oracle_or_reason(spark):
 
     missing = {n for n, s in REGISTRY.items() if s.oracle is None}
     # Rows-only by design: the watermarked streaming variant (closed-window
-    # subset isn't cleanly SQL) and the custom stateful sessionization
-    # (parity asserted against batch sessionize in pytest instead).
-    assert missing == {"stream_daily_summary_watermarked", "stream_sessionization"}
+    # subset isn't cleanly SQL), the custom stateful sessionization
+    # (parity asserted against batch sessionize in pytest instead), and the
+    # k-means-trained IVF ANN (iterative training; recall vs brute force
+    # asserted in pytest instead).
+    assert missing == {
+        "stream_daily_summary_watermarked",
+        "stream_sessionization",
+        "x3_cosine_topk_ivf",
+    }
     assert set(oracle_sql()) == set(REGISTRY) - missing
