@@ -140,6 +140,35 @@ def stream_dedup_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_bounded_state",
+    FLAGSHIP_ORACLE,
+    ("T7", "T3", "A1", "X1"),
+    "The 100 TB version of streaming dedup: dropDuplicatesWithinWatermark "
+    "keeps each event_id only until the watermark passes its event time, "
+    "so dedup state is bounded by the disorder window instead of growing "
+    "with the stream (plain dropDuplicates retains every key forever). "
+    "The redelivered chunk arrives with event times already behind the "
+    "watermark and is discarded as late before reaching the aggregate, so "
+    "the final state still equals the batch result over the original "
+    "input — the same oracle as the flagship.",
+)
+def stream_dedup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_dedup_wm_{_query_counter}"
+    stage = _stage_events_chunks_duped(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    deduped = stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    result = streaming_daily_summary(deduped, watermark=None)
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        result, name, checkpoint, "complete", shuffle_partitions=8
+    )
+
+
+@register(
     "stream_sessionization",
     None,  # custom stateful op: closed-session emission isn't SQL-expressible
     ("W*", "T3", "X*"),

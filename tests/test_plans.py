@@ -60,3 +60,29 @@ def test_every_query_has_oracle_or_reason(spark):
         "x3_cosine_topk_ivf",
     }
     assert set(oracle_sql()) == set(REGISTRY) - missing
+
+
+def test_pergroup_topk_uses_window_group_limit(spark):
+    """w4: the rank<=3 predicate must push into the window sort on BOTH
+    sides of the exchange (partial before the shuffle, final after) —
+    per-group top-k never materializes full per-key orderings."""
+    from bigdatapipeline_steamreviews_spark import queries
+
+    df = queries()["w4_topk_orders_per_customer"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit", 2)[-1] or "Partial" in plan
+
+
+def test_disjunctive_join_predicate_pushes_per_side(spark):
+    """q19: the three-arm OR mixes columns from both sides; Catalyst must
+    still derive per-side filters and push them into both parquet scans."""
+    from bigdatapipeline_steamreviews_spark import queries
+
+    df = queries()["q19_discounted_revenue"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [seg for seg in plan.split("FileScan parquet")[1:]]
+    lineitem_scan = next(s for s in scans if "l_quantity" in s[:200])
+    part_scan = next(s for s in scans if "p_brand" in s[:200])
+    assert "l_quantity" in lineitem_scan.split("DataFilters", 1)[1][:300]
+    assert "p_brand" in part_scan.split("DataFilters", 1)[1][:300]
