@@ -605,3 +605,63 @@ def p16_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.when(F.col("event_type") == "purchase", 50).otherwise(5)
     return e.filter(bucket < rate).select("event_id", "event_type", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS + NOT EXISTS self-joins (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_latest_shipper",
+    """
+SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS n_orders
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_name
+""",
+    ("J*", "A8"),
+    "TPC-H Q21 shape (adapted to available columns): per supplier, the "
+    "multi-supplier orders where no OTHER supplier shipped later — a "
+    "correlated EXISTS plus a correlated NOT EXISTS against the same "
+    "fact. Decorrelated into one left-semi and one left-anti self-join, "
+    "both keyed on l_orderkey: at scale both sort-merge joins partition "
+    "on the same key (one aligned shuffle chain, no re-exchange between "
+    "them); at test SF, AQE turns all three joins into broadcasts.",
+)
+def q21_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = l.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    multi = l1.join(
+        l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi"
+    )
+    sole_latest = multi.join(
+        l3,
+        (multi.l_orderkey == l3.o3)
+        & (multi.l_suppkey != l3.s3)
+        & (l3.d3 > multi.l_shipdate),
+        "left_anti",
+    )
+    return (
+        sole_latest.join(F.broadcast(s), sole_latest.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    )
