@@ -115,12 +115,18 @@ def streaming_daily_summary(
     return daily_summary(events, window_duration)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_to_memory_table(
     result: DataFrame,
     query_name: str,
     checkpoint_dir: str,
     output_mode: str = "complete",
     shuffle_partitions: int | None = None,
+    rocksdb_state: bool = False,
 ) -> DataFrame:
     """Run a streaming aggregate to completion (availableNow) into an
     in-memory table; returns the final table as a batch DataFrame.
@@ -138,11 +144,22 @@ def run_to_memory_table(
     small-cardinality aggregate at 32 partitions pays 32 state tasks per
     trigger for nothing.  Applied around start() and restored after, since
     it is read from session conf at query start.
+
+    ``rocksdb_state=True`` swaps the state store for RocksDB — the 100 TB
+    option when streaming state (no-watermark aggregates, big dedup key
+    sets) outgrows executor heap: state lives on local SSD with
+    incremental checkpointing, instead of as JVM objects.  Also frozen
+    into the checkpoint at first start, hence set-and-restored here the
+    same way.
     """
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if rocksdb_state:
+        spark.conf.set(provider_key, ROCKSDB_PROVIDER)
     try:
         query = (
             result.writeStream.format("memory")
@@ -156,4 +173,9 @@ def run_to_memory_table(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if rocksdb_state:
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
     return spark.table(query_name)

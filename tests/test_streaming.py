@@ -86,3 +86,40 @@ def test_late_data_updates_open_window(spark):
     assert by_day[days[0]].T_events == 2  # late row merged into day-1 window
     assert by_day[days[0]].A_value == 30.0  # avg(10, 50)
     assert by_day[days[1]].T_events == 1
+
+
+def test_rocksdb_state_store_matches_batch(spark, tmp_path):
+    """The RocksDB state-store provider (the 100 TB large-state option)
+    produces the identical final aggregate state as the default provider
+    — swapping the state backend is semantics-free."""
+    from pyspark.sql import functions as F
+
+    from bigdatapipeline_steamreviews_spark.operators.aggregations import (
+        daily_summary,
+    )
+    from bigdatapipeline_steamreviews_spark.queries_streaming import (
+        _stage_events_chunks,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from bigdatapipeline_steamreviews_spark.streaming.summarizer import (
+        events_file_stream,
+        run_to_memory_table,
+        streaming_daily_summary,
+    )
+    from tests.conftest import SF_DIR
+
+    stage = _stage_events_chunks(spark, SF_DIR)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    result = streaming_daily_summary(stream, watermark=None)
+    final = run_to_memory_table(
+        result,
+        "rocksdb_summary",
+        str(tmp_path / "ckpt"),
+        "complete",
+        shuffle_partitions=8,
+        rocksdb_state=True,
+    )
+    batch = daily_summary(load_table(spark, SF_DIR, "events"))
+    assert final.count() == batch.count()
+    sym_diff = final.exceptAll(batch).count() + batch.exceptAll(final).count()
+    assert sym_diff == 0
