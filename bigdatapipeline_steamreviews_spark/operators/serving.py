@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "snapshot_diff",
     "upsert_compact",
     "hierarchical_time_filter",
     "distinct_values",
@@ -101,4 +102,66 @@ def with_date_parts(df: DataFrame, ts_col: str = "time") -> DataFrame:
         df.withColumn("time_year", F.year(c))
         .withColumn("time_month", F.month(c))
         .withColumn("time_day", F.dayofmonth(c))
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data capture between two materializations of a keyed table:
+    one full-outer hash join on the key, classifying every key as
+    ``added`` (only in new), ``removed`` (only in old) or ``changed``
+    (present in both with any compare column differing); unchanged keys
+    are dropped.  Output carries ``old_<c>`` / ``new_<c>`` for each
+    compare column.
+
+    This is the serving layer's incremental-refresh primitive: the diff of
+    two upsert-compacted snapshots IS the update-mode changelog the
+    reference streams over Kafka (SURVEY.md A7/T4), recovered from state
+    instead of from an emission trace.  One shuffle on the key for each
+    side; at 100 TB both snapshots would be bucketed by the key so the
+    join is exchange-free.  Null-safe equality (``eqNullSafe``) keeps
+    null-valued columns from reading as perpetual changes.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        e = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = e if cond is None else cond & e
+    joined = o.join(n, cond, "full_outer")
+
+    any_change = None
+    for c in compare_cols:
+        e = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        any_change = e if any_change is None else any_change | e
+    change_type = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(any_change, F.lit("changed"))
+    )
+    keys = [
+        F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+        for k in key_cols
+    ]
+    return (
+        joined.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *keys,
+            "change_type",
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
     )

@@ -16,12 +16,13 @@ from .functions import avg_exact, sum_exact
 from .operators.aggregations import daily_summary
 from .operators.serving import (
     distinct_values,
+    snapshot_diff,
     hierarchical_time_filter,
     top_n,
     upsert_compact,
     with_date_parts,
 )
-from .registry import FLAGSHIP_ORACLE, _avg_exact_sql, register
+from .registry import FLAGSHIP_ORACLE, _avg_exact_sql, _sum_exact_sql, register
 from .sources.tables import load_table
 
 # Daily serving table with date parts — shared input for A5/A6 queries.
@@ -359,4 +360,64 @@ def p14_string_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
         F.regexp_replace(F.col("p_name"), " ", "_").alias("name_slug"),
         F.upper(F.col("p_brand")).alias("brand_upper"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — change-data capture between two materializations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "serving_snapshot_diff",
+    f"""
+WITH old AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         {_sum_exact_sql('o_totalprice')} AS total_spent
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY o_custkey
+), new AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         {_sum_exact_sql('o_totalprice')} AS total_spent
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT coalesce(new.o_custkey, old.o_custkey) AS o_custkey,
+       CASE WHEN old.o_custkey IS NULL THEN 'added'
+            WHEN new.o_custkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       old.n_orders AS old_n_orders,
+       old.total_spent AS old_total_spent,
+       new.n_orders AS new_n_orders,
+       new.total_spent AS new_total_spent
+FROM old FULL JOIN new ON old.o_custkey = new.o_custkey
+WHERE old.o_custkey IS NULL OR new.o_custkey IS NULL
+   OR old.n_orders IS DISTINCT FROM new.n_orders
+   OR old.total_spent IS DISTINCT FROM new.total_spent
+""",
+    ("A7", "T4", "J*"),
+    "CDC between two snapshots of the per-customer serving aggregate "
+    "(as-of 1997 vs as-of 1998): full-outer join on the key, keys "
+    "classified added/removed/changed, unchanged keys dropped — the "
+    "update-mode changelog (reference summarizer.py:107) recovered by "
+    "diffing materialized state. operators/serving.py::snapshot_diff.",
+)
+def serving_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def snap(before: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderdate") < F.lit(before).cast("timestamp"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                sum_exact("o_totalprice").alias("total_spent"),
+            )
+        )
+
+    return snapshot_diff(
+        snap("1997-01-01"),
+        snap("1998-01-01"),
+        ["o_custkey"],
+        ["n_orders", "total_spent"],
     )

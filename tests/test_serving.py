@@ -97,3 +97,24 @@ def test_with_date_parts(spark):
     df = spark.createDataFrame([(datetime(2024, 3, 9, 15, 30),)], ["time"])
     r = with_date_parts(df).collect()[0]
     assert (r.time_year, r.time_month, r.time_day) == (2024, 3, 9)
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from bigdatapipeline_steamreviews_spark.operators.serving import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "k int, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 25.0), (3, None), (4, None), (5, 50.0)], "k int, v double"
+    )
+    rows = {
+        r["k"]: (r["change_type"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert rows[1][0] == "removed"
+    assert rows[2] == ("changed", 20.0, 25.0)
+    assert 3 not in rows  # null == null: unchanged, dropped
+    assert rows[4][0] == "changed"  # value -> null IS a change
+    assert rows[5][0] == "added"
+    assert len(rows) == 4
