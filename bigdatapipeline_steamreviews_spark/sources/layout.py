@@ -24,7 +24,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed_table", "write_partitioned", "read_partitioned"]
+__all__ = [
+    "write_bucketed_table",
+    "write_partitioned",
+    "read_partitioned",
+    "zorder_key",
+    "write_zordered",
+    "compact_files",
+]
 
 
 def write_bucketed_table(
@@ -145,3 +152,48 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction — streaming-sink maintenance
+# ---------------------------------------------------------------------------
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files and
+    return the file count written.
+
+    Streaming sinks (foreachBatch serving writes, per-trigger appends)
+    accumulate files sized by *trigger cadence*, not by what scans want;
+    thousands of KB-files turn every downstream scan into a metadata storm
+    (task per file, footer per file).  Compaction is the maintenance dual
+    of the write path: size output by BYTES (ceil(input_bytes / target)),
+    not by a fixed partition count, so the same job is right at any scale.
+    With ``sort_cols`` the rewrite also range-clusters (coarse single-dim
+    zorder) so compaction doubles as a stats-improving reorganization —
+    the OPTIMIZE verb of table formats, expressed as plain Spark.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dest_path)
+    return n_files

@@ -138,3 +138,26 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path_factory):
 
     # And the rewrite is lossless.
     assert spark.read.parquet(zpath).count() == e.count()
+
+
+def test_compaction_bin_packs_by_bytes(spark, tmp_path_factory):
+    from bigdatapipeline_steamreviews_spark.sources.layout import compact_files
+
+    base = tmp_path_factory.mktemp("compact")
+    frag = str(base / "fragmented")
+    e = load_table(spark, SF_DIR, "events")
+    # Simulate a trigger-cadence sink: 64 tiny files.
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+
+    import glob
+    import os
+
+    sizes = [os.path.getsize(f) for f in glob.glob(f"{frag}/*.parquet")]
+    target = sum(sizes) // 4  # aim for ~4 output files
+
+    dest = str(base / "compacted")
+    n = compact_files(spark, frag, dest, target_file_bytes=target)
+    out_files = glob.glob(f"{dest}/*.parquet")
+    assert len(out_files) == n
+    assert 3 <= n <= 6
+    assert spark.read.parquet(dest).count() == e.count()
