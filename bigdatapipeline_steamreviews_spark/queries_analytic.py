@@ -604,3 +604,65 @@ def a10_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(
         load_table(spark, sf_dir, "events"), "user_id", ["event_type"]
     )
+
+
+@register(
+    "a11_hll_mergeable_rollup",
+    """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv % 64 AS bucket,
+         CAST(55 - CASE WHEN hv // 64 = 0 THEN 0
+                        ELSE length(bin(hv // 64)) END AS BIGINT) AS rho
+  FROM h
+), regs AS (          -- per-group register tables
+  SELECT event_type, bucket, max(rho) AS m_rho FROM r GROUP BY 1, 2
+), merged AS (        -- MERGE of all group sketches: bucketwise max
+  SELECT bucket, max(m_rho) AS m_rho FROM regs GROUP BY bucket
+), agg AS (
+  SELECT CAST(sum(CAST(power(2.0, 55 - m_rho) AS BIGINT)) AS BIGINT)
+           AS s_present,
+         count(*) AS n_buckets
+  FROM merged
+)
+SELECT 'all_types' AS scope,
+       1.046802484394006e+20
+         / CAST(s_present
+                + (64 - n_buckets) * CAST(power(2.0, 55) AS BIGINT)
+                AS DOUBLE) AS hll_raw,
+       CAST(64 - n_buckets AS BIGINT) AS empty_buckets
+FROM agg
+""",
+    ("A8", "X*"),
+    "HLL register MERGE: the per-event-type sketches from a10 are merged "
+    "(bucketwise max — associative, commutative, idempotent) into one "
+    "global distinct-user estimate WITHOUT rescanning the input. This is "
+    "the property that makes sketches the scale path: partial sketches "
+    "merge across partitions, days, or datacenters like partial sums, so "
+    "a 100 TB distinct-count rollup reads sketch tables, not events. "
+    "Merging per-group registers is bitwise-identical to sketching the "
+    "union directly (max is associative), which is what the oracle "
+    "computes. operators/sketches.py.",
+)
+def a11_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import hll_alpha_numerator, hll_register_table
+
+    regs = hll_register_table(
+        load_table(spark, sf_dir, "events"), "user_id", ["event_type"]
+    )
+    merged = regs.groupBy("bucket").agg(F.max("m_rho").alias("m_rho"))
+    term = F.pow(F.lit(2.0), F.lit(55) - F.col("m_rho")).cast("long")
+    agg = merged.agg(
+        F.sum(term).alias("s_present"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    s_total = F.col("s_present") + (F.lit(64) - F.col("n_buckets")) * F.lit(
+        1 << 55
+    ).cast("long")
+    return agg.select(
+        F.lit("all_types").alias("scope"),
+        (F.lit(hll_alpha_numerator()) / s_total.cast("double")).alias("hll_raw"),
+        (F.lit(64) - F.col("n_buckets")).cast("long").alias("empty_buckets"),
+    )
