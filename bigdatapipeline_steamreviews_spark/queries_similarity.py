@@ -194,3 +194,46 @@ def x2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_ivf(emb, F.col("vec_id") < 10, k=5)
+
+
+@register(
+    "x2_embedding_dedup_clusters",
+    f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         a.embedding AS qe, b.embedding AS ce
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+{_COS_TERMS.format(extra_cols="")},
+dup AS (SELECT query_id AS a_id, neighbor_id AS b_id FROM sims
+        WHERE cosine >= 0.4),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM dup
+  UNION SELECT b_id, a_id FROM dup
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+""",
+    ("X2", "X3"),
+    "Vector-space dedup clusters: embedding-cosine near-dup pairs "
+    "(sign-bucket prefiltered) fed into the same iterative min-label "
+    "connected-components as the MinHash clusters — one dedup-cluster "
+    "operator, two candidate generators (lexical and semantic). "
+    "cluster_id = min vec id of the component (the kept survivor). "
+    "Oracle: recursive-CTE transitive closure over the same pairs.",
+)
+def x2_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, min_cosine=0.4, bits=4).select(
+        "a_id", "b_id"
+    )
+    return connected_components(pairs)
