@@ -83,6 +83,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.5,
     max_doc_freq: int | None = None,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """X2a — exact n-gram Jaccard similarity join.
 
@@ -90,8 +91,15 @@ def ngram_jaccard_pairs(
     the shingle (only pairs sharing >=1 shingle are ever materialized),
     count intersections, then Jaccard = inter / (|A| + |B| - inter).
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
+
+    ``cache_shingles`` persists the exploded shingle table, which this
+    plan otherwise computes THREE times (both self-join sides + the size
+    table) — same self-join-recompute trap as the LSH banding join; at
+    100 TB the shingle posting table is materialized to storage once.
     """
     s = shingle_table(df, text_col, id_col, n, max_doc_freq)
+    if cache_shingles:
+        s = s.persist()
     sizes = s.groupBy("sid").agg(F.count(F.lit(1)).alias("nsh"))
     a, b = s.alias("a"), s.alias("b")
     inter = (
