@@ -86,3 +86,25 @@ def test_disjunctive_join_predicate_pushes_per_side(spark):
     part_scan = next(s for s in scans if "p_brand" in s[:200])
     assert "l_quantity" in lineitem_scan.split("DataFilters", 1)[1][:300]
     assert "p_brand" in part_scan.split("DataFilters", 1)[1][:300]
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark):
+    """Registry-wide plan lint: no batch query may compile to a
+    CartesianProduct — the O(n*m) non-broadcast cross join that silently
+    appears when a join condition is lost or unpushable.  Intentional
+    small-side cross joins (brute-force ANN, scalar-subquery broadcast)
+    compile to BroadcastNestedLoopJoin instead, which is allowed.
+
+    Streaming queries are skipped: their fn() executes a replay rather
+    than returning a lazy plan.
+    """
+    from bigdatapipeline_steamreviews_spark import queries
+
+    offenders = []
+    for name, fn in sorted(queries().items()):
+        if name.startswith("stream_"):
+            continue
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
