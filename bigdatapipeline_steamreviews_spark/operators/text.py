@@ -31,6 +31,9 @@ __all__ = [
     "tfidf_top_terms",
     "vocab_stats",
     "lexicon_sentiment",
+    "pii_scrub",
+    "EMAIL_RE",
+    "PHONE_RE",
     "LANG_PROFILES",
     "DEFAULT_LEXICON",
 ]
@@ -259,5 +262,35 @@ def fingerprint(df: DataFrame, text_col: str = "text", shingle_len: int = 5) -> 
         {
             "doc_md5": F.md5(c),
             "shingle_fp": F.array_min(F.transform(sh, F.md5)),
+        }
+    )
+
+
+# Engine-portable PII patterns (plain character classes — no lookarounds,
+# identical semantics in Java regex and RE2, verified against DuckDB).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() .-]{7,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X4 — PII redaction: emails and phone-like digit runs replaced by
+    typed placeholders, with per-document redaction counts.
+
+    The mandatory first pass of any training-data pipeline.  Pure
+    ``regexp_replace``/``regexp_count`` projections — no shuffle, no UDF,
+    scales as a map-only stage and composes with partition pruning.
+    Counts are kept alongside the scrubbed text so downstream filters can
+    drop documents that are mostly PII (address books, dumps) instead of
+    training on placeholder soup.
+    """
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.withColumns(
+        {
+            "scrubbed": scrubbed,
+            "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
+            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
         }
     )

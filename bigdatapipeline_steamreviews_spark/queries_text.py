@@ -472,3 +472,33 @@ SELECT doc_id, {sig} AS simhash FROM votes
 )
 def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_docs(spark, sf_dir), bits=16)
+
+
+@register(
+    "x4_pii_scrub",
+    r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         '\+?[0-9][0-9() .-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text,
+         '\+?[0-9][0-9() .-]{7,}[0-9]')) AS BIGINT) AS n_phones
+FROM documents
+""",
+    ("X4",),
+    "PII redaction over the corpus: emails and phone-like digit runs "
+    "replaced with typed placeholders plus per-document counts — the "
+    "training-pipeline scrub pass as a map-only projection (patterns "
+    "restricted to portable regex so the oracle replays them exactly). "
+    "operators/text.py::pii_scrub.",
+)
+def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import pii_scrub
+
+    return pii_scrub(_docs(spark, sf_dir)).select(
+        "doc_id", "scrubbed", "n_emails", "n_phones"
+    )
