@@ -59,8 +59,14 @@ def _dec_to_double(c: Column) -> Column:
 
 def count_if(pred: Column) -> Column:
     """A4 — conditional count as sum(bool::int), the reference's idiom
-    (``summarizer.py:85,87-88``: ``F.sum(col.cast('int'))``)."""
-    return F.sum(pred.cast("int").cast("long"))
+    (``summarizer.py:85,87-88``: ``F.sum(col.cast('int'))``).
+
+    Coalesced to 0: a group whose predicate is NULL on every row (all
+    ``value`` NULL in a (day,type) slice) sums to NULL in Spark but 0
+    under the oracle's ``CASE WHEN .. ELSE 0`` — an edge the fixtures
+    don't currently hit, closed here rather than left fixture-dependent.
+    """
+    return F.coalesce(F.sum(pred.cast("int").cast("long")), F.lit(0).cast("long"))
 
 
 def normalize_bool_string(col: Column | str) -> Column:

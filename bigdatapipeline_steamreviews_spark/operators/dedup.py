@@ -92,14 +92,20 @@ def ngram_jaccard_pairs(
     count intersections, then Jaccard = inter / (|A| + |B| - inter).
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
 
-    ``cache_shingles`` persists the exploded shingle table, which this
-    plan otherwise computes THREE times (both self-join sides + the size
-    table) — same self-join-recompute trap as the LSH banding join; at
-    100 TB the shingle posting table is materialized to storage once.
+    ``cache_shingles`` materializes the exploded shingle table once
+    (``localCheckpoint``), which this plan otherwise computes THREE times
+    (both self-join sides + the size table) — same self-join-recompute
+    trap as the LSH banding join.  localCheckpoint over ``persist`` is a
+    lifecycle decision: cached plans live in the session CacheManager
+    until someone unpersists them (r1 leaked one block per registry
+    sweep), while checkpoint blocks are reference-counted off the
+    DataFrame and reclaimed by the ContextCleaner when it goes out of
+    scope.  At 100 TB the same idea is "materialize the posting table to
+    storage once, join from storage".
     """
     s = shingle_table(df, text_col, id_col, n, max_doc_freq)
     if cache_shingles:
-        s = s.persist()
+        s = s.localCheckpoint()
     sizes = s.groupBy("sid").agg(F.count(F.lit(1)).alias("nsh"))
     a, b = s.alias("a"), s.alias("b")
     inter = (
@@ -176,14 +182,17 @@ def lsh_candidate_pairs(
     The band key is md5 over the band's minhashes, so bucket joins shuffle
     a constant-width key regardless of shingle sizes.
 
-    ``cache_signatures`` persists the banded signature table before the
-    self-join: a self-join plans its subtree TWICE, and the subtree here
-    is the expensive part (k x |shingles| md5 calls per document), so
-    without the cache every signature is computed twice.  Measured ~3x on
-    the join phase at sf0.1.  The cached table is tiny (id + band + one
-    md5 per band) and evicted LRU; at 100 TB the same idea is "materialize
-    the signature table once, join from storage" — signatures are reused
-    across dedup runs anyway.
+    ``cache_signatures`` materializes the banded signature table once
+    (``localCheckpoint``) before the self-join: a self-join plans its
+    subtree TWICE, and the subtree here is the expensive part
+    (k x |shingles| md5 calls per document), so without it every
+    signature is computed twice.  Measured ~3x on the join phase at
+    sf0.1.  localCheckpoint instead of persist so the blocks are
+    reclaimed when the DataFrame goes out of scope (persist'd plans sat
+    in the CacheManager forever in r1 — one leaked cache per sweep); the
+    table is tiny (id + band + one md5 per band).  At 100 TB the same
+    idea is "materialize the signature table once, join from storage" —
+    signatures are reused across dedup runs anyway.
     """
     r = k // bands
     band_cols = []
@@ -199,7 +208,7 @@ def lsh_candidate_pairs(
         F.col(id_col).alias("bid"), F.explode(F.array(*band_cols)).alias("b")
     ).select("bid", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     if cache_signatures:
-        exploded = exploded.persist()
+        exploded = exploded.localCheckpoint()
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -225,21 +234,30 @@ def connected_components(
     This is the step after any near-dup pair generator (LSH, Jaccard,
     embedding buckets): pairs only say "a ~ b"; keeping one survivor per
     *transitive* duplicate group needs components.  Iterative min-label
-    propagation: every node starts as its own label, then repeatedly takes
-    the min of its neighbors' labels until a fixpoint — converges in
-    O(component diameter) rounds, and near-dup components are shallow
-    (stars and short chains), so 3-5 rounds is typical.  The classic
-    alternating large-star/small-star optimization (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") halves round count at
-    extreme diameters; plain propagation keeps the plan to one join + one
-    aggregate per round.
+    propagation with **pointer jumping**: each round every node takes the
+    min over its neighbors' labels (one hop), then follows its own label's
+    label (lbl := min(lbl, lbl[lbl]) — the path-halving step), so label
+    distance-to-root roughly doubles per round and a diameter-D chain
+    converges in O(log D) rounds instead of O(D).  Near-dup components
+    are shallow (stars, short chains), so 2-4 rounds is typical; the
+    doubling is insurance for the pathological deep chain.  (The
+    alternating large-star/small-star scheme of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", is the edge-rewriting
+    cousin; label doubling gets the same logarithmic bound while keeping
+    the edge set immutable.)
 
-    Scale notes: each round is one shuffle join (edges x labels on node
-    id) + one min-aggregate; ``localCheckpoint`` truncates the growing
-    lineage each round so plan compilation stays O(1) per round.  The
-    convergence test is a driver-side count of changed labels — one tiny
-    action per round, the standard pattern for iterative dataflow (GraphX
-    does the same under the hood).
+    Scale notes: each round is two shuffle joins (edges x labels on node
+    id; labels x labels for the jump) + one min-aggregate;
+    ``localCheckpoint`` truncates the growing lineage each round so plan
+    compilation stays O(1) per round.  The convergence test is a
+    driver-side existence check on changed labels — one tiny action per
+    round, the standard pattern for iterative dataflow (GraphX does the
+    same under the hood).
+
+    Raises ``RuntimeError`` if a fixpoint is not reached in ``max_iter``
+    rounds — silently returning partial labels would fail any downstream
+    exactness gate with no hint at the cause.  With doubling, hitting the
+    default bound requires a component of diameter ~2^25.
     """
     # Undirected edge list, both directions.
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -259,20 +277,45 @@ def connected_components(
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.node2, "left"
+        ).select(
+            "node",
+            F.col("lbl").alias("old_lbl"),
+            F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                "lbl1"
+            ),
+        )
+        # Pointer jumping: follow the (freshly stepped) label chain one more
+        # hop — lbl := min(lbl1, lbl1[lbl1]).
+        a, b = stepped.alias("a"), stepped.alias("b")
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            a.join(b, F.col("a.lbl1") == F.col("b.node"), "left")
             .select(
-                "node",
+                F.col("a.node").alias("node"),
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                    F.col("a.lbl1"),
+                    F.coalesce(F.col("b.lbl1"), F.col("a.lbl1")),
                 ).alias("lbl"),
-                (F.col("nbr_lbl") < F.col("lbl")).alias("changed"),
+                (
+                    F.least(
+                        F.col("a.lbl1"),
+                        F.coalesce(F.col("b.lbl1"), F.col("a.lbl1")),
+                    )
+                    < F.col("a.old_lbl")
+                ).alias("changed"),
             )
-        ).localCheckpoint()
+            .localCheckpoint()
+        )
         changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "component diameter exceeds 2^rounds — raise max_iter"
+        )
 
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 

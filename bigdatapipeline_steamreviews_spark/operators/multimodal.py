@@ -136,7 +136,9 @@ def frame_sample(blobs: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             out_ids, out_nos, out_frames = [], [], []
             for bid, payload, mime in zip(pdf["blob_id"], pdf["payload"], pdf["mime"]):
                 content = _decode_payload(payload, mime)
-                for i in range(0, max(len(content), 1), every_n_bytes):
+                # Zero-length content yields zero frames (a 0-byte video has
+                # no frames to sample), matching ceil(n/stride) everywhere.
+                for i in range(0, len(content), every_n_bytes):
                     out_ids.append(bid)
                     out_nos.append(i // every_n_bytes)
                     out_frames.append(bytes(content[i : i + every_n_bytes]))

@@ -66,7 +66,18 @@ def salted_join(
     plans.  The ``shuffle_hash`` hint keeps the planner from broadcasting
     the replicated side, which would defeat the demonstration (and with a
     broadcast there is no shuffle to skew in the first place).
+
+    Only ``inner`` and ``left`` modes are sound: the right side is
+    replicated once per salt value BEFORE the join, so any mode that
+    preserves unmatched right rows ('right'/'full') would emit each of
+    them ``n_salts`` times.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "right-preserving modes would duplicate unmatched right rows "
+            "once per salt"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
     ).cast("int")

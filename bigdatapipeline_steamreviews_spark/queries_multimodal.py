@@ -52,14 +52,21 @@ def x5_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT doc_id AS blob_id,
        octet_length(encode(text))::DOUBLE AS f_len,
-       ascii(substr(text, 1, 1))::DOUBLE AS f_first,
-       ascii(substr(text, length(text), 1))::DOUBLE AS f_last
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+            ELSE (('0x' || substr(hex(encode(text)), 1, 2))::BIGINT)::DOUBLE
+       END AS f_first,
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+            ELSE (('0x' || substr(hex(encode(text)),
+                   octet_length(encode(text)) * 2 - 1, 2))::BIGINT)::DOUBLE
+       END AS f_last
 FROM documents
 """,
     ("X5",),
     "Arrow-batched mapInPandas feature extraction over payloads (the "
     "stubbed deterministic featurizer); checks the full Python round-trip "
-    "against SQL recomputation.",
+    "against SQL recomputation. Both sides work on OCTETS (first/last byte "
+    "of the UTF-8 payload, via hex-string slicing in the oracle), so "
+    "non-ASCII and empty documents agree bit-for-bit.",
 )
 def x5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(_doc_blobs(spark, sf_dir))
@@ -75,15 +82,19 @@ def x5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x5_frame_sample",
     """
 SELECT doc_id AS blob_id, i::INT AS frame_no,
-       octet_length(encode(substr(text, i * 64 + 1, 64)))::BIGINT AS frame_len,
-       md5(substr(text, i * 64 + 1, 64)) AS frame_md5
+       (length(substr(hex(encode(text)), i * 128 + 1, 128)) // 2)::BIGINT
+         AS frame_len,
+       substr(hex(encode(text)), i * 128 + 1, 128) AS frame_hex
 FROM (SELECT doc_id, text FROM documents),
      LATERAL unnest(range(0, (octet_length(encode(text)) + 63) // 64)) AS t(i)
 """,
     ("X5",),
     "Frame-sampling plumbing: 1:N flatMap through mapInPandas (every 64-"
     "byte slice = one 'frame'); a real video codec yields frames the same "
-    "way at a timestamp stride.",
+    "way at a timestamp stride. Frames are OCTET slices on both sides "
+    "(the oracle slices the hex string: 2 hex chars = 1 byte), so "
+    "multi-byte UTF-8 sequences split mid-codepoint identically; a "
+    "zero-byte payload yields zero frames on both sides.",
 )
 def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = frame_sample(_doc_blobs(spark, sf_dir), every_n_bytes=64)
@@ -91,5 +102,5 @@ def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blob_id",
         "frame_no",
         F.length("frame").cast("long").alias("frame_len"),
-        F.md5("frame").alias("frame_md5"),
+        F.hex("frame").alias("frame_hex"),
     )

@@ -104,6 +104,48 @@ def test_connected_components_chain_and_star(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_deep_chain_converges_logarithmically(spark):
+    from bigdatapipeline_steamreviews_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # A 33-node chain has diameter 32; one-hop propagation would need ~32
+    # rounds, pointer jumping must land it well under 8.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "a_id long, b_id long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(chain, max_iter=8).collect()
+    }
+    assert got == {i: 0 for i in range(33)}
+
+
+def test_connected_components_raises_instead_of_partial_labels(spark):
+    import pytest
+
+    from bigdatapipeline_steamreviews_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_salted_join_rejects_right_preserving_modes(spark):
+    import pytest
+
+    from bigdatapipeline_steamreviews_spark.operators.partitioning import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(2, "b")], "k long, w string")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(left, right, "k", n_salts=4, how="full")
+
+
 def test_multiprobe_recovers_adjacent_buckets(spark):
     from bigdatapipeline_steamreviews_spark.operators.similarity import (
         cosine_topk_bucketed,

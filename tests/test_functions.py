@@ -56,6 +56,16 @@ def test_count_if_and_epoch(spark):
     assert ts[0].t.second == 10
 
 
+def test_count_if_all_null_predicate_group_is_zero(spark):
+    # sum over an all-NULL cast is NULL in Spark; the oracle's
+    # CASE WHEN .. ELSE 0 makes it 0 — count_if must coalesce.
+    df = spark.createDataFrame(
+        [("g", None), ("g", None)], "k string, v double"
+    )
+    r = df.groupBy("k").agg(count_if(F.col("v") > 1.0).alias("c")).collect()[0]
+    assert r.c == 0
+
+
 def test_cosine_similarity_identity_and_orthogonal(spark):
     df = spark.createDataFrame(
         [Row(a=[1.0, 0.0, 2.0], b=[1.0, 0.0, 2.0]), Row(a=[1.0, 0.0, 0.0], b=[0.0, 1.0, 0.0])]
