@@ -222,9 +222,11 @@ def cosine_topk_ivf(
     assignment is one model.transform map, and search is an equi-join on
     list_id — candidates per query ~ n_probe/n_lists of the corpus.  At
     100 TB the corpus would be written partitioned by list_id so probes
-    prune to files.  Centroid distance evaluation for queries stays in
-    codegen'd array expressions (centroids enter the plan as literals —
-    n_lists x dim doubles, metadata-sized).
+    prune to files.  Centroids travel as a small broadcast-joined
+    DataFrame (n_lists rows), NOT as plan literals: a literal array of
+    n_lists x dim struct expressions compiles fine at 16 lists but the
+    plan itself explodes at realistic 4-64k lists, while a broadcast of
+    the same rows is metadata-sized at any n_lists (r1 verdict finding).
 
     Non-SQL-expressible (iterative training) => registered rows-only; the
     recall-vs-brute-force property is pytest-asserted instead.
@@ -232,6 +234,7 @@ def cosine_topk_ivf(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    spark = embeddings.sparkSession
     dense = embeddings.withColumn(
         "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
@@ -244,34 +247,34 @@ def cosine_topk_ivf(
         F.col("list_id").cast("long").alias("list_id"),
     )
 
-    # Query side: distance to every centroid as literal array expressions,
-    # then explode the n_probe nearest list ids.
-    centers = [c.tolist() for c in model.clusterCenters()]
-    dist_structs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col).cast("array<double>"),
-                        F.lit(c),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(i).cast("long").alias("list_id"),
-            )
-            for i, c in enumerate(centers)
-        ]
+    # Query side: broadcast the centroid table against the (small) query
+    # set, rank centroid distances per query, keep the n_probe nearest.
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id long, centroid array<double>",
     )
-    q = (
+    qdist = (
         embeddings.filter(query_pred)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            F.explode(F.slice(F.array_sort(dist_structs), 1, n_probe)).alias("probe"),
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv").cast("array<double>"),
+                    F.col("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
-        .select("query_id", "qv", F.col("probe.list_id").alias("list_id"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("dist", "list_id")
+    q = (
+        qdist.withColumn("__pr", F.row_number().over(wprobe))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "qv", "list_id")
     )
     pairs = (
         corpus.join(F.broadcast(q), "list_id")

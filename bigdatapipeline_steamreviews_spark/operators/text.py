@@ -84,27 +84,41 @@ def _profile_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, list[str]] | None = None,
+) -> DataFrame:
     """Language ID: function-word profile scoring (n-gram-heuristic family).
 
     Counts hits against per-language function-word lists and takes the
-    argmax with a fixed tie-break order.  O(tokens x profiles) per row, no
-    shuffle; real deployments swap in larger profiles or char n-gram
-    models — the dataflow shape is identical.
+    argmax with a fixed tie-break (profile declaration order wins ties).
+    The argmax is an ``array_sort`` over (-score, order, lang) structs —
+    struct comparison is field-by-field, so the first element is the
+    highest score with deterministic tie-break for ANY number of
+    profiles (the r1 version hand-indexed exactly three languages).
+    O(tokens x profiles) per row, no shuffle; real deployments swap in
+    larger profiles or char n-gram models — the dataflow shape is
+    identical.
     """
+    profiles = profiles if profiles is not None else LANG_PROFILES
     toks = tokens(text_col)
     scored = df.withColumns(
-        {f"score_{lang}": _profile_hits(toks, words) for lang, words in LANG_PROFILES.items()}
+        {f"score_{lang}": _profile_hits(toks, words) for lang, words in profiles.items()}
     )
-    langs = list(LANG_PROFILES)
-    pred = F.when(
-        (F.col(f"score_{langs[0]}") >= F.col(f"score_{langs[1]}"))
-        & (F.col(f"score_{langs[0]}") >= F.col(f"score_{langs[2]}")),
-        F.lit(langs[0]),
-    ).when(F.col(f"score_{langs[1]}") >= F.col(f"score_{langs[2]}"), F.lit(langs[1])).otherwise(
-        F.lit(langs[2])
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-F.col(f"score_{lang}")).alias("neg_score"),
+                    F.lit(i).alias("order"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(profiles)
+            ]
+        )
     )
-    return scored.withColumn("predicted_lang", pred)
+    return scored.withColumn("predicted_lang", F.element_at(ranked, 1)["lang"])
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

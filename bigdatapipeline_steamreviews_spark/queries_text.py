@@ -171,28 +171,21 @@ WHERE quality_score >= (
     ("X4", "A*"),
     "Corpus quality filtering — the operator a training-data pipeline "
     "actually runs: keep documents at or above the corpus's nearest-rank "
-    "p25 quality score. The threshold is one scalar (broadcast), so the "
-    "filter is a single scan pass; at 100 TB the percentile would come "
-    "from approx_percentile or a sampled rank, same dataflow.",
+    "p25 quality score. The threshold comes from a two-phase bucketed "
+    "exact selection (operators/selection.py) — map-side scans + bucket "
+    "counts, no corpus-wide ordered window — then one broadcast scalar "
+    "filters the corpus in a single pass.",
 )
 def x4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators.selection import exact_quantile_threshold
 
     scored = quality_score(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "quality_score"
     )
-    w = Window.orderBy("quality_score", "doc_id")
-    ranked = scored.select(
-        "quality_score",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
-    thr = ranked.filter(
-        F.col("rn") == F.ceil(F.lit(0.25) * F.col("n"))
-    ).select(F.col("quality_score").alias("thr"))
+    thr = exact_quantile_threshold(scored, "quality_score", 0.25)
     return (
         scored.crossJoin(F.broadcast(thr))
-        .filter(F.col("quality_score") >= F.col("thr"))
+        .filter(F.col("quality_score") >= F.col("threshold"))
         .select("doc_id", "n_tokens", "quality_score")
     )
 

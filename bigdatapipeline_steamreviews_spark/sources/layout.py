@@ -159,6 +159,22 @@ def write_zordered(
 # ---------------------------------------------------------------------------
 
 
+def _dir_bytes(spark: SparkSession, path: str, suffix: str = "") -> int:
+    """Total bytes of files under ``path`` (recursive), via the Hadoop
+    FileSystem resolved from the path's scheme — portable across
+    file://, hdfs://, s3a://, etc."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    total = 0
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(suffix):
+            total += status.getLen()
+    return total
+
+
 def compact_files(
     spark: SparkSession,
     src_path: str,
@@ -178,15 +194,15 @@ def compact_files(
     With ``sort_cols`` the rewrite also range-clusters (coarse single-dim
     zorder) so compaction doubles as a stats-improving reorganization —
     the OPTIMIZE verb of table formats, expressed as plain Spark.
+
+    Input size comes from the Hadoop ``FileSystem`` API (resolved from the
+    path's scheme), so the same job sizes its output correctly on local
+    disk, HDFS, or an object store — an ``os.walk`` would only ever see
+    the driver's local filesystem.
     """
     import math
-    import os
 
-    total = 0
-    for root, _dirs, files in os.walk(src_path):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    total = _dir_bytes(spark, src_path, suffix=".parquet")
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src_path)
     if sort_cols:

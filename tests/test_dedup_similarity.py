@@ -194,3 +194,25 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(exact) == len(approx)
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_ivf_scales_to_256_lists_without_plan_blowup(spark):
+    """Centroids ride a broadcast join, not plan literals: 256 lists must
+    neither explode the compiled plan nor change the operator contract.
+    (The r1 implementation embedded n_lists x dim literal structs — fine
+    at 16 lists, quadratic plan text at realistic list counts.)"""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    pred = F.col("vec_id") < 5
+    out = cosine_topk_ivf(emb, pred, k=5, n_lists=256, n_probe=8)
+    # The plan stays metadata-sized: the centroid table is a scan +
+    # broadcast, not an expression tree that grows with n_lists.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 100_000
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3, 4}
+    assert all(1 <= r["rank"] <= 5 for r in rows)

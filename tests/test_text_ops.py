@@ -59,3 +59,56 @@ def test_paced_event_stream_contract(spark):
     assert [f.name for f in df.schema.fields] == [
         "event_id", "ts", "user_id", "event_type", "value", "props",
     ]
+
+
+def test_exact_quantile_threshold_matches_nearest_rank(spark):
+    import math
+
+    from bigdatapipeline_steamreviews_spark.operators.selection import (
+        exact_quantile_threshold,
+    )
+
+    # Clumpy values with ties, not uniformly spread.
+    vals = [1.0, 1.0, 1.0, 2.5, 2.5, 3.0, 100.0, 100.0, 100.5, 101.0, 7.25]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    for q in (0.1, 0.25, 0.5, 0.9, 1.0):
+        want = sorted(vals)[math.ceil(q * len(vals)) - 1]
+        got = exact_quantile_threshold(df, "v", q, n_buckets=4).collect()
+        assert len(got) == 1 and got[0].threshold == want, q
+
+
+def test_exact_quantile_threshold_degenerate_and_empty(spark):
+    from bigdatapipeline_steamreviews_spark.operators.selection import (
+        exact_quantile_threshold,
+    )
+
+    const = spark.createDataFrame([(5.0,)] * 7, "v double")
+    got = exact_quantile_threshold(const, "v", 0.25).collect()
+    assert len(got) == 1 and got[0].threshold == 5.0
+
+    empty = spark.createDataFrame([], "v double")
+    assert exact_quantile_threshold(empty, "v", 0.25).collect() == []
+
+
+def test_language_id_generalizes_to_n_profiles(spark):
+    from bigdatapipeline_steamreviews_spark.operators.text import (
+        LANG_PROFILES,
+        language_id,
+    )
+
+    profiles = dict(LANG_PROFILES)
+    profiles["fr"] = ["le", "la", "et", "les", "des", "une"]
+    df = spark.createDataFrame(
+        [
+            (1, "le chat et les chiens des villes"),
+            (2, "the cat and the dogs of a town"),
+            (3, "tie breaker with no profile words at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.predicted_lang
+        for r in language_id(df, profiles=profiles).collect()
+    }
+    # Doc 3 scores 0 everywhere -> earliest profile wins the tie.
+    assert got == {1: "fr", 2: "en", 3: "en"}
