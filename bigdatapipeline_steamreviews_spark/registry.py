@@ -144,6 +144,7 @@ def _ensure_all_registered() -> None:
     from . import queries_similarity  # noqa: F401
     from . import queries_streaming  # noqa: F401
     from . import queries_multimodal  # noqa: F401
+    from . import queries_reviews  # noqa: F401
 
     ordered = sorted(REGISTRY, key=_order_rank)
     for name in ordered:
