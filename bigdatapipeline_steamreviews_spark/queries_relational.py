@@ -665,3 +665,207 @@ def q21_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count_distinct("l_orderkey").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: the remaining classic shapes expressible on the
+# driver's table subset (no partsupp table, so Q2/Q11/Q20 are out of reach).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_exists",
+    """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    ("A3", "J*"),
+    "TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join — the fact "
+    "side is filtered by the date window BEFORE the join, and the semi "
+    "join never materializes per-order lineitem multiplicity (first match "
+    "short-circuits), so the aggregate input is at most one row per "
+    "order. (Ships late-shipment predicate on shipdate vs orderdate; the "
+    "canonical commit/receipt columns aren't in the driver's lineitem.)",
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+SELECT {_sum_exact_sql('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""",
+    ("A4", "P10"),
+    "TPC-H Q6 shape: the pure scan-filter-aggregate — every predicate "
+    "(date range, discount band, quantity cap) pushes into the parquet "
+    "scan as DataFilters and prunes row groups via min/max stats; the "
+    "whole query is one codegen'd map + a 1-row partial/final agg, the "
+    "canonical demonstration that selective scans never shuffle data.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return l.agg(
+        sum_exact(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+SELECT c.c_custkey, c.c_name,
+       {_sum_exact_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    ("A4", "O2", "J*"),
+    "TPC-H Q10 shape: lost-revenue ranking. Fact-fact shuffle join "
+    "(orders x lineitem on orderkey, both pre-filtered at the scan), "
+    "customer and nation broadcast, bounded top-20 via "
+    "TakeOrderedAndProject — never a global sort.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        sum_exact(revenue).alias("revenue")
+    )
+    return top_n(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20).select(
+        "c_custkey", "c_name", "revenue", "c_acctbal", "n_name"
+    )
+
+
+@register(
+    "q12_late_shipments",
+    """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+""",
+    ("A4", "J*"),
+    "TPC-H Q12 shape: late shipments split by order priority — a "
+    "fact-fact join with a non-equi residual predicate (shipdate vs "
+    "orderdate + 60d rides the orderkey hash join as a post-join filter) "
+    "feeding conditional counts. (Grouped by l_linestatus; the canonical "
+    "shipmode column isn't in the driver's lineitem.)",
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import count_if
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus"
+    )
+    joined = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_linestatus")
+        .agg(
+            count_if(high).alias("high_line_count"),
+            count_if(~high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+SELECT (100.0 * {_sum_exact_sql(
+        "CASE WHEN p.p_type LIKE 'PROMO%' "
+        "THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END")})
+       / {_sum_exact_sql('l.l_extendedprice * (1.0 - l.l_discount)')}
+         AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""",
+    ("A4", "J*"),
+    "TPC-H Q14 shape: promotion revenue share — a month-sliced fact scan "
+    "broadcast-joined to the part dimension, two exact-decimal "
+    "conditional sums, one double division at the end (both sums through "
+    "the DECIMAL(28,10) recipe so the ratio is bitwise reproducible).",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    joined = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return joined.agg(
+        (
+            (F.lit(100.0) * sum_exact(promo_rev)) / sum_exact(rev)
+        ).alias("promo_revenue_pct")
+    )

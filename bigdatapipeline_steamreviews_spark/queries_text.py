@@ -495,3 +495,117 @@ def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(_docs(spark, sf_dir)).select(
         "doc_id", "scrubbed", "n_emails", "n_phones"
     )
+
+
+@register(
+    "x1_dedup_survivors",
+    """
+SELECT doc_id, text
+FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+""",
+    ("X1",),
+    "The dedup operator's actual output: the corpus with one surviving "
+    "(minimum-id) document per distinct content digest — a semi-join of "
+    "the corpus against the digest-group survivors, i.e. what a training "
+    "pipeline writes back to storage after X1.",
+)
+def x1_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi").select("doc_id", "text")
+
+
+@register(
+    "x2_minhash_jaccard_estimate",
+    f"""
+WITH {_SHINGLES3_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT p.a_id, p.b_id,
+       (  (sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+        + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT
+        + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT
+        + (sa.h6 = sb.h6)::INT + (sa.h7 = sb.h7)::INT) / 8.0
+         AS est_jaccard
+FROM pairs p
+JOIN sigs sa ON p.a_id = sa.doc_id
+JOIN sigs sb ON p.b_id = sb.doc_id
+""",
+    ("X2",),
+    "MinHash similarity estimation: for each LSH candidate pair, the "
+    "fraction of agreeing minhash positions is an unbiased estimator of "
+    "the true Jaccard — the cheap scorer a dedup pipeline uses to rank or "
+    "threshold candidates WITHOUT re-touching the documents (signatures "
+    "only; the exact-Jaccard join is the expensive fallback).",
+)
+def x2_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 8
+    sigs = minhash_signatures(_docs(spark, sf_dir), k=k)
+    pairs = lsh_candidate_pairs(sigs, k=k, bands=4)
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    matches = None
+    for i in range(k):
+        term = F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        pairs.join(sa, pairs.a_id == F.col("sa.doc_id"))
+        .join(sb, pairs.b_id == F.col("sb.doc_id"))
+        .select("a_id", "b_id", (matches / F.lit(float(k))).alias("est_jaccard"))
+    )
+
+
+@register(
+    "x4_corpus_language_budget",
+    """
+SELECT predicted_lang,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+       sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))::BIGINT
+         AS total_pieces
+FROM (
+  SELECT text,
+         CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+              WHEN score_es >= score_de THEN 'es'
+              ELSE 'de' END AS predicted_lang
+  FROM (
+    SELECT text,
+      len(list_filter(string_split(text,' '),
+          t -> t IN ('the','a','of','and','to','is')))::BIGINT AS score_en,
+      len(list_filter(string_split(text,' '),
+          t -> t IN ('el','la','de','y','que','los')))::BIGINT AS score_es,
+      len(list_filter(string_split(text,' '),
+          t -> t IN ('der','die','das','und','zu','ist')))::BIGINT AS score_de
+    FROM documents
+  )
+)
+GROUP BY predicted_lang
+""",
+    ("X4", "A*"),
+    "Corpus token budgeting per detected language — the planning query an "
+    "LLM data pipeline runs before sampling a training mix: language-ID "
+    "every document (map-only), then one partial-aggregatable groupBy for "
+    "document and token/piece totals per language.",
+)
+def x4_corpus_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lid = language_id(_docs(spark, sf_dir))
+    with_counts = token_stats(lid)
+    return with_counts.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_pieces").alias("total_pieces"),
+    )

@@ -123,3 +123,41 @@ def test_rocksdb_state_store_matches_batch(spark, tmp_path):
     assert final.count() == batch.count()
     sym_diff = final.exceptAll(batch).count() + batch.exceptAll(final).count()
     assert sym_diff == 0
+
+
+def test_paced_event_stream_rate_source(spark):
+    """S2 — the reference's paced replay (~100 rows/s, stream_generator.py:
+    10-11) as a live `rate` source: events-shaped schema, deterministic
+    per-tick columns, consumable by any streaming query in the package."""
+    import time
+
+    from bigdatapipeline_steamreviews_spark.sources.replay import paced_event_stream
+
+    stream = paced_event_stream(spark, rows_per_second=500)
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("paced_smoke")
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        n = 0
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS c FROM paced_smoke").collect()[0].c
+            if n >= 100:
+                break
+            time.sleep(0.3)
+        assert n >= 100, f"only {n} rows arrived from the rate source"
+        rows = spark.sql("SELECT * FROM paced_smoke LIMIT 50").collect()
+        types = {"click", "view", "purchase", "signup", "error"}
+        assert all(r.event_type in types for r in rows)
+        assert all(0.0 <= r.value < 200.0 for r in rows)
+        assert all(r.props.startswith('{"k":') for r in rows)
+    finally:
+        q.stop()
