@@ -129,6 +129,17 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= F.lit(min_jaccard))
 
 
+# Carter-Wegman permutation family for MinHash: one strong base hash per
+# shingle, then k affine maps h_i(x) = (a_i*x + b_i) mod P over the prime
+# field.  P = 2^31-1 keeps a_i*x + b_i inside 63 bits (no BIGINT overflow
+# in any engine); the fixed odd constants make signatures deterministic.
+MINHASH_PRIME = 2_147_483_647
+MINHASH_A = (1_299_721, 1_159_523_347, 741_103_597, 887_751_311,
+             1_685_821_657, 723_471_131, 376_940_407, 986_048_563)
+MINHASH_B = (15_485_863, 32_452_843, 86_028_121, 122_949_829,
+             198_491_317, 295_075_153, 472_882_049, 533_000_401)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -138,35 +149,53 @@ def minhash_signatures(
 ) -> DataFrame:
     """X2b — k-permutation MinHash signatures over word shingles.
 
-    Hash family: md5 of a per-function salt prepended to the shingle; the
-    minimum md5 *hex string* is the minimum of the underlying 128-bit
-    integer (fixed-width hex compares lexicographically = numerically), so
-    signatures are portable to any engine with md5.
+    Hash family: ONE md5 per shingle (truncated to 60 bits, reduced mod
+    P = 2^31-1), then ``k`` affine permutations (a_i*x + b_i) mod P — the
+    standard Carter-Wegman construction.  The expensive strong hash is
+    paid once per shingle instead of once per (shingle, function): at k=8
+    that is 8x less hashing than salted-md5-per-function, with the same
+    MinHash estimator guarantees.  Integer mod arithmetic is bit-identical
+    in every engine, so signatures stay oracle-portable.
 
     **Shuffle-free**: the whole signature is a per-row projection —
-    ``array_min(transform(shingles, md5))`` per hash function — instead of
-    the explode + groupBy(doc) formulation, which shuffles every
-    (doc, shingle) row just to bring them back together.  Per-row array
-    expressions compute the same mins with zero data movement; at 100 TB
-    that is the difference between a map-only stage and a corpus-sized
-    shuffle.  (`ensure_min_parallelism` still applies for the LSH join
-    that typically follows.)
+    base hashes via ``transform(shingles, md5-mod-P)`` (its own projection
+    step: CollapseProject refuses to duplicate non-cheap collection
+    expressions, so the md5 pass stays single), then ``array_min`` over
+    each affine map — instead of the explode + groupBy(doc) formulation,
+    which shuffles every (doc, shingle) row just to bring them back
+    together.  At 100 TB that is the difference between a map-only stage
+    and a corpus-sized shuffle.  (`ensure_min_parallelism` still applies
+    for the LSH join that typically follows.)
     """
+    if k > len(MINHASH_A):
+        raise ValueError(f"k <= {len(MINHASH_A)} supported (got {k})")
     c = F.col(text_col)
+    p = F.lit(MINHASH_PRIME).cast("long")
     shingled = ensure_min_parallelism(df, id_col).select(
         F.col(id_col),
         F.array_distinct(word_shingles(c, n)).alias("__sh"),
     ).filter(F.size("__sh") > 0)  # <n-token docs have no signature (as before)
-    def salted_md5(i: int):
-        # NB: must be a one-arg lambda — a two-arg lambda makes F.transform
-        # pass the ARRAY INDEX as the second argument.
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+    based = shingled.select(
+        F.col(id_col),
+        F.transform(
+            F.col("__sh"),
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), p
+            ),
+        ).alias("__hs"),
+    )
+    def affine(i: int):
+        # NB: must return a ONE-arg lambda — a two-arg lambda makes
+        # F.transform pass the ARRAY INDEX as the second argument.
+        a = F.lit(MINHASH_A[i]).cast("long")
+        b = F.lit(MINHASH_B[i]).cast("long")
+        return lambda x: F.pmod(a * x + b, p)
 
     mins = [
-        F.array_min(F.transform(F.col("__sh"), salted_md5(i))).alias(f"h{i}")
+        F.array_min(F.transform(F.col("__hs"), affine(i))).alias(f"h{i}")
         for i in range(k)
     ]
-    return shingled.select(F.col(id_col), *mins)
+    return based.select(F.col(id_col), *mins)
 
 
 def lsh_candidate_pairs(

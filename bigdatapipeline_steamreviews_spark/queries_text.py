@@ -9,6 +9,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_PRIME,
     connected_components,
     exact_dedup,
     lsh_candidate_pairs,
@@ -361,8 +364,13 @@ def x2_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=0.5, max_doc_freq=5)
 
 
+# Mirror of operators.dedup.minhash_signatures' Carter-Wegman family: one
+# md5 per shingle (60-bit truncation mod P), k affine permutations — pure
+# integer arithmetic, bit-identical across engines.
 _MINHASH_MINS = ",\n         ".join(
-    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(8)
+    f"min(({MINHASH_A[i]} * (('0x' || substr(md5(sh), 1, 15))::BIGINT"
+    f" % {MINHASH_PRIME}) + {MINHASH_B[i]}) % {MINHASH_PRIME}) AS h{i}"
+    for i in range(8)
 )
 
 @register(
