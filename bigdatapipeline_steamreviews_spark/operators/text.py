@@ -308,3 +308,69 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
         }
     )
+
+
+def repetition_score(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """X4 — intra-document repetition: the fraction of duplicate word
+    n-grams (1 - distinct/total).  High values mark boilerplate, keyboard
+    mash, and degenerate generations — one of the standard rule-based
+    quality filters in large-corpus pipelines (the Gopher/MassiveText
+    family of repetition rules).  Pure per-row array expressions: no
+    shuffle, no UDF; short texts (< n tokens) score 0.
+    """
+    from ..functions import word_shingles
+
+    sh = word_shingles(F.col(text_col), n)
+    total = F.size(sh).cast("long")
+    distinct = F.size(F.array_distinct(sh)).cast("long")
+    return df.withColumns(
+        {
+            "n_shingles": total,
+            "n_distinct_shingles": distinct,
+            "dup_ratio": F.when(
+                total > 0, F.lit(1.0) - distinct / total
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def contamination_hits(
+    df: DataFrame,
+    benchmark_phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """X2/X4 — benchmark contamination check: per document, how many of
+    its distinct word n-grams appear in a benchmark phrase set.  The
+    decontamination pass every training pipeline runs before evaluation
+    claims mean anything: documents sharing n-grams with held-out
+    benchmarks are flagged (and usually dropped).
+
+    Dataflow: explode distinct doc shingles once, broadcast-join the
+    benchmark shingle set (benchmark corpora are MB-scale vs the TB
+    corpus, so the corpus side never shuffles for the join), count hits
+    per document, left-join back so clean documents report 0.  Returns
+    (id, n_hits, contaminated).
+    """
+    from ..operators.dedup import shingle_table
+
+    spark = df.sparkSession
+    bench = spark.createDataFrame(
+        [(p,) for p in sorted(benchmark_phrases)], "sh string"
+    )
+    sh = shingle_table(df, text_col, id_col, n)
+    hits = (
+        sh.join(F.broadcast(bench), "sh")
+        .groupBy(F.col("sid").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -617,3 +617,72 @@ def x4_corpus_language_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_pieces").alias("total_pieces"),
     )
+
+
+@register(
+    "x4_repetition_score",
+    """
+SELECT doc_id,
+       CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END::BIGINT
+         AS n_shingles,
+       len(list_distinct(CASE WHEN len(toks) >= 3 THEN
+         [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         ELSE [] END))::BIGINT AS n_distinct_shingles,
+       CASE WHEN len(toks) >= 3 THEN
+         1.0 - len(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         ))::BIGINT / (len(toks) - 2)::BIGINT
+       ELSE 0.0 END AS dup_ratio
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+""",
+    ("X4",),
+    "Intra-document repetition (duplicate 3-gram ratio) — the "
+    "Gopher/MassiveText-family rule that catches boilerplate and "
+    "degenerate text; pure per-row array expressions, map-only.",
+)
+def x4_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import repetition_score
+
+    return repetition_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_shingles", "n_distinct_shingles", "dup_ratio"
+    )
+
+
+# Deterministic stand-in for a held-out benchmark's shingle set; a real
+# decontamination pass broadcasts the benchmark suite's n-grams the same way.
+BENCHMARK_PHRASES = [
+    "key agg row",
+    "batch window spark",
+    "the line sort",
+    "filter value small",
+    "stream batch big",
+]
+
+_BENCH_VALUES = ", ".join(f"('{p}')" for p in sorted(BENCHMARK_PHRASES))
+
+
+@register(
+    "x2_benchmark_contamination",
+    f"""
+WITH {_SHINGLES3_SQL},
+bench(sh) AS (VALUES {_BENCH_VALUES}),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM shingles JOIN bench USING (sh)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+    ("X2", "X4", "J*"),
+    "Benchmark decontamination: flag documents sharing word 3-grams with "
+    "a held-out benchmark set — the pass that keeps eval claims honest. "
+    "Corpus shingles explode once and broadcast-join the (MB-scale) "
+    "benchmark set; clean documents report 0 via the left join back.",
+)
+def x2_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import contamination_hits
+
+    return contamination_hits(_docs(spark, sf_dir), BENCHMARK_PHRASES)
