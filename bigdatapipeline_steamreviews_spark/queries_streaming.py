@@ -287,3 +287,38 @@ def stream_enriched_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_table(
         result, name, checkpoint, "complete", shuffle_partitions=8
     )
+
+
+@register(
+    "stream_serving_materialization",
+    FLAGSHIP_ORACLE,
+    ("T4", "S6", "A7", "A1"),
+    "The full reference pipeline shape end-to-end: update-mode streaming "
+    "aggregate -> foreachBatch keyed last-writer-wins merge into a parquet "
+    "serving table (the visualizer's upsert store, visualizer.py:61-79, "
+    "without the data race). Update mode emits only changed (window,key) "
+    "rows per trigger; after the replay drains, the MERGED SERVING TABLE "
+    "— not the emission trace — must equal the batch groupBy, same oracle "
+    "as the flagship.",
+)
+def stream_serving_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.serving_sink import materialize_stream_to_serving
+
+    global _query_counter
+    _query_counter += 1
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    result = streaming_daily_summary(stream, watermark=None)
+    table_dir = tempfile.mkdtemp(prefix="spark_graft_serving_") + "/table"
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    # Same state-store sizing rationale as run_to_memory_table: tiny state
+    # cardinality (days x event types), 8 partitions.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        materialize_stream_to_serving(
+            result, table_dir, keys=["event_type", "time"], checkpoint_dir=checkpoint
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(table_dir)
