@@ -686,3 +686,96 @@ def x2_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import contamination_hits
 
     return contamination_hits(_docs(spark, sf_dir), BENCHMARK_PHRASES)
+
+
+@register(
+    "x2_dedup_survivors",
+    f"""
+WITH RECURSIVE {_SHINGLES3_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, d.text
+FROM documents d
+LEFT JOIN clusters c USING (doc_id)
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+""",
+    ("X2", "X1", "J*"),
+    "Fuzzy-dedup end-to-end: the corpus minus every non-minimum member of "
+    "each MinHash-LSH near-duplicate cluster — signatures -> banded "
+    "candidate pairs -> connected components -> anti-join of the losers "
+    "back against the corpus. This is the query whose OUTPUT a training "
+    "pipeline actually writes to storage; singleton documents (never in "
+    "any candidate pair) pass through untouched via the left join.",
+)
+def x2_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, k=8)
+    pairs = lsh_candidate_pairs(sigs, k=8, bands=4)
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "text")
+
+
+@register(
+    "x4_training_mix_sample",
+    """
+SELECT doc_id, predicted_lang
+FROM (
+  SELECT doc_id,
+         CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+              WHEN score_es >= score_de THEN 'es'
+              ELSE 'de' END AS predicted_lang
+  FROM (
+    SELECT doc_id,
+      len(list_filter(string_split(text,' '),
+          t -> t IN ('the','a','of','and','to','is')))::BIGINT AS score_en,
+      len(list_filter(string_split(text,' '),
+          t -> t IN ('el','la','de','y','que','los')))::BIGINT AS score_es,
+      len(list_filter(string_split(text,' '),
+          t -> t IN ('der','die','das','und','zu','ist')))::BIGINT AS score_de
+    FROM documents
+  )
+)
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+      < (CASE WHEN predicted_lang = 'en' THEN 80 ELSE 30 END)
+""",
+    ("X4", "P*"),
+    "Training-mix sampling: language-ID every document, then keep "
+    "per-language deterministic hash-sample rates (80% en, 30% others) — "
+    "the language-rebalancing pass that composes corpus profiling "
+    "(x4_corpus_language_budget) with reproducible sampling (P15/P16 "
+    "recipe: md5(id) mod 100, identical rows on any engine, any "
+    "partitioning, any rerun). Map-only: classify + filter in one scan.",
+)
+def x4_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lid = language_id(_docs(spark, sf_dir))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.when(F.col("predicted_lang") == "en", 80).otherwise(30)
+    return lid.filter(bucket < rate).select("doc_id", "predicted_lang")
