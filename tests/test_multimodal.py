@@ -117,3 +117,17 @@ def test_frame_sample_octet_parity_with_oracle(spark, blobs):
     assert [r[1] for r in d5] == [0, 1]
     assert d5[0][2] == 64 and d5[1][2] == 42
     assert d5[0][3].endswith("E2") and d5[1][3].startswith("82AC")
+
+
+def test_blob_metadata_scan_prunes_payload(spark, blobs, tmp_path):
+    """The X5 storage claim, plan-asserted: a metadata-only projection over
+    a STORED blob table must not read the binary payload column at all —
+    column pruning reaches the parquet scan, so a 100 TB payload corpus
+    costs nothing to catalog."""
+    path = str(tmp_path / "blobs_parquet")
+    blobs.write.mode("overwrite").parquet(path)
+    md = blob_metadata(spark.read.parquet(path))
+    plan = md._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "payload" not in read_schema
+    assert "content_md5" in read_schema
