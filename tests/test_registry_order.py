@@ -1,0 +1,88 @@
+"""Registration-order policy tests (registry.py).
+
+The driver checks a bounded window of queries in registration order, so
+ordering is a verification-coverage mechanism: never-driver-checked
+queries must sort to the front (each new operator earns its gate row in
+its first round), then the north-star surface, then the relational tail,
+each least-recently-checked first.
+"""
+
+from __future__ import annotations
+
+import json
+
+from bigdatapipeline_steamreviews_spark import registry
+from bigdatapipeline_steamreviews_spark.registry import (
+    _PRIORITY_PREFIXES,
+    _last_green_rounds,
+    queries,
+)
+
+
+def test_last_green_rounds_parses_driver_artifacts(tmp_path):
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    rows_only = {"rows_match": True, "schema_match": True, "hash_match": None, "err": None}
+    red_hash = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+    errored = {"rows_match": False, "schema_match": False, "hash_match": False, "err": "boom"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": green, "b": red_hash, "c": rows_only, "d": green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"a": green, "b": green, "e": errored})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text("not json {")
+
+    got = _last_green_rounds(tmp_path)
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_last_green_rounds_empty_dir(tmp_path):
+    assert _last_green_rounds(tmp_path) == {}
+
+
+def test_flagship_registers_first():
+    assert next(iter(queries())) == "flagship_daily_summary"
+
+
+def test_never_checked_queries_precede_rechecks():
+    """Against the real repo artifacts: any query without a past green
+    driver row outranks every already-checked query (flagship aside), so
+    new operators always land inside the driver's bounded window."""
+    names = list(queries())
+    last_green = _last_green_rounds()
+    checked_positions = [
+        i for i, n in enumerate(names) if n in last_green and i > 0
+    ]
+    unchecked_positions = [
+        i for i, n in enumerate(names) if n not in last_green and i > 0
+    ]
+    if checked_positions and unchecked_positions:
+        assert max(unchecked_positions) < min(checked_positions)
+
+
+def test_priority_surface_outranks_relational_tail_within_same_staleness():
+    names = list(queries())
+    last_green = _last_green_rounds()
+    by_staleness: dict[tuple, list[str]] = {}
+    for i, n in enumerate(names[1:]):
+        key = (n in last_green, last_green.get(n, 0))
+        by_staleness.setdefault(key, []).append(n)
+    for group in by_staleness.values():
+        seen_tail = False
+        for n in group:
+            if n.startswith(_PRIORITY_PREFIXES):
+                assert not seen_tail, f"priority query {n} sorted after tail"
+            else:
+                seen_tail = True
+
+
+def test_every_query_has_oracle_or_documented_exception():
+    """Every registered query is either oracle-backed or one of the known
+    non-SQL-expressible rows-only entries."""
+    queries()
+    rows_only = {n for n, s in registry.REGISTRY.items() if s.oracle is None}
+    assert rows_only <= {
+        "x3_cosine_topk_ivf",
+        "stream_sessionization",
+        "stream_daily_summary_watermarked",
+    }, f"unexpected rows-only queries: {rows_only}"
