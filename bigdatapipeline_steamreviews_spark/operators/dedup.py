@@ -31,7 +31,10 @@ __all__ = [
     "shingle_table",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "lsh_band_table",
     "lsh_candidate_pairs",
+    "cross_corpus_lsh_candidates",
+    "incremental_exact_dedup",
     "simhash_signatures",
     "connected_components",
 ]
@@ -198,6 +201,32 @@ def minhash_signatures(
     return based.select(F.col(id_col), *mins)
 
 
+def lsh_band_table(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The banded signature table behind every LSH join: one
+    (bid, band, key) row per document per band, where key is md5 over the
+    band's minhashes — a constant-width join key regardless of shingle
+    sizes.  Shared by the self-join (within-corpus dedup) and the
+    two-corpus join (incremental dedup against an existing corpus)."""
+    r = k // bands
+    band_cols = []
+    for bi in range(bands):
+        parts = [F.col(f"h{bi * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("key"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col).alias("bid"), F.explode(F.array(*band_cols)).alias("b")
+    ).select("bid", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -223,19 +252,7 @@ def lsh_candidate_pairs(
     idea is "materialize the signature table once, join from storage" —
     signatures are reused across dedup runs anyway.
     """
-    r = k // bands
-    band_cols = []
-    for bi in range(bands):
-        parts = [F.col(f"h{bi * r + j}") for j in range(r)]
-        band_cols.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("key"),
-            )
-        )
-    exploded = sigs.select(
-        F.col(id_col).alias("bid"), F.explode(F.array(*band_cols)).alias("b")
-    ).select("bid", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    exploded = lsh_band_table(sigs, id_col, k, bands)
     if cache_signatures:
         exploded = exploded.localCheckpoint()
     a, b = exploded.alias("a"), exploded.alias("b")
@@ -247,6 +264,80 @@ def lsh_candidate_pairs(
             & (F.col("a.bid") < F.col("b.bid")),
         )
         .select(F.col("a.bid").alias("a_id"), F.col("b.bid").alias("b_id"))
+        .distinct()
+    )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    base: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X1, incremental form — dedup a NEW batch against an EXISTING
+    corpus, the shape every continuously-ingesting training pipeline
+    actually runs (the one-shot ``exact_dedup`` re-reads the world).
+
+    Both sides reduce to (digest, min id) before meeting: the batch keeps
+    one candidate row per distinct digest and the base is its digest
+    dictionary — at 100 TB that dictionary is the thing a pipeline keeps
+    materialized between runs, and the join is digest-keyed (constant
+    width) rather than content-keyed.  A left join marks each distinct
+    batch document as new (``dup_of`` null) or as a duplicate of the
+    surviving base id.
+
+    Returns (doc_id, content_hash, dup_of, is_new) — one row per distinct
+    batch digest, doc_id = the batch's min id for that digest.
+    """
+    batch_d = batch.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(F.col(id_col)).alias("doc_id")
+    )
+    base_d = base.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(F.col(id_col)).alias("dup_of")
+    )
+    return batch_d.join(base_d, "content_hash", "left").select(
+        "doc_id",
+        "content_hash",
+        "dup_of",
+        F.col("dup_of").isNull().alias("is_new"),
+    )
+
+
+def cross_corpus_lsh_candidates(
+    batch: DataFrame,
+    base: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """X2, incremental form — near-duplicate CANDIDATES of a new batch
+    against an existing corpus: batch documents sharing any full LSH band
+    with a base document.
+
+    Same banded-signature machinery as the self-join dedup, but the join
+    is batch x base instead of corpus x corpus — candidate volume scales
+    with the batch, and the base's band table is exactly the artifact a
+    pipeline materializes once and reuses every ingest (here it is
+    recomputed because the fixture has no persisted index; the operator
+    accepts any (bid, band, key)-shaped base side).
+
+    Returns distinct (batch_id, base_id).
+    """
+    batch_bands = lsh_band_table(
+        minhash_signatures(batch, text_col, id_col, n, k), id_col, k, bands
+    )
+    base_bands = lsh_band_table(
+        minhash_signatures(base, text_col, id_col, n, k), id_col, k, bands
+    )
+    b, c = batch_bands.alias("b"), base_bands.alias("c")
+    return (
+        b.join(
+            c,
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.key") == F.col("c.key")),
+        )
+        .select(F.col("b.bid").alias("batch_id"), F.col("c.bid").alias("base_id"))
         .distinct()
     )
 

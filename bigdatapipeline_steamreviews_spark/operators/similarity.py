@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.columns import cosine_similarity
+from ..functions.columns import avg_exact, cosine_similarity
 
 __all__ = [
     "sign_bucket",
@@ -33,6 +33,8 @@ __all__ = [
     "cosine_topk_multiprobe",
     "embedding_near_dup_pairs",
     "cosine_topk_ivf",
+    "label_centroids",
+    "scalar_quantize",
 ]
 
 
@@ -195,6 +197,102 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= F.lit(min_cosine))
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding — the E-step of k-means, the class
+    prototype of a nearest-centroid classifier, and the cluster summary a
+    curation pipeline ships instead of raw vectors.
+
+    Shape: ``posexplode`` fans each vector into (label, pos, val) rows —
+    dim x |corpus|, but the groupBy key (label, pos) partial-aggregates
+    map-side, so the shuffle carries at most |labels| x dim rows per task
+    regardless of corpus size.  Component means use the exact-decimal
+    recipe (order-independent => partitioning-independent, bitwise equal
+    to the oracle); the final per-label array reassembly sorts collected
+    (pos, mean) structs, whose count per group is exactly the dimension.
+
+    Determinism detail: raw float components are quantized to 1e-8 in
+    double space (floor(x*1e8 + 0.5)/1e8 — identical IEEE ops in every
+    engine) before the decimal accumulation, because double->DECIMAL
+    rounding of arbitrary binary fractions is engine-specific in the last
+    decimal digit (Java BigDecimal HALF_UP on the exact expansion vs
+    scaled-double rounding); a double that IS a 1e-8 multiple converts
+    identically everywhere.  1e-8 absolute is at/below float ulp for
+    unit-scale embeddings.
+
+    Returns (label, centroid array<double>, n_vecs).
+    """
+    pos = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    val_q = F.floor(F.col("val").cast("double") * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+    per_component = pos.groupBy("label", "pos").agg(
+        avg_exact(val_q).alias("m")
+    )
+    counts = embeddings.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    assembled = per_component.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m")))),
+            lambda s: s["m"],
+        ).alias("centroid")
+    )
+    return assembled.join(counts, "label").select("label", "centroid", "n_vecs")
+
+
+def scalar_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-vector scalar quantization to ``levels+1`` codes (int8-style)
+    — the storage-compression pass an embedding corpus goes through
+    before ANN serving: 4-byte floats become 1-byte codes plus two
+    per-vector floats (min, max).
+
+    Map-only: every output is a per-row array expression (no shuffle, no
+    UDF).  Codes: round((x - vmin) / (vmax - vmin) * levels) via
+    floor(y + 0.5) — half-up rounding spelled in primitives both engines
+    evaluate identically (engine-native round() differs on ties).
+    ``sq_err`` is the per-vector reconstruction error (sequential fold,
+    deterministic), the quality metric that picks `levels`.
+
+    Degenerate constant vectors (vmax == vmin) map to code 0 everywhere
+    and reconstruct exactly.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vmin = F.array_min(v)
+    vmax = F.array_max(v)
+    scale = vmax - vmin
+    lv = F.lit(float(levels))
+    codes = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor((x - vmin) / scale * lv + F.lit(0.5)).cast("int"))
+    )
+    tmp = embeddings.select(
+        F.col(id_col),
+        vmin.alias("vmin"),
+        vmax.alias("vmax"),
+        v.alias("__v"),
+        codes.alias("codes"),
+    )
+    dequant = F.transform(
+        F.col("codes"),
+        lambda c: F.col("vmin") + c.cast("double") * (F.col("vmax") - F.col("vmin")) / lv,
+    )
+    sq_err = F.aggregate(
+        F.zip_with(F.col("__v"), dequant, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return tmp.select(id_col, "vmin", "vmax", "codes", sq_err.alias("sq_err"))
 
 
 def cosine_topk_ivf(

@@ -24,7 +24,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_register_table", "hll_distinct", "HLL_P", "hll_alpha_numerator"]
+__all__ = [
+    "hll_register_table",
+    "hll_distinct",
+    "HLL_P",
+    "hll_alpha_numerator",
+    "CMS_DEPTH",
+    "CMS_WIDTH",
+    "cms_bucket",
+    "cms_counter_table",
+    "cms_estimate",
+]
 
 # Sketch geometry: m = 2^p buckets; a 60-bit md5-derived hash splits into
 # p bucket bits + (60-p) rank bits.
@@ -86,6 +96,94 @@ def hll_distinct(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
         (F.lit(hll_alpha_numerator()) / s_total.cast("double")).alias("hll_raw"),
         (F.lit(_M) - F.col("n_buckets")).cast("long").alias("empty_buckets"),
         F.col("n_buckets").cast("long").alias("n_buckets"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimation.
+# ---------------------------------------------------------------------------
+
+# Sketch geometry: depth d independent hash rows x width w counters.  Small
+# here because the fixture vocabulary is small; at corpus scale w grows to
+# ~e/eps counters (eps = tolerable overcount fraction of total mass) and the
+# sketch stays d*w longs REGARDLESS of vocabulary size — that is the point:
+# exact per-token counts at 100 TB need a vocabulary-sized shuffle, the CMS
+# needs a constant-size one.
+CMS_DEPTH = 3
+CMS_WIDTH = 64
+
+
+def cms_bucket(token: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Hash row ``row``'s counter index for a token: the portable 60-bit
+    md5 hash (same recipe as P15 sampling / HLL) with a per-row salt,
+    reduced mod width.  Bit-identical in every engine with md5."""
+    salted = F.concat(F.lit(f"cms{row}:"), token)
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long") % width
+    )
+
+
+def cms_counter_table(
+    tokens: DataFrame,
+    token_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """The sketch itself: per (row, bucket), the number of token
+    occurrences hashing there.  One narrow groupBy on a (tinyint, long)
+    key — partial aggregation collapses each map task's contribution to at
+    most d*w rows before the shuffle, so the exchanged volume is constant
+    in input size.  Counters are plain sums => sketches from different
+    partitions/days/corpora MERGE by adding, the property that makes CMS a
+    streaming/incremental structure."""
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    cms_bucket(F.col(token_col), i, width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        tokens.select(entries.alias("e"))
+        .select(F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    candidates: DataFrame,
+    token_col: str = "token",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point queries against the sketch: est(token) = min over rows of the
+    token's counter — the classic CMS upper-bound estimate (never under,
+    over only on collisions).  The counter table is d*w rows => broadcast;
+    the probe is a map-side join however many candidates there are."""
+    probes = candidates.select(
+        F.col(token_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        cms_bucket(F.col(token_col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select(token_col, F.col("e.row").alias("row"), F.col("e.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), ["row", "bucket"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("cms_est"))
     )
 
 

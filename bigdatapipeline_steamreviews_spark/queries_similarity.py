@@ -237,3 +237,79 @@ def x2_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id", "b_id"
     )
     return connected_components(pairs)
+
+
+@register(
+    "x3_label_centroids",
+    """
+WITH pos AS (
+  SELECT label, u['pos'] AS pos, u['val'] AS val FROM (
+    SELECT label, unnest([{'pos': i-1, 'val': embedding[i]}
+                          for i in range(1, len(embedding)+1)]) AS u
+    FROM embeddings)
+),
+per AS (
+  SELECT label, pos,
+         ((sum(CAST(floor(val::DOUBLE * 100000000.0 + 0.5) / 100000000.0
+                    AS DECIMAL(28,10)))::VARCHAR)::DOUBLE)
+           / count(val) AS m
+  FROM pos GROUP BY 1, 2
+),
+counts AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+SELECT p.label, list(p.m ORDER BY p.pos) AS centroid, any_value(c.n_vecs) AS n_vecs
+FROM per p JOIN counts c USING (label)
+GROUP BY p.label
+""",
+    ("X3", "A*"),
+    "Per-label mean embedding (class centroid / k-means E-step): "
+    "posexplode to (label, pos, val), exact-decimal component means "
+    "(partitioning-independent, bitwise equal to the oracle), reassembled "
+    "in dimension order.  The (label, pos) groupBy partial-aggregates "
+    "map-side, so the shuffle is |labels| x dim, not corpus-sized. "
+    "operators/similarity.py::label_centroids.",
+)
+def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+@register(
+    "x3_scalar_quantize",
+    """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve
+  FROM embeddings
+),
+mm AS (
+  SELECT vec_id, ve, list_min(ve) AS vmin, list_max(ve) AS vmax FROM v
+),
+coded AS (
+  SELECT vec_id, ve, vmin, vmax,
+         CASE WHEN vmax = vmin THEN list_transform(ve, x -> 0)
+              ELSE list_transform(ve,
+                x -> floor((x - vmin) / (vmax - vmin) * 255.0 + 0.5)::INT)
+         END AS codes
+  FROM mm
+)
+SELECT vec_id, vmin, vmax, codes,
+       list_sum(list_transform(list_zip(ve,
+         list_transform(codes,
+           c -> vmin + c::DOUBLE * (vmax - vmin) / 255.0)),
+         x -> (x[1] - x[2]) * (x[1] - x[2]))) AS sq_err
+FROM coded
+""",
+    ("X3", "P*"),
+    "Scalar quantization of the embedding corpus to 8-bit codes plus "
+    "per-vector (min, max) — the 4x storage compression an ANN serving "
+    "tier applies; map-only array expressions, half-up rounding spelled "
+    "as floor(y + 0.5) so both engines tie-break identically, with the "
+    "per-vector reconstruction error as the quality metric. "
+    "operators/similarity.py::scalar_quantize.",
+)
+def x3_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import scalar_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return scalar_quantize(emb)

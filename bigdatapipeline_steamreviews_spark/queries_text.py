@@ -28,7 +28,7 @@ from .operators.text import (
     token_stats,
     vocab_stats,
 )
-from .registry import register
+from .registry import _avg_exact_sql, _count_if_sql, register
 from .sources.tables import load_table
 
 # Shared DuckDB fragments ---------------------------------------------------
@@ -779,3 +779,219 @@ def x4_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.when(F.col("predicted_lang") == "en", 80).otherwise(30)
     return lid.filter(bucket < rate).select("doc_id", "predicted_lang")
+
+
+@register(
+    "x4_cms_heavy_hitters",
+    """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+rows(r) AS (VALUES (0), (1), (2)),
+counters AS (
+  SELECT r AS row,
+         ('0x' || substr(md5('cms' || r || ':' || token), 1, 15))::BIGINT % 64
+           AS bucket,
+         count(*) AS c
+  FROM tok CROSS JOIN rows GROUP BY 1, 2
+),
+ranked AS (
+  SELECT token, count(*) AS n_true,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS INTEGER)
+           AS rank
+  FROM tok GROUP BY token
+),
+cand AS (SELECT * FROM ranked WHERE rank <= 20),
+est AS (
+  SELECT t.token, min(coalesce(c.c, 0))::BIGINT AS cms_est
+  FROM cand t CROSS JOIN rows
+  LEFT JOIN counters c ON c.row = rows.r
+    AND c.bucket =
+        ('0x' || substr(md5('cms' || rows.r || ':' || t.token), 1, 15))::BIGINT % 64
+  GROUP BY t.token
+)
+SELECT c.token, c.n_true, e.cms_est, c.rank FROM cand c JOIN est e USING (token)
+""",
+    ("X4", "A*"),
+    "Count-min sketch heavy hitters: the corpus token stream folds into a "
+    "d x w counter grid (constant-size shuffle regardless of vocabulary — "
+    "the sketch a 100 TB pipeline keeps when exact vocab counts stop "
+    "fitting), then the top-20 true tokens are point-queried against the "
+    "sketch (est = min over rows; >= true by construction, equality "
+    "whenever no collision).  Emitting true AND estimated counts makes the "
+    "overcount auditable.  operators/sketches.py::cms_counter_table.",
+)
+def x4_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.sketches import cms_counter_table, cms_estimate
+
+    tok = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    counters = cms_counter_table(tok)
+    # Ranking window input is the aggregated vocabulary (like x4_vocab_stats),
+    # never the corpus.
+    w = Window.orderBy(F.col("n_true").desc(), F.col("token"))
+    ranked = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+    est = cms_estimate(counters, ranked.select("token"))
+    return ranked.join(est, "token").select("token", "n_true", "cms_est", "rank")
+
+
+@register(
+    "x4_source_quality_rollup",
+    f"""
+WITH scored AS (
+  SELECT source,
+         quality_score,
+         n_tokens,
+         CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+              WHEN score_es >= score_de THEN 'es'
+              ELSE 'de' END AS predicted_lang
+  FROM (
+    SELECT source,
+           len(string_split(text,' '))::BIGINT AS n_tokens,
+           len(list_filter(string_split(text,' '),
+               t -> t IN ('the','a','of','and','to','is')))::BIGINT AS score_en,
+           len(list_filter(string_split(text,' '),
+               t -> t IN ('el','la','de','y','que','los')))::BIGINT AS score_es,
+           len(list_filter(string_split(text,' '),
+               t -> t IN ('der','die','das','und','zu','ist')))::BIGINT AS score_de,
+           0.4 * least(1.0, len(string_split(text,' ')) / 100.0)
+         + 0.3 * (1.0 - abs(len(list_filter(string_split(text,' '),
+               t -> t IN ('the','a','of','and','to','is')))
+             / greatest(len(string_split(text,' ')), 1) - 0.4))
+         + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))
+             / greatest(length(text), 1)) AS quality_score
+    FROM documents
+  )
+)
+SELECT source,
+       count(*) AS n_docs,
+       {_avg_exact_sql('quality_score')} AS avg_quality,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       {_count_if_sql("predicted_lang = 'en'")} AS n_en
+FROM scored GROUP BY source
+""",
+    ("X4", "A*"),
+    "Per-source curation rollup — the provenance dashboard a pipeline "
+    "reads before weighting sources in a training mix: document count, "
+    "exact-decimal mean quality, token volume and detected-English count "
+    "per source.  Both scoring passes are map-only column expressions "
+    "over one scan; the rollup partial-aggregates per source.",
+)
+def x4_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.columns import avg_exact, count_if
+
+    scored = quality_score(language_id(_docs(spark, sf_dir)))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        avg_exact(F.col("quality_score")).alias("avg_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+        count_if(F.col("predicted_lang") == "en").alias("n_en"),
+    )
+
+
+@register(
+    "x4_sequence_pack",
+    """
+WITH sized AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, n_tokens, shard,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tokens_before
+  FROM sized
+)
+SELECT doc_id, n_tokens, shard,
+       (tokens_before // 512)::BIGINT AS seq,
+       (tokens_before % 512)::BIGINT AS offset_in_seq
+FROM placed
+""",
+    ("X4", "W*"),
+    "Sequence packing (concat-and-chop): deterministic hash shards, "
+    "per-shard running token offsets, seq = offset // budget — the final "
+    "layout pass before training batches.  The window sort is per-shard; "
+    "n_shards is the parallelism knob (thousands at 100 TB). "
+    "operators/packing.py::pack_sequences.",
+)
+def x4_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=8)
+
+
+@register(
+    "x1_incremental_dedup",
+    """
+WITH batch AS (
+  SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+),
+base AS (
+  SELECT md5(text) AS content_hash, min(doc_id) AS dup_of
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+)
+SELECT b.doc_id, b.content_hash, s.dup_of, s.dup_of IS NULL AS is_new
+FROM batch b LEFT JOIN base s USING (content_hash)
+""",
+    ("X1", "J*"),
+    "Incremental exact dedup: a new batch (odd ids, standing in for "
+    "today's crawl) deduped against an existing corpus (even ids) — both "
+    "sides reduce to (digest, min id) before a digest-keyed left join, so "
+    "the base corpus contributes only its digest dictionary, the artifact "
+    "a pipeline keeps materialized between ingests. "
+    "operators/dedup.py::incremental_exact_dedup.",
+)
+def x1_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import incremental_exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    return incremental_exact_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
+    )
+
+
+@register(
+    "x2_cross_corpus_lsh",
+    f"""
+WITH {_SHINGLES3_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs
+)
+SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS base_id
+FROM bands b
+JOIN bands c ON b.band = c.band AND b.key = c.key
+WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+""",
+    ("X2", "J*"),
+    "Incremental fuzzy dedup: MinHash-LSH candidates of a new batch (odd "
+    "ids) against an existing corpus (even ids) — the banded-signature "
+    "join shape where the base side is the persisted signature index and "
+    "candidate volume scales with the batch, not the corpus. "
+    "operators/dedup.py::cross_corpus_lsh_candidates.",
+)
+def x2_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import cross_corpus_lsh_candidates
+
+    docs = _docs(spark, sf_dir)
+    return cross_corpus_lsh_candidates(
+        docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
+    )

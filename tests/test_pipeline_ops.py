@@ -1,0 +1,136 @@
+"""Unit tests for the round-2 training-pipeline operators: count-min
+sketch, incremental dedup, cross-corpus LSH, label centroids, scalar
+quantization, and sequence packing."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bigdatapipeline_steamreviews_spark.operators.dedup import (
+    cross_corpus_lsh_candidates,
+    incremental_exact_dedup,
+)
+from bigdatapipeline_steamreviews_spark.operators.packing import pack_sequences
+from bigdatapipeline_steamreviews_spark.operators.similarity import (
+    label_centroids,
+    scalar_quantize,
+)
+from bigdatapipeline_steamreviews_spark.operators.sketches import (
+    cms_counter_table,
+    cms_estimate,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+
+def _tokens(spark, words):
+    return spark.createDataFrame([(w,) for w in words], ["token"])
+
+
+def test_cms_estimate_never_undercounts(spark):
+    words = ["a"] * 5 + ["b"] * 3 + ["c"] * 1
+    tok = _tokens(spark, words)
+    counters = cms_counter_table(tok)
+    cand = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], ["token"])
+    est = {r.token: r.cms_est for r in cms_estimate(counters, cand).collect()}
+    assert est["a"] >= 5 and est["b"] >= 3 and est["c"] >= 1
+    # An unseen token can only overcount via collisions, never undercount.
+    assert est["zzz"] >= 0
+
+
+def test_cms_sketches_merge_by_addition(spark):
+    """CMS(left) + CMS(right) == CMS(left ++ right) counter-for-counter —
+    the property that makes the sketch incremental/streamable."""
+    left = ["a"] * 4 + ["b"] * 2
+    right = ["a"] * 1 + ["c"] * 3
+    whole = cms_counter_table(_tokens(spark, left + right))
+    parts = (
+        cms_counter_table(_tokens(spark, left))
+        .unionAll(cms_counter_table(_tokens(spark, right)))
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    w = {(r.row, r.bucket): r.c for r in whole.collect()}
+    p = {(r.row, r.bucket): r.c for r in parts.collect()}
+    assert w == p
+
+
+def test_incremental_exact_dedup_flags(spark):
+    base = spark.createDataFrame([(0, BASE), (2, "unique base doc")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, BASE), (3, "a brand new document"), (5, "a brand new document")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in incremental_exact_dedup(batch, base).collect()}
+    assert got[1].dup_of == 0 and not got[1].is_new  # exact dup of base doc 0
+    assert got[3].is_new and got[3].dup_of is None  # new content, min-id row kept
+    assert 5 not in got  # within-batch dup collapses to doc 3
+
+
+def test_cross_corpus_lsh_finds_shared_content(spark):
+    base = spark.createDataFrame(
+        [(0, BASE), (2, "completely different words about spark query engines here")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(1, BASE.replace("today", "tonight")), (3, "unrelated fresh text with many novel tokens")],
+        ["doc_id", "text"],
+    )
+    cands = {
+        (r.batch_id, r.base_id)
+        for r in cross_corpus_lsh_candidates(batch, base).collect()
+    }
+    assert (1, 0) in cands  # near-dup of a base doc
+    assert all(b != 3 for b, _ in cands)  # novel doc matches nothing
+
+
+def test_label_centroids_mean_and_counts(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [3.0, 2.0], 7),
+            (2, [10.0, -4.0], 8),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.label: r for r in label_centroids(emb).collect()}
+    assert got[7].centroid == [2.0, 1.0] and got[7].n_vecs == 2
+    assert got[8].centroid == [10.0, -4.0] and got[8].n_vecs == 1
+
+
+def test_scalar_quantize_roundtrip(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.5, 1.0]), (1, [2.0, 2.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in scalar_quantize(emb).collect()}
+    assert got[0].codes == [0, 128, 255]  # endpoints exact, midpoint half-up
+    assert got[0].vmin == 0.0 and got[0].vmax == 1.0
+    # 0.5 reconstructs to 128/255 — error is the quantization residual.
+    assert math.isclose(got[0].sq_err, (0.5 - 128 / 255) ** 2, rel_tol=1e-12)
+    # Constant vector: degenerate scale, codes 0, exact reconstruction.
+    assert got[1].codes == [0, 0, 0] and got[1].sq_err == 0.0
+
+
+def test_pack_sequences_offsets_and_budget(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 * (i % 3 + 1)))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    placed = pack_sequences(docs, budget=25, n_shards=4).collect()
+    assert len(placed) == 40
+    by_shard: dict[int, list] = {}
+    for r in placed:
+        assert 0 <= r.offset_in_seq < 25
+        assert r.seq >= 0
+        by_shard.setdefault(r.shard, []).append(r)
+    # Within a shard, documents in id order tile the token stream exactly:
+    # each doc starts where the previous one ended.
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        total = 0
+        for r in rows:
+            assert r.seq * 25 + r.offset_in_seq == total
+            total += r.n_tokens
