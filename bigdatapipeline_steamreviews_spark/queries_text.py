@@ -829,13 +829,17 @@ def x4_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counters = cms_counter_table(tok)
     # Ranking window input is the aggregated vocabulary (like x4_vocab_stats),
-    # never the corpus.
+    # never the corpus.  The ranked candidate table feeds BOTH the sketch
+    # probe and the final join — materialize the 20 rows once so the
+    # vocabulary aggregation + window don't run twice (a self-referencing
+    # subtree, same recompute trap as the LSH self-join).
     w = Window.orderBy(F.col("n_true").desc(), F.col("token"))
     ranked = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_true"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 20)
+        .localCheckpoint()
     )
     est = cms_estimate(counters, ranked.select("token"))
     return ranked.join(est, "token").select("token", "n_true", "cms_est", "rank")
