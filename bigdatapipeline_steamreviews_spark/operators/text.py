@@ -334,6 +334,46 @@ def repetition_score(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X4 — overlapping token-window chunking: split each document into
+    ``chunk_tokens``-token windows advancing by ``chunk_tokens - overlap``
+    — the pass that precedes embedding in retrieval/embedding pipelines
+    (context windows are bounded; overlap keeps boundary sentences
+    retrievable from both sides).
+
+    Pure per-row array expressions: token split once, window starts via
+    ``sequence`` with stride, one ``explode`` — a map-only row expansion
+    of ~tokens/stride x, no shuffle, no UDF.  The final (possibly short)
+    window is kept; every document yields at least one chunk.
+
+    Returns (id, chunk_id, start_token, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            s.cast("long").alias("start_token"),
+            F.least(F.lit(chunk_tokens), n - s).cast("long").alias("n_chunk_tokens"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk_text"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_id", "c.start_token", "c.n_chunk_tokens", "c.chunk_text"
+    )
+
+
 def contamination_hits(
     df: DataFrame,
     benchmark_phrases: list[str],

@@ -782,6 +782,34 @@ def x4_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x4_chunk_documents",
+    """
+SELECT doc_id,
+       (c['s'] // 48)::BIGINT AS chunk_id,
+       c['s']::BIGINT AS start_token,
+       least(64, c['n'] - c['s'])::BIGINT AS n_chunk_tokens,
+       c['t'] AS chunk_text
+FROM (
+  SELECT doc_id,
+         unnest([{'s': s, 'n': len(toks),
+                  't': array_to_string(toks[s+1:s+64], ' ')}
+                 for s in range(0, len(toks), 48)]) AS c
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+""",
+    ("X4", "P*"),
+    "Overlapping token-window chunking (64-token windows, 16-token "
+    "overlap) — the pass before embedding in retrieval pipelines.  "
+    "Map-only row expansion (~tokens/stride x) with zero shuffle. "
+    "operators/text.py::chunk_documents.",
+)
+def x4_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
+@register(
     "x4_cms_heavy_hitters",
     """
 WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),

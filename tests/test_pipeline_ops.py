@@ -134,3 +134,25 @@ def test_pack_sequences_offsets_and_budget(spark):
         for r in rows:
             assert r.seq * 25 + r.offset_in_seq == total
             total += r.n_tokens
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from bigdatapipeline_steamreviews_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(100))), (1, "short doc")],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    long_chunks = sorted(by_doc[0], key=lambda r: r.chunk_id)
+    # 100 tokens, stride 48: starts at 0, 48, 96.
+    assert [r.start_token for r in long_chunks] == [0, 48, 96]
+    assert [r.n_chunk_tokens for r in long_chunks] == [64, 52, 4]
+    # Overlap: chunk 1 begins 16 tokens before chunk 0 ends.
+    assert long_chunks[0].chunk_text.split(" ")[48:] == \
+        long_chunks[1].chunk_text.split(" ")[:16]
+    # Short doc still yields exactly one (partial) chunk.
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "short doc"
