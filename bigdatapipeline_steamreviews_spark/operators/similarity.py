@@ -35,6 +35,8 @@ __all__ = [
     "cosine_topk_ivf",
     "label_centroids",
     "scalar_quantize",
+    "assign_to_centroids",
+    "semantic_dedup_pairs",
 ]
 
 
@@ -67,17 +69,27 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_pred: Column | None = None,
 ) -> DataFrame:
     """Brute-force top-k cosine neighbors for each query row.
 
     The query side is broadcast; the corpus is scanned exactly once with no
     shuffle of the candidate side.  The per-query top-k window partitions
     by query id, so ranking state is tiny regardless of corpus size.
+
+    ``corpus_pred`` is the *filtered-ANN* knob (metadata-constrained
+    retrieval: "nearest neighbors WHERE label IN (...)"): the predicate is
+    applied to the candidate side BEFORE any distance math, so Catalyst
+    pushes it into the parquet scan (row-group/partition pruning at scale)
+    and the expensive cosine runs only on surviving rows — filter-then-rank,
+    never rank-then-filter, which would both waste distance computations
+    and return short result lists.
     """
     q = embeddings.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = embeddings.select(
+    corpus = embeddings if corpus_pred is None else embeddings.filter(corpus_pred)
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     pairs = (
@@ -384,3 +396,122 @@ def cosine_topk_ivf(
         )
     )
     return _topk(pairs, k).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def assign_to_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid assignment with ZERO shuffle of the corpus.
+
+    The centroid table (small: one row per cluster) collapses to a single
+    array-of-structs row, broadcast against the corpus; each vector picks
+    its cluster via ``array_min`` over per-centroid (distance, cluster)
+    structs — struct ordering is lexicographic, so this IS
+    ``argmin(distance)`` with a deterministic tie-break on the smaller
+    cluster id.  The corpus is scanned once, map-only: no window, no
+    groupBy, no per-row Python.  At 100 TB this is the assignment shape
+    that matters — the alternative (explode corpus x centroids + window
+    or min_by) shuffles |corpus| x n_clusters rows.
+
+    Every distance is evaluated exactly once (the structs are built by
+    ``transform``, then reduced), and the fold arithmetic is a sequential
+    left-to-right double sum — bitwise reproducible in any engine.
+
+    Adds ``__v`` (the double-cast vector, reusable by callers) and
+    ``cluster_col`` to ``embeddings``.
+    """
+    cent_arr = centroids.select(
+        F.struct(
+            F.col(cluster_col).alias("c"), F.col(centroid_col).alias("cv")
+        ).alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("__cents"))
+
+    def sq_dist(vec: Column, cent: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(vec, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = F.transform(
+        F.col("__cents"),
+        lambda s: F.struct(
+            sq_dist(F.col("__v"), s["cv"]).alias("d"), s["c"].alias("c")
+        ),
+    )
+    return (
+        embeddings.withColumn(
+            "__v", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
+        .crossJoin(F.broadcast(cent_arr))
+        .withColumn(cluster_col, F.array_min(scored)["c"])
+        .drop("__cents")
+    )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    min_cosine: float,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_assignment: bool = True,
+) -> DataFrame:
+    """X2e — semantic dedup, the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus first, then search for
+    near-duplicate pairs only WITHIN each cluster.
+
+    Clustering makes the quadratic step tractable: candidate pairs shrink
+    from |corpus|^2 to sum over clusters of |cluster|^2, and the
+    within-cluster join is a plain hash equi-join on cluster id.  Here the
+    prototypes are the exact per-label centroids (``label_centroids`` —
+    deterministic, so the whole operator is oracle-checkable end-to-end;
+    a production run would swap in k-means prototypes with k in the tens
+    of thousands, which also removes the few-hot-clusters skew this
+    label-count-sized variant would have at scale) and assignment is the
+    shuffle-free ``assign_to_centroids`` fold.
+
+    Returns (cluster, a_id, b_id, cosine) with a_id < b_id and
+    cosine >= ``min_cosine``.  Downstream survivor selection composes with
+    ``connected_components`` or an anti-join, same as the MinHash family.
+
+    ``cache_assignment`` materializes the assigned table once
+    (``localCheckpoint``) before the self-join — a self-join plans its
+    subtree twice, and the subtree here contains the full centroid
+    aggregation plus the per-row argmin fold.  At 100 TB the same move is
+    "write the (id, cluster) assignment once, join from storage" —
+    cluster assignments are reused across curation runs anyway.
+    """
+    cents = label_centroids(embeddings, label_col, vec_col).select(
+        F.col("label").alias("cluster"), "centroid"
+    )
+    assigned = assign_to_centroids(
+        embeddings,
+        cents,
+        id_col=id_col,
+        vec_col=vec_col,
+        cluster_col="cluster",
+        centroid_col="centroid",
+    ).select(F.col(id_col).alias("id"), F.col("__v").alias("v"), "cluster")
+    if cache_assignment:
+        assigned = assigned.localCheckpoint()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(min_cosine))
+    )

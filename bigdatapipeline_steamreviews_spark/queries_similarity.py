@@ -313,3 +313,89 @@ def x3_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return scalar_quantize(emb)
+
+
+@register(
+    "x2_semantic_dedup",
+    f"""
+WITH pos AS (
+  SELECT label, u['pos'] AS pos, u['val'] AS val FROM (
+    SELECT label, unnest([{{'pos': i-1, 'val': embedding[i]}}
+                          for i in range(1, len(embedding)+1)]) AS u
+    FROM embeddings)
+),
+per AS (
+  SELECT label, pos,
+         ((sum(CAST(floor(val::DOUBLE * 100000000.0 + 0.5) / 100000000.0
+                    AS DECIMAL(28,10)))::VARCHAR)::DOUBLE)
+           / count(val) AS m
+  FROM pos GROUP BY 1, 2
+),
+cents AS (SELECT label AS cluster, list(m ORDER BY pos) AS centroid
+          FROM per GROUP BY label),
+e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+d AS (
+  SELECT id, v, cluster,
+         list_sum(list_transform(list_zip(v, centroid),
+           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+  FROM e, cents
+),
+assigned AS (
+  SELECT id, v, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS r
+    FROM d) WHERE r = 1
+),
+pairs AS (
+  SELECT a.cluster AS cluster, a.id AS a_id, b.id AS b_id,
+         a.v AS qe, b.v AS ce
+  FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.id < b.id
+)
+SELECT cluster, a_id, b_id, cosine FROM (
+  SELECT cluster, a_id, b_id, {_COS_EXPR} AS cosine FROM pairs
+) WHERE cosine >= 0.4
+""",
+    ("X2", "X3"),
+    "Semantic dedup (SemDeDup, arXiv:2303.09540): assign every vector to "
+    "its nearest exact-centroid prototype with a shuffle-free broadcast "
+    "fold (array_min over (distance, cluster) structs == deterministic "
+    "argmin), then score near-dup pairs only WITHIN each cluster — the "
+    "quadratic step shrinks from corpus^2 to sum-of-cluster^2 and the "
+    "pair join is a hash equi-join on cluster id. "
+    "operators/similarity.py::semantic_dedup_pairs.",
+)
+def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, min_cosine=0.4)
+
+
+@register(
+    "x3_cosine_topk_filtered",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+      WHERE label IN (1, 2)),
+pairs AS (SELECT query_id, neighbor_id, qe, ce FROM q, c
+          WHERE neighbor_id != query_id),
+{_COS_TERMS.format(extra_cols="")}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+""",
+    ("X3", "P9"),
+    "Filtered ANN (metadata-constrained retrieval): top-5 cosine "
+    "neighbors restricted to candidates with label IN (1,2).  The "
+    "predicate lands on the candidate side BEFORE any distance math, so "
+    "it pushes into the parquet scan — filter-then-rank, never "
+    "rank-then-filter.  operators/similarity.py::cosine_topk(corpus_pred).",
+)
+def x3_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, F.col("vec_id") < 10, k=5, corpus_pred=F.col("label").isin(1, 2)
+    )

@@ -216,3 +216,71 @@ def test_ivf_scales_to_256_lists_without_plan_blowup(spark):
     rows = out.collect()
     assert {r["query_id"] for r in rows} == {0, 1, 2, 3, 4}
     assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+def test_assign_to_centroids_picks_nearest_with_tiebreak(spark):
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.9, 0.1]), (1, [0.1, 0.9]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0]), (30, [0.5, 0.5])],
+        "cluster long, centroid array<double>",
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in assign_to_centroids(emb, cents).select("vec_id", "cluster").collect()
+    }
+    assert got == {0: 10, 1: 20, 2: 30}
+
+    # Equidistant centroids: deterministic tie-break to the smaller id.
+    tie = spark.createDataFrame(
+        [(40, [1.0, 0.0]), (5, [0.0, 1.0])], "cluster long, centroid array<double>"
+    )
+    mid = spark.createDataFrame([(0, [0.5, 0.5])], "vec_id long, embedding array<float>")
+    assert assign_to_centroids(mid, tie).head().cluster == 5
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    # Two well-separated groups: 0/1 near-identical in group A; 3/4 in
+    # group B are close enough to cluster together but below the cosine
+    # threshold; 2 points away from everything.  Only (0,1) survives, and
+    # no cross-cluster pair is ever scored.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 1),
+            (1, [0.99, 0.01, 0.0], 1),
+            (2, [-1.0, 0.2, 0.0], 1),
+            (3, [0.1, -1.0, 0.0], 2),
+            (4, [0.0, -0.9, 0.5], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = semantic_dedup_pairs(emb, min_cosine=0.9).collect()
+    assert {(p.a_id, p.b_id) for p in pairs} == {(0, 1)}
+    assert all(p.cosine >= 0.9 for p in pairs)
+
+
+def test_cosine_topk_corpus_pred_filters_candidates(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 1),
+            (2, [0.95, 0.05], 2),
+            (3, [0.8, 0.2], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = cosine_topk(
+        emb, F.col("vec_id") == 0, k=3, corpus_pred=F.col("label") == 1
+    ).collect()
+    # Only label-1 candidates survive; vec 2 (closest overall) is excluded.
+    assert [r.neighbor_id for r in got] == [1, 3]
