@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantile_threshold"]
+__all__ = ["exact_quantile_threshold", "temperature_mixture_weights"]
 
 
 def exact_quantile_threshold(
@@ -98,3 +98,52 @@ def exact_quantile_threshold(
         .select(F.col("__v").alias("threshold"))
     )
     return degenerate.unionAll(picked)
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    size_col: str | Column = "n_tokens",
+) -> DataFrame:
+    """Temperature-scaled sampling weights per corpus source — the
+    domain-mixing computation (UnifiedQA/XLM-R-style alpha-smoothing,
+    alpha = 0.5): w_i = sqrt(tokens_i) / sum_j sqrt(tokens_j).  Upweights
+    small sources relative to proportional sampling so a training mix
+    isn't dominated by the largest crawl slice.
+
+    Bit-exact across engines and partitionings: sqrt is IEEE-754
+    correctly-rounded everywhere, the scaled value is snapped to an
+    INTEGER (floor(sqrt * 1e8 + 0.5) — exact int64 on both sides), the
+    denominator is an integer sum (order-independent), and the weight is
+    one int64->double division.  No decimal<->double round-trips to
+    disagree on.
+
+    Scale shape: one partial-aggregatable groupBy over the corpus down to
+    |sources| rows, then a broadcast of the 1-row denominator — the corpus
+    is touched exactly once, map-side.
+
+    Output: group_col, n_docs, total_size, weight (sums to ~1.0).
+    """
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size).cast("long").alias("total_size"),
+    )
+    scaled = per.withColumn(
+        "__sk",
+        F.floor(F.sqrt(F.col("total_size").cast("double")) * 1e8 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    denom = scaled.agg(F.sum("__sk").alias("__denom"))
+    return (
+        scaled.crossJoin(F.broadcast(denom))
+        .select(
+            group_col,
+            "n_docs",
+            "total_size",
+            (F.col("__sk").cast("double") / F.col("__denom").cast("double")).alias(
+                "weight"
+            ),
+        )
+    )

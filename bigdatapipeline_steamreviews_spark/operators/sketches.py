@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hll_register_table",
+    "hll_finalize",
     "hll_distinct",
     "HLL_P",
     "hll_alpha_numerator",
@@ -72,14 +73,16 @@ def hll_register_table(df: DataFrame, key: str, group_cols: list[str]) -> DataFr
     )
 
 
-def hll_distinct(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
-    """Raw HLL estimate per group (no small-range correction: the
-    correction needs ln(), whose last ulp is libm-specific and would break
-    bitwise portability — callers wanting corrected small-n estimates apply
-    it on the returned (raw, empty_buckets) pair, as the tests do).
+def hll_finalize(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Turn a register table (group_cols, bucket, m_rho) into per-group raw
+    estimates.  Split from ``hll_distinct`` so INCREMENTALLY-maintained
+    registers finalize the same way: a streaming groupBy(group, bucket)
+    max(rho) is exactly this table, kept current by the state store, and
+    because registers only ever grow monotonically (max), the streaming
+    state after any prefix equals the batch registers over that prefix —
+    the sketch *is* the streaming-friendly representation.
 
     Output: group_cols + hll_raw (double), empty_buckets, n_buckets."""
-    regs = hll_register_table(df, key, group_cols)
     # Harmonic mean in exact integer arithmetic: sum of 2^(RHO_MAX - rho)
     # per present bucket, plus 2^RHO_MAX per absent bucket; max total is
     # m * 2^RHO_MAX = 2^61 — inside int64.
@@ -97,6 +100,16 @@ def hll_distinct(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
         (F.lit(_M) - F.col("n_buckets")).cast("long").alias("empty_buckets"),
         F.col("n_buckets").cast("long").alias("n_buckets"),
     )
+
+
+def hll_distinct(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
+    """Raw HLL estimate per group (no small-range correction: the
+    correction needs ln(), whose last ulp is libm-specific and would break
+    bitwise portability — callers wanting corrected small-n estimates apply
+    it on the returned (raw, empty_buckets) pair, as the tests do).
+
+    Output: group_cols + hll_raw (double), empty_buckets, n_buckets."""
+    return hll_finalize(hll_register_table(df, key, group_cols), group_cols)
 
 
 # ---------------------------------------------------------------------------

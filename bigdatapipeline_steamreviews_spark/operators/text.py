@@ -26,6 +26,7 @@ __all__ = [
     "tokens",
     "token_stats",
     "quality_score",
+    "gopher_rules",
     "language_id",
     "fingerprint",
     "tfidf_top_terms",
@@ -149,6 +150,69 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
     )
     return out.withColumn("quality_score", score)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 40,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 8.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText-style rule-based quality filter (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): per-document boolean rule flags plus the
+    conjunctive ``keep`` decision a curation pipeline actually branches on.
+
+    Rules (each its own column, so rejection reasons are auditable — the
+    per-rule pass rates are one partial-aggregatable groupBy away):
+
+    * ``f_word_count``     — token count within [min_tokens, max_tokens];
+    * ``f_mean_word_len``  — mean token length within bounds;
+    * ``f_symbol_ratio``   — fraction of tokens that contain NO
+      alphanumeric character (pure-symbol tokens) at most
+      ``max_symbol_ratio``;
+    * ``f_alpha_ratio``    — fraction of tokens containing at least one
+      alphabetic character at least ``min_alpha_ratio``;
+    * ``f_stopwords``      — at least ``min_stop_hits`` DISTINCT
+      function words present (Gopher's "2 of a small stop list" rule).
+
+    Map-only Catalyst expressions per row — no shuffle, no Python; at
+    100 TB this fuses into the scan alongside every other X4 projection.
+    """
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    mean_len = F.length(F.regexp_replace(F.col(text_col), " ", "")) / F.greatest(
+        n_tokens, F.lit(1)
+    ).cast("double")
+    n_symbol = F.size(F.filter(toks, lambda t: ~t.rlike("[a-zA-Z0-9]")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stop_distinct = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    )
+    denom = F.greatest(n_tokens, F.lit(1)).cast("double")
+    out = df.withColumns(
+        {
+            "n_tokens": n_tokens.cast("long"),
+            "f_word_count": (n_tokens >= min_tokens) & (n_tokens <= max_tokens),
+            "f_mean_word_len": (mean_len >= min_mean_token_len)
+            & (mean_len <= max_mean_token_len),
+            "f_symbol_ratio": (n_symbol / denom) <= max_symbol_ratio,
+            "f_alpha_ratio": (n_alpha / denom) >= min_alpha_ratio,
+            "f_stopwords": stop_distinct >= min_stop_hits,
+        }
+    )
+    keep = (
+        F.col("f_word_count")
+        & F.col("f_mean_word_len")
+        & F.col("f_symbol_ratio")
+        & F.col("f_alpha_ratio")
+        & F.col("f_stopwords")
+    )
+    return out.withColumn("keep", keep)
 
 
 def tfidf_top_terms(

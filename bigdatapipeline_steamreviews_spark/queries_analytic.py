@@ -559,9 +559,10 @@ def w4_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "a10_hll_distinct_users",
-    """
+# Shared with the streaming HLL query (queries_streaming): a streaming
+# groupBy(group, bucket) max(rho) maintains exactly the batch register
+# table (max is monotone), so both finalize against this same oracle.
+HLL_USERS_ORACLE = """
 WITH h AS (
   SELECT event_type,
          ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
@@ -588,7 +589,12 @@ SELECT event_type,
        CAST(64 - n_buckets AS BIGINT) AS empty_buckets,
        CAST(n_buckets AS BIGINT) AS n_buckets
 FROM agg
-""",
+"""
+
+
+@register(
+    "a10_hll_distinct_users",
+    HLL_USERS_ORACLE,
     ("A8", "X*"),
     "Distinct-user sketch per event type via a PORTABLE HyperLogLog: "
     "md5-derived 60-bit hash, 64 buckets, max-rank registers, exact-integer "

@@ -14,6 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators.aggregations import segment_daily_summary
+from .queries_analytic import HLL_USERS_ORACLE
 from .registry import _sum_exact_sql, FLAGSHIP_ORACLE, register
 from .sources.tables import load_table
 from .streaming.sessions import streaming_sessionize
@@ -287,6 +288,33 @@ def stream_enriched_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_table(
         result, name, checkpoint, "complete", shuffle_partitions=8
     )
+
+
+@register(
+    "stream_hll_distinct_users",
+    HLL_USERS_ORACLE,  # the SAME oracle as batch a10 — reused so they can't drift
+    ("A8", "T1", "T4", "X*"),
+    "Streaming sketch maintenance: the portable-HLL register table "
+    "(groupBy (event_type, bucket) max rho) kept current by the state "
+    "store across micro-batches — max is monotone, so streaming state "
+    "after the replay drains is byte-identical to the batch registers, "
+    "and the batch finalize over the memory sink must hash-match the SAME "
+    "DuckDB oracle as a10.  This is how a 100 TB pipeline keeps live "
+    "distinct counts: per-batch register deltas, constant state (m longs "
+    "per group), no raw-event retention.",
+)
+def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import hll_finalize, hll_register_table
+
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_hll_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    regs = hll_register_table(stream, "user_id", ["event_type"])
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    mem = run_to_memory_table(regs, name, checkpoint, "complete", shuffle_partitions=8)
+    return hll_finalize(mem, ["event_type"])
 
 
 @register(

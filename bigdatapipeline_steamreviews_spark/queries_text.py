@@ -1027,3 +1027,171 @@ def x2_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_corpus_lsh_candidates(
         docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
     )
+
+
+# Shared DuckDB fragment: the Gopher rule columns (mirror of
+# operators.text.gopher_rules with its default thresholds).
+_GOPHER_RULES_SQL = """
+gopher AS (
+  SELECT doc_id, text,
+         len(toks)::BIGINT AS n_tokens,
+         len(toks) BETWEEN 40 AND 100000 AS f_word_count,
+         (length(regexp_replace(text, ' ', '', 'g')) / greatest(len(toks), 1))
+           BETWEEN 3.0 AND 8.0 AS f_mean_word_len,
+         (len(list_filter(toks, t -> NOT regexp_matches(t, '[a-zA-Z0-9]')))
+           / greatest(len(toks), 1)) <= 0.1 AS f_symbol_ratio,
+         (len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+           / greatest(len(toks), 1)) >= 0.8 AS f_alpha_ratio,
+         len(list_distinct(list_filter(toks,
+           t -> t IN ('the','a','of','and','to','is')))) >= 2 AS f_stopwords
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+)
+"""
+
+
+@register(
+    "x4_gopher_rules",
+    f"""
+WITH {_GOPHER_RULES_SQL}
+SELECT doc_id, n_tokens, f_word_count, f_mean_word_len, f_symbol_ratio,
+       f_alpha_ratio, f_stopwords,
+       f_word_count AND f_mean_word_len AND f_symbol_ratio
+         AND f_alpha_ratio AND f_stopwords AS keep
+FROM gopher
+""",
+    ("X4",),
+    "Gopher/MassiveText rule-based quality filter (arXiv:2112.11446 "
+    "§A1.1): per-document boolean flags — token-count bounds, mean word "
+    "length, pure-symbol token ratio, alphabetic-token ratio, >= 2 "
+    "distinct function words — plus the conjunctive keep decision. "
+    "Per-rule columns keep rejection reasons auditable; map-only "
+    "expressions, no shuffle. operators/text.py::gopher_rules.",
+)
+def x4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_tokens",
+        "f_word_count",
+        "f_mean_word_len",
+        "f_symbol_ratio",
+        "f_alpha_ratio",
+        "f_stopwords",
+        "keep",
+    )
+
+
+@register(
+    "x4_mixture_weights",
+    """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS total_size
+  FROM documents GROUP BY source
+),
+k AS (
+  SELECT source, n_docs, total_size,
+         CAST(floor(sqrt(total_size::DOUBLE) * 100000000.0 + 0.5) AS BIGINT)
+           AS sk
+  FROM per
+)
+SELECT source, n_docs, total_size,
+       sk::DOUBLE / ((SELECT sum(sk) FROM k)::DOUBLE) AS weight
+FROM k
+""",
+    ("X4", "A*"),
+    "Temperature-scaled source mixing weights (alpha = 0.5): "
+    "w_i = sqrt(tokens_i) / sum_j sqrt(tokens_j) — upweights small "
+    "sources vs proportional sampling, the domain-mixing pass before "
+    "building a training mix.  Bit-exact via integer-snapped sqrt "
+    "(floor(sqrt*1e8+0.5)) and an order-independent integer denominator. "
+    "operators/selection.py::temperature_mixture_weights.",
+)
+def x4_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.selection import temperature_mixture_weights
+
+    docs = _docs(spark, sf_dir)
+    return temperature_mixture_weights(
+        docs, group_col="source", size_col=F.size(F.split(F.col("text"), " "))
+    )
+
+
+@register(
+    "x1_curation_pipeline",
+    f"""
+WITH RECURSIVE {_GOPHER_RULES_SQL},
+kept AS (
+  SELECT doc_id, text FROM gopher
+  WHERE f_word_count AND f_mean_word_len AND f_symbol_ratio
+    AND f_alpha_ratio AND f_stopwords
+),
+ex AS (
+  SELECT doc_id, text FROM kept
+  WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))
+),
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         )) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ex)
+  WHERE len(toks) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens
+FROM ex d
+LEFT JOIN clusters c USING (doc_id)
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+""",
+    ("X1", "X2", "X4", "J*"),
+    "The curation pipeline END-TO-END, composed from the engine's own "
+    "operators in production order: Gopher rule filter (map-only) -> "
+    "exact dedup survivors (digest groupBy + semi join) -> MinHash-LSH "
+    "fuzzy dedup (signatures -> banded candidates -> connected components "
+    "-> anti-join the losers).  Each stage runs on the previous stage's "
+    "shrinking output, so the expensive fuzzy stage sees only "
+    "quality-passing, exact-unique documents — the ordering that matters "
+    "at 100 TB.  Output: the surviving corpus with token counts.",
+)
+def x1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    kept = gopher_rules(docs).filter(F.col("keep")).select("doc_id", "text")
+    ex_keep = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    ex = kept.join(ex_keep, "doc_id", "left_semi")
+    sigs = minhash_signatures(ex, k=8)
+    pairs = lsh_candidate_pairs(sigs, k=8, bands=4)
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return (
+        ex.join(losers, "doc_id", "left_anti")
+        .select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+        )
+    )

@@ -156,3 +156,60 @@ def test_chunk_documents_windows_and_overlap(spark):
         long_chunks[1].chunk_text.split(" ")[:16]
     # Short doc still yields exactly one (partial) chunk.
     assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "short doc"
+
+
+def test_gopher_rules_flags_and_keep(spark):
+    from bigdatapipeline_steamreviews_spark.operators.text import gopher_rules
+
+    long_good = "the " + "word " * 48 + "a"          # 50 tokens, 2 stopwords
+    short = "the a tiny doc"                          # fails word count
+    no_stops = "word " * 49 + "word"                  # 50 tokens, 0 stopwords
+    symbols = "the a " + "£££ " * 47 + "!!!"          # >10% pure-symbol tokens
+    df = spark.createDataFrame(
+        [(1, long_good), (2, short), (3, no_stops), (4, symbols)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert got[1].keep
+    assert not got[2].keep and not got[2].f_word_count
+    assert not got[3].keep and not got[3].f_stopwords
+    assert not got[4].keep and not got[4].f_symbol_ratio
+    assert not got[4].f_alpha_ratio
+
+
+def test_temperature_mixture_weights_sqrt_scaling(spark):
+    from bigdatapipeline_steamreviews_spark.operators.selection import (
+        temperature_mixture_weights,
+    )
+
+    # Source A has 4x the tokens of B -> sqrt scaling gives 2:1, not 4:1.
+    rows = [("A", 400), ("B", 100)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    got = {r.source: r for r in temperature_mixture_weights(df).collect()}
+    assert got["A"].total_size == 400 and got["B"].total_size == 100
+    assert abs(got["A"].weight - 2 / 3) < 1e-9
+    assert abs(got["B"].weight - 1 / 3) < 1e-9
+    assert abs(got["A"].weight + got["B"].weight - 1.0) < 1e-12
+
+
+def test_hll_streaming_registers_equal_batch(spark):
+    # The property stream_hll_distinct_users relies on: registers built
+    # from any partitioning/split of the input merge (max) to the same
+    # table, so streaming state == batch registers.
+    from bigdatapipeline_steamreviews_spark.operators.sketches import (
+        hll_finalize,
+        hll_register_table,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    whole = hll_register_table(df, "k", ["g"])
+    halves = hll_register_table(df.filter("k < 500"), "k", ["g"]).unionAll(
+        hll_register_table(df.filter("k >= 500"), "k", ["g"])
+    )
+    merged = halves.groupBy("g", "bucket").agg(F.max("m_rho").alias("m_rho"))
+    a = sorted(hll_finalize(whole, ["g"]).collect())
+    b = sorted(hll_finalize(merged, ["g"]).collect())
+    assert a == b
