@@ -1184,7 +1184,11 @@ def x1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     kept = gopher_rules(docs).filter(F.col("keep")).select("doc_id", "text")
     ex_keep = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
-    ex = kept.join(ex_keep, "doc_id", "left_semi")
+    # Materialize the exact-unique corpus once: it feeds BOTH the signature
+    # build and the final anti-join, and its subtree (rule regexes + digest
+    # groupBy + semi join) would otherwise be planned and executed twice.
+    # At 100 TB each stage writes to storage anyway — this is that seam.
+    ex = kept.join(ex_keep, "doc_id", "left_semi").localCheckpoint()
     sigs = minhash_signatures(ex, k=8)
     pairs = lsh_candidate_pairs(sigs, k=8, bands=4)
     clusters = connected_components(pairs)

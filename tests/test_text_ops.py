@@ -112,3 +112,34 @@ def test_language_id_generalizes_to_n_profiles(spark):
     }
     # Doc 3 scores 0 everywhere -> earliest profile wins the tie.
     assert got == {1: "fr", 2: "en", 3: "en"}
+
+
+def test_paced_event_stream_delivers_rows_live(spark):
+    # Actually run the rate source (not just the schema contract): a short
+    # live window must deliver paced rows with valid derived columns.
+    import time
+
+    from bigdatapipeline_steamreviews_spark.sources.replay import (
+        paced_event_stream,
+    )
+
+    df = paced_event_stream(spark, rows_per_second=50)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("paced_smoke")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("paced_smoke").count() >= 10:
+                break
+            time.sleep(0.5)
+        rows = spark.table("paced_smoke").collect()
+        assert len(rows) >= 10
+        types = {r.event_type for r in rows}
+        assert types <= {"click", "view", "purchase", "signup", "error"}
+        assert all(0 <= r.value < 200.0 and r.user_id < 1000 for r in rows)
+    finally:
+        q.stop()
