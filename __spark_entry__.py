@@ -25,10 +25,11 @@ from bigdatapipeline_steamreviews_spark import registry as _registry  # noqa: E4
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (the reference summarizer's windowed daily summary,
     SURVEY.md §3.1) on /root/testdata/sf0.001; driver checks rows>0."""
-    # The driver passes its own session; our loader needs nanos-as-long for
-    # the events table (see sources.tables.load_table).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver passes its own session; pin the parity confs (UTC,
+    # permissive casts, nanos-drift fallback) before touching any table.
+    from bigdatapipeline_steamreviews_spark.session import ensure_parity_conf
+
+    ensure_parity_conf(spark)
     return _registry.REGISTRY["flagship_daily_summary"].fn(spark, "/root/testdata/sf0.001")
 
 

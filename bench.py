@@ -63,21 +63,33 @@ def main() -> None:
         return round(min(run_once(name), run_once(name)), 3)
 
     # Warmup: spin up executors / codegen on a tiny query, untimed.
-    regs["serving_distinct_types"](spark, SF_DIR).count()
+    # Guarded like the timed queries: one broken query must never zero out
+    # the whole round's perf signal (round-3 postmortem).
+    errors: dict[str, str] = {}
+    try:
+        regs["serving_distinct_types"](spark, SF_DIR).count()
+    except Exception as e:  # noqa: BLE001 - record and continue
+        errors["__warmup__"] = f"{type(e).__name__}: {e}"[:300]
 
-    per_query = {name: run(name) for name in BENCH_QUERIES}
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        try:
+            per_query[name] = run(name)
+        except Exception as e:  # noqa: BLE001 - record and continue
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall-clock, noop sink",
-                "value": round(sum(per_query.values()), 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline query wall-clock, noop sink",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+        out["incomplete"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

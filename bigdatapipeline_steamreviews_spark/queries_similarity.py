@@ -132,16 +132,22 @@ _NORM_SQL = "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)
 @register(
     "x3_normalize_embeddings",
     f"""
-SELECT vec_id,
-       {_NORM_SQL} AS l2_norm,
-       list_transform(embedding, x -> x::DOUBLE / {_NORM_SQL}) AS unit_vec
-FROM embeddings
+WITH u AS (
+  SELECT vec_id, {_NORM_SQL} AS l2_norm,
+         unnest([{{'pos': i-1,
+                   'val': embedding[i]::DOUBLE / {_NORM_SQL}}}
+                 for i in range(1, len(embedding)+1)]) AS u
+  FROM embeddings
+)
+SELECT vec_id, l2_norm, u['pos'] AS pos, u['val'] AS value FROM u
 """,
     ("X3",),
     "Embedding preprocessing: L2 norm + unit-normalized vector per row "
     "(pure array expressions — transform/aggregate — no UDF, no shuffle; "
     "normalizing once at ingest makes cosine a plain dot product "
-    "downstream).",
+    "downstream).  Registered shape is posexploded to (vec_id, l2_norm, "
+    "pos, value) rows — scalar columns the driver's hash comparator can "
+    "canonicalize (raw array cells are unhashable in its pandas sort).",
 )
 def x3_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import l2_norm
@@ -151,10 +157,10 @@ def x3_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         norm.alias("l2_norm"),
-        F.transform(
-            F.col("embedding"), lambda x: x.cast("double") / norm
-        ).alias("unit_vec"),
-    )
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") / norm)
+        ).alias("pos", "value"),
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 @register(
@@ -182,18 +188,31 @@ def x2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x3_cosine_topk_ivf",
-    None,  # iterative k-means training is not SQL-expressible; recall
-    # vs brute force is asserted in tests/test_dedup_similarity.py.
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+pairs AS (SELECT query_id, neighbor_id, qe, ce FROM q, c WHERE neighbor_id != query_id),
+{_COS_TERMS.format(extra_cols="")}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+""",
     ("X3",),
-    "Trained-centroid IVF ANN: MLlib k-means learns 16 inverted lists, "
-    "queries probe their 3 nearest lists, exact cosine re-ranks. The "
-    "data-adaptive scale path beyond the fixed sign-bucket quantizer "
-    "(balanced lists even on clustered corpora). operators/similarity.py::"
+    "Trained-centroid IVF ANN: MLlib k-means learns 16 inverted lists; "
+    "queries probe their n_probe nearest lists, exact cosine re-ranks. "
+    "Registered in the EXHAUSTIVE-probe configuration (n_probe = n_lists), "
+    "which runs the full IVF machinery — train, assign, probe-rank, "
+    "equi-join, re-rank — but covers every list, so the result provably "
+    "equals brute-force top-k and shares its oracle; the recall-vs-probes "
+    "property of the approximate configs stays pytest-asserted "
+    "(tests/test_dedup_similarity.py). operators/similarity.py::"
     "cosine_topk_ivf.",
 )
 def x3_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_ivf(emb, F.col("vec_id") < 10, k=5)
+    return cosine_topk_ivf(emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=16)
 
 
 @register(
@@ -256,23 +275,33 @@ per AS (
   FROM pos GROUP BY 1, 2
 ),
 counts AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
-SELECT p.label, list(p.m ORDER BY p.pos) AS centroid, any_value(c.n_vecs) AS n_vecs
+SELECT p.label, p.pos, p.m AS value, c.n_vecs
 FROM per p JOIN counts c USING (label)
-GROUP BY p.label
 """,
     ("X3", "A*"),
     "Per-label mean embedding (class centroid / k-means E-step): "
     "posexplode to (label, pos, val), exact-decimal component means "
-    "(partitioning-independent, bitwise equal to the oracle), reassembled "
-    "in dimension order.  The (label, pos) groupBy partial-aggregates "
-    "map-side, so the shuffle is |labels| x dim, not corpus-sized. "
-    "operators/similarity.py::label_centroids.",
+    "(partitioning-independent, bitwise equal to the oracle).  The "
+    "(label, pos) groupBy partial-aggregates map-side, so the shuffle is "
+    "|labels| x dim, not corpus-sized.  Registered shape is the exploded "
+    "(label, pos, value, n_vecs) component rows — driver-hashable scalars; "
+    "the array-assembling operator is operators/similarity.py::"
+    "label_centroids.",
 )
 def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import label_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return label_centroids(emb)
+    cents = label_centroids(emb)
+    return (
+        cents.select(
+            "label",
+            F.posexplode(F.col("centroid")).alias("pos", "value"),
+            "n_vecs",
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+        .select("label", "pos", "value", "n_vecs")
+    )
 
 
 @register(
@@ -293,7 +322,8 @@ coded AS (
          END AS codes
   FROM mm
 )
-SELECT vec_id, vmin, vmax, codes,
+SELECT vec_id, vmin, vmax,
+       md5(array_to_string(codes, ',')) AS codes_md5,
        list_sum(list_transform(list_zip(ve,
          list_transform(codes,
            c -> vmin + c::DOUBLE * (vmax - vmin) / 255.0)),
@@ -305,14 +335,25 @@ FROM coded
     "per-vector (min, max) — the 4x storage compression an ANN serving "
     "tier applies; map-only array expressions, half-up rounding spelled "
     "as floor(y + 0.5) so both engines tie-break identically, with the "
-    "per-vector reconstruction error as the quality metric. "
-    "operators/similarity.py::scalar_quantize.",
+    "per-vector reconstruction error as the quality metric.  Registered "
+    "shape replaces the int-code array with its md5-of-joined-codes "
+    "checksum (codes are exact ints, so the checksum is deterministic and "
+    "driver-hashable). operators/similarity.py::scalar_quantize.",
 )
 def x3_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import scalar_quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return scalar_quantize(emb)
+    q = scalar_quantize(emb)
+    return q.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("codes"), lambda c: c.cast("string")))
+        ).alias("codes_md5"),
+        "sq_err",
+    )
 
 
 @register(

@@ -34,7 +34,9 @@ def _stage_events_chunks(spark: SparkSession, sf_dir: str, chunks: int = 4) -> s
     each file becomes one micro-batch.  Staged once per sf_dir and reused
     (content is deterministic)."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    stage = os.path.join(_STAGE_ROOT, f"events_{key}_{chunks}")
+    # "_us" suffix versions the staged wire format (ts = epoch micros long);
+    # prevents reuse of pre-round-4 nanos-format stage dirs left in /tmp.
+    stage = os.path.join(_STAGE_ROOT, f"events_{key}_{chunks}_us")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         stage_events_for_replay(spark, sf_dir, stage, chunks)
     return stage
@@ -49,7 +51,7 @@ def _stage_events_chunks_duped(spark: SparkSession, sf_dir: str) -> str:
 
     src = _stage_events_chunks(spark, sf_dir)
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    duped = os.path.join(_STAGE_ROOT, f"events_duped_{key}")
+    duped = os.path.join(_STAGE_ROOT, f"events_duped_{key}_us")
     if not os.path.exists(os.path.join(duped, "_DONE")):
         os.makedirs(duped, exist_ok=True)
         parts = sorted(
@@ -105,12 +107,18 @@ def stream_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_daily_summary_watermarked",
-    None,  # closed-window subset isn't cleanly SQL-expressible; rows-only
+    f"""
+WITH summary AS ({FLAGSHIP_ORACLE})
+SELECT * FROM summary
+WHERE epoch_ms(time) - 1 <= (SELECT epoch_ms(max(ts)) FROM events) - 86400000
+""",
     ("T3",),
     "Production mode: 1-day watermark bounds state; append mode emits each "
-    "window once, closed and final. Emits only windows whose end is below "
-    "the final watermark (the replay's last day stays open), so the batch "
-    "oracle doesn't apply; pytest asserts the subset/equality semantics.",
+    "window once, closed and final.  The replay is event-time-ordered so "
+    "nothing is ever late: the emitted set is exactly the batch summary "
+    "restricted to watermark-closed windows — final watermark = max event "
+    "time (ms) - 1 day, and Spark evicts a window when window.end - 1 <= "
+    "watermark, which the oracle's WHERE mirrors in ms arithmetic.",
 )
 def stream_daily_summary_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, sf_dir, watermark="1 day", output_mode="append")
@@ -171,14 +179,53 @@ def stream_dedup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sessionization",
-    None,  # custom stateful op: closed-session emission isn't SQL-expressible
+    """
+WITH marked AS (
+  SELECT user_id, event_id, value, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS unix_ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, unix_ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM marked
+),
+stats AS (
+  SELECT user_id, session_id,
+         min(unix_ts) AS session_start_unix,
+         max(unix_ts) AS session_end_unix,
+         max(unix_ts) - min(unix_ts) AS duration_s,
+         count(*) AS n_events,
+         (CAST(sum(CAST(floor(coalesce(value, 0.0) * 100000000.0 + 0.5)
+                        AS BIGINT)) AS DOUBLE) / 100000000.0) AS total_value
+  FROM sessions GROUP BY user_id, session_id
+),
+wm AS (SELECT (SELECT epoch_ms(max(ts)) FROM events) - 1800000 AS wm_ms),
+last_sid AS (SELECT user_id, max(session_id) AS m FROM stats GROUP BY user_id)
+SELECT s.user_id, s.session_start_unix, s.session_end_unix, s.duration_s,
+       s.n_events, s.total_value
+FROM stats s JOIN last_sid l USING (user_id), wm
+WHERE s.session_id < l.m
+   OR (s.session_end_unix + 1800) * 1000 + 1 < wm.wm_ms
+""",
     ("W*", "T3", "X*"),
     "Custom stateful streaming operator (applyInPandasWithState): gap-"
     "based session windows with per-key fixed-width state and event-time "
-    "timeouts, emitting each session once when it closes. Sessions still "
-    "open when the replay drains are withheld, as on a live stream; "
-    "closed-session parity with batch sessionize is asserted in "
-    "tests/test_streaming_sessions.py.",
+    "timeouts, emitting each session once when it closes.  The replay is "
+    "event-time-ordered, so the emitted set is deterministic: every batch "
+    "session except each user's last (closed by the next event), plus "
+    "last sessions whose event-time timeout (last + gap, +1ms guard) fired "
+    "strictly below the final watermark (max event ms - 30 min) — which is "
+    "exactly what the oracle's WHERE selects.  total_value accumulates in "
+    "exact integer 1e-8 units on both sides, so the hash match is bitwise. "
+    "Batch parity is also asserted in tests/test_streaming_sessions.py.",
 )
 def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _query_counter

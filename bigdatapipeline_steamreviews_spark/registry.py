@@ -121,16 +121,17 @@ _loaded = False
 #   2. queries with no green row in ANY past ``CORRECTNESS_r*.json`` — a
 #      newly added operator earns its driver-checked gate row in the round
 #      it is born;
-#   3. the north-star surface (X1-X5 dedup/similarity/text/multimodal,
-#      every streaming query, the native review-schema query), least
-#      recently driver-checked first;
-#   4. the relational/analytic extension shapes, least recently
-#      driver-checked first.
+#   3. everything else by STALENESS (the last round with a green driver
+#      row, ascending) — a query green two rounds ago outranks one green
+#      last round, whatever family it belongs to; the north-star surface
+#      (X1-X5, streaming, review) breaks ties ahead of the relational/
+#      analytic extension shapes.
 #
-# Within each rank, staleness (the last round with a green driver row)
-# rotates queries through the window across rounds, so hard driver signal
-# accumulates over the whole registry instead of re-checking a fixed
-# prefix forever.
+# Staleness-first (not family-first) is what rotates the window: after an
+# environment break is fixed, the un-broken queries are exactly the stale
+# ones, and they must re-enter the checked window immediately no matter
+# which family they're in.  Hard driver signal thus accumulates over the
+# whole registry instead of re-checking a fixed prefix forever.
 _PRIORITY_PREFIXES = ("x1_", "x2_", "x3_", "x4_", "x5_", "stream_", "review_")
 
 
@@ -189,7 +190,7 @@ def _ensure_all_registered() -> None:
             return (0, 0, 0, 0)
         never_checked = 0 if name not in last_green else 1
         priority = 0 if name.startswith(_PRIORITY_PREFIXES) else 1
-        return (1, never_checked, priority, last_green.get(name, 0), reg_index[name])
+        return (1, never_checked, last_green.get(name, 0), priority, reg_index[name])
 
     for name in sorted(REGISTRY, key=order_key):
         REGISTRY[name] = REGISTRY.pop(name)

@@ -28,19 +28,27 @@ __all__ = ["get_spark", "ensure_parity_conf", "DEFAULT_SHUFFLE_PARTITIONS"]
 
 
 def ensure_parity_conf(spark: SparkSession) -> SparkSession:
-    """Set the two runtime confs correctness depends on, idempotently.
+    """Set the runtime confs correctness depends on, idempotently.
 
     Query functions are handed arbitrary sessions (the driver harness
     builds a bare one), so every table load routes through this instead of
     assuming our tuned factory:
 
-    * ``nanosAsLong`` — the events table is parquet TIMESTAMP(NANOS),
-      which Spark otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
+    * ``nanosAsLong`` — kept for drift-resilience: if the driver testdata
+      ever reverts to parquet TIMESTAMP(NANOS) (as in rounds 1–2), Spark
+      reads it as a long instead of failing PARQUET_TYPE_ILLEGAL, and the
+      adaptive loader (``sources.tables.normalize_event_ts``) converts it.
+      Harmless for micros/NTZ data.
     * ``UTC session timezone`` — event-time windows and date_trunc must
-      agree with the DuckDB oracle, which treats timestamps as naive.
+      agree with the DuckDB oracle, which treats timestamps as naive; also
+      makes the NTZ→TIMESTAMP normalization cast wall-clock-identity.
+    * ``ANSI off`` — the engine's expressions assume Spark-3 permissive
+      cast semantics; PySpark 4 defaults ANSI on, so a bare driver session
+      would otherwise diverge (error-on-overflow, strict casts).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
@@ -74,9 +82,9 @@ def get_spark(
         # Files: pack small test files into few tasks; at 100 TB the same
         # knob bounds per-task input so scans stay within executor memory.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # Driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has no
-        # nanos timestamp, so read as long and truncate to micros in the
-        # loader (matches DuckDB's nanos->micros truncation).
+        # Drift-resilience: if events.ts ever arrives as TIMESTAMP(NANOS)
+        # again (rounds 1-2 testdata), read it as long instead of failing;
+        # the adaptive loader converts whatever type shows up.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -14,10 +14,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import REVIEW_SCHEMA
 
-__all__ = ["load_table", "load_tables", "read_reviews_csv", "TABLE_NAMES"]
+__all__ = [
+    "load_table",
+    "load_tables",
+    "read_reviews_csv",
+    "normalize_event_ts",
+    "event_ts_micros",
+    "TABLE_NAMES",
+]
 
 TABLE_NAMES = (
     "region",
@@ -33,20 +41,59 @@ TABLE_NAMES = (
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to the engine's canonical TIMESTAMP,
+    whatever physical encoding the parquet arrived in.
+
+    The driver's testdata has changed encoding between rounds (parquet
+    TIMESTAMP(NANOS) read as long under ``nanosAsLong``, then plain
+    TIMESTAMP micros read as TIMESTAMP_NTZ under Spark 4) — so the loader
+    adapts to the observed type instead of assuming one:
+
+    * ``LongType``  — epoch nanos; truncate to micros (DuckDB's own
+      nanos→micros truncation) and convert.
+    * ``TimestampNTZType`` — wall-clock micros; reinterpret as UTC
+      (session timezone is pinned UTC, so the cast is wall-clock-identity
+      and matches DuckDB's naive-timestamp reading).
+    * ``TimestampType`` — already canonical; pass through.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if isinstance(dt, T.TimestampType):
+        return df
+    raise TypeError(f"unsupported event-time type for column {col!r}: {dt}")
+
+
+def event_ts_micros(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Rewrite an event-time column as epoch **micros** (LongType).
+
+    The streaming replay harness stages events in this form so the
+    file-stream schema is stable no matter how the source parquet encodes
+    timestamps (``streaming/summarizer.py``).
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):  # epoch nanos from legacy nanosAsLong read
+        return df.withColumn(col, F.expr(f"{col} div 1000"))
+    normalized = normalize_event_ts(df, col)
+    return normalized.withColumn(col, F.unix_micros(F.col(col)))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it as a
-    long (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to
-    microseconds here — the same truncation DuckDB applies — so both engines
-    see identical timestamps.
+    ``events.ts`` is normalized to the canonical TIMESTAMP type via
+    :func:`normalize_event_ts` — adaptive to the parquet's physical
+    encoding, which has drifted between driver rounds.
     """
     from ..session import ensure_parity_conf
 
     ensure_parity_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

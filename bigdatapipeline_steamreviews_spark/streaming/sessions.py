@@ -47,14 +47,21 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
 )
 
 # Open-session accumulator: one fixed-width row per active key.
+# total is held in integer 1e-8 units (half-up quantized) so cross-batch
+# accumulation is exact and associative — the emitted double is then ONE
+# correctly-rounded division, bitwise-reproducible by any engine that sums
+# the same quantized integers (the DuckDB oracle does; same recipe as
+# operators.similarity.label_centroids).
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("start_unix", T.LongType()),
         T.StructField("last_unix", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_q", T.LongType()),
     ]
 )
+
+_Q = 10**8  # 1e-8 quantization unit for exact value accumulation
 
 
 def streaming_sessionize(
@@ -70,7 +77,7 @@ def streaming_sessionize(
     """
 
     def sessions_df(
-        user_id: int, starts: list, lasts: list, ns: list, tots: list
+        user_id: int, starts: list, lasts: list, ns: list, tots_q: list
     ) -> pd.DataFrame:
         starts_a = np.asarray(starts, dtype="int64")
         lasts_a = np.asarray(lasts, dtype="int64")
@@ -81,7 +88,8 @@ def streaming_sessionize(
                 "session_end_unix": lasts_a,
                 "duration_s": lasts_a - starts_a,
                 "n_events": np.asarray(ns, dtype="int64"),
-                "total_value": np.asarray(tots, dtype="float64"),
+                # exact int total -> one correctly-rounded double division
+                "total_value": np.asarray(tots_q, dtype="int64") / float(_Q),
             }
         )
 
@@ -111,14 +119,18 @@ def streaming_sessionize(
         unix = (
             rows["ts"].astype("datetime64[ns]").astype("int64") // 10**9
         ).to_numpy()
-        vals = rows["value"].fillna(0.0).to_numpy(dtype="float64")
+        # Half-up quantize each value to integer 1e-8 units: accumulation
+        # below is exact int math (associative across batch boundaries).
+        vals = np.floor(
+            rows["value"].fillna(0.0).to_numpy(dtype="float64") * _Q + 0.5
+        ).astype("int64")
 
         # Seed from the open session in state, if any.
         has_open = state.exists
         if has_open:
             start, last, n, tot = state.get
         else:
-            start, last, n, tot = 0, 0, 0, 0.0
+            start, last, n, tot = 0, 0, 0, 0
 
         # Vectorized run split: a session boundary sits wherever the gap
         # from the previous event (or from the carried-over open session)
@@ -161,7 +173,7 @@ def streaming_sessionize(
         # The final run stays open in state, flushed by event-time timeout
         # when the watermark passes last + gap.
         start, last = int(r_start[-1]), int(r_end[-1])
-        n, tot = int(r_cnt[-1]), float(r_sum[-1])
+        n, tot = int(r_cnt[-1]), int(r_sum[-1])
         state.update((start, last, n, tot))
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max((last + gap_seconds) * 1000 + 1, wm + 1))

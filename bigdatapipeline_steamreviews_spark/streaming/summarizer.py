@@ -36,9 +36,10 @@ __all__ = [
     "stage_events_for_replay",
 ]
 
-# File-stream schema for the events table: ts arrives as nanos-int64
-# (see sources.tables.load_table) and is normalized right after load.
-_EVENTS_NANOS_SCHEMA = T.StructType(
+# File-stream schema for STAGED events: stage_events_for_replay always
+# writes ts as epoch-micros int64 (whatever the source parquet's physical
+# timestamp encoding), so the streaming schema never drifts with testdata.
+_EVENTS_STAGED_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
         T.StructField("ts", T.LongType(), True),
@@ -66,9 +67,13 @@ def stage_events_for_replay(
     import time
 
     from ..session import ensure_parity_conf
+    from ..sources.tables import event_ts_micros
 
     ensure_parity_conf(spark)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays nanos-long
+    # Normalize ts to epoch-micros long at staging time: approxQuantile needs
+    # a numeric column, and the staged wire format stays stable no matter how
+    # the source parquet encodes timestamps (nanos-long, micros, NTZ).
+    raw = event_ts_micros(spark.read.parquet(f"{sf_dir}/events.parquet"))
     qs = raw.approxQuantile("ts", [i / chunks for i in range(1, chunks)], 0.0)
     bounds = [float("-inf"), *qs, float("inf")]
     for i in range(chunks):
@@ -92,11 +97,11 @@ def events_file_stream(
     from ..session import ensure_parity_conf
 
     ensure_parity_conf(spark)
-    reader = spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+    reader = spark.readStream.schema(_EVENTS_STAGED_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(directory)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.timestamp_micros(F.col("ts")))
 
 
 def streaming_daily_summary(

@@ -49,16 +49,13 @@ def test_every_query_has_oracle_or_reason(spark):
     from bigdatapipeline_steamreviews_spark import REGISTRY, oracle_sql
 
     missing = {n for n, s in REGISTRY.items() if s.oracle is None}
-    # Rows-only by design: the watermarked streaming variant (closed-window
-    # subset isn't cleanly SQL), the custom stateful sessionization
-    # (parity asserted against batch sessionize in pytest instead), and the
-    # k-means-trained IVF ANN (iterative training; recall vs brute force
-    # asserted in pytest instead).
-    assert missing == {
-        "stream_daily_summary_watermarked",
-        "stream_sessionization",
-        "x3_cosine_topk_ivf",
-    }
+    # Round 4: every registered query carries a DuckDB oracle.  The three
+    # former rows-only registrations earned real ones — the watermarked
+    # stream (batch summary restricted to watermark-closed windows), the
+    # stateful sessionization (batch session SQL restricted to
+    # watermark-closed sessions), and IVF ANN (exhaustive-probe config ==
+    # brute-force top-k).  A new None here must come with a written reason.
+    assert missing == set()
     assert set(oracle_sql()) == set(REGISTRY) - missing
 
 

@@ -67,15 +67,16 @@ def test_late_data_updates_open_window(spark):
     """Out-of-order rows across micro-batches merge into their window when
     no watermark bounds state (T3: every window stays live forever)."""
     stage = tempfile.mkdtemp(prefix="late_")
+    # Staged wire format: ts = epoch MICROS long (see _EVENTS_STAGED_SCHEMA).
     spark.createDataFrame(
-        [(1, 1_700_000_000_000_000_000, 1, "click", 10.0, '{"k":1}')],
+        [(1, 1_700_000_000_000_000, 1, "click", 10.0, '{"k":1}')],
         "event_id long, ts long, user_id long, event_type string, value double, props string",
     ).coalesce(1).write.parquet(f"{stage}/f1.parquet")
     # second file: one row a full day LATER, plus one LATE row in day 1
     spark.createDataFrame(
         [
-            (2, 1_700_000_000_000_000_000 + 86_400 * 10**9, 1, "click", 30.0, '{"k":1}'),
-            (3, 1_700_000_000_000_000_000 + 1, 1, "click", 50.0, '{"k":1}'),
+            (2, 1_700_000_000_000_000 + 86_400 * 10**6, 1, "click", 30.0, '{"k":1}'),
+            (3, 1_700_000_000_000_000 + 1, 1, "click", 50.0, '{"k":1}'),
         ],
         "event_id long, ts long, user_id long, event_type string, value double, props string",
     ).coalesce(1).write.parquet(f"{stage}/f2.parquet")
