@@ -869,3 +869,401 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(100.0) * sum_exact(promo_rev)) / sum_exact(rev)
         ).alias("promo_revenue_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Min-cost supplier per part (TPC-H Q2 shape, partsupp adapted from lineitem)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, {_avg_exact_sql('l_extendedprice')} AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+ranked AS (
+  SELECT p.p_partkey, c.supply_cost, eu.s_suppkey, eu.s_name, eu.nation,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY c.supply_cost, eu.s_suppkey) AS rn
+  FROM cost c
+  JOIN eu ON c.l_suppkey = eu.s_suppkey
+  JOIN part p ON c.l_partkey = p.p_partkey
+  WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 30
+)
+SELECT p_partkey, supply_cost, s_suppkey, s_name, nation
+FROM ranked WHERE rn = 1
+ORDER BY supply_cost DESC, p_partkey
+LIMIT 100
+""",
+    ("J*", "A2", "O2", "W*"),
+    "TPC-H Q2 shape (no partsupp in the schema, so the supplier catalog is "
+    "derived: supply cost of a (part, supplier) pair = exact-decimal mean "
+    "line price over their lineitems).  The correlated min-subquery is "
+    "decorrelated into a per-part row_number over (cost, suppkey) — one "
+    "shuffle on partkey instead of a per-row probe; region-filtered "
+    "suppliers and the filtered part dim broadcast.  Deterministic "
+    "tie-break (cost, then suppkey) and exact-decimal costs keep rank 1 "
+    "engine-independent.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 30)
+    )
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        avg_exact("l_extendedprice").alias("supply_cost")
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+    joined = cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey).join(
+        F.broadcast(p), cost.l_partkey == p.p_partkey
+    )
+    w = Window.partitionBy("p_partkey").orderBy("supply_cost", "s_suppkey")
+    best = joined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return top_n(
+        best, [F.col("supply_cost").desc(), F.col("p_partkey")], 100
+    ).select("p_partkey", "supply_cost", "s_suppkey", "s_name", "nation")
+
+
+# ---------------------------------------------------------------------------
+# National market share (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q8_market_share",
+    f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       ({_sum_exact_sql(
+           "CASE WHEN sn.n_name = 'NATION_1' "
+           "THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END")})
+       / ({_sum_exact_sql('l.l_extendedprice * (1.0 - l.l_discount)')})
+         AS mkt_share
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+WHERE r.r_name = 'AMERICA'
+  AND p.p_type = 'STANDARD'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+""",
+    ("J*", "A2", "A4", "P12"),
+    "TPC-H Q8 shape: one nation's share of a region's market per year — "
+    "an eight-table tree where the same dimension (nation) joins twice "
+    "(customer side filters the region, supplier side tags the share "
+    "numerator).  Share = two exact-decimal conditional sums and ONE "
+    "double division per group, so the ratio is bitwise reproducible; "
+    "every dimension broadcasts, the only shuffles are the orderkey "
+    "fact-fact join and the final year groupBy.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    nat_vol = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0))
+    return joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg((sum_exact(nat_vol) / sum_exact(vol)).alias("mkt_share"))
+
+
+# ---------------------------------------------------------------------------
+# Product-line profit by nation and year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q9_product_profit",
+    f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       {_sum_exact_sql(
+           "l.l_extendedprice * (1.0 - l.l_discount)"
+           " - p.p_retailprice * l.l_quantity * 0.1")} AS profit
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+    ("J*", "A2", "P12"),
+    "TPC-H Q9 shape: profit (revenue minus supply cost) per supplier "
+    "nation per order year for one product line.  The schema has no "
+    "partsupp, so supply cost is modeled as 10% of the part's retail "
+    "price per unit — the shape (fact scan, name-LIKE filtered part dim, "
+    "nation rollup, signed money arithmetic through the exact-decimal "
+    "sum) is what's exercised.  All dims broadcast; shuffles: orderkey "
+    "join + final groupBy.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    )
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(sum_exact(profit).alias("profit"))
+
+
+# ---------------------------------------------------------------------------
+# Important stock by value share (TPC-H Q11 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_important_stock",
+    f"""
+WITH nation_lines AS (
+  SELECT l.l_partkey, l.l_extendedprice
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+),
+per_part AS (
+  SELECT l_partkey, {_sum_exact_sql('l_extendedprice')} AS part_value
+  FROM nation_lines GROUP BY l_partkey
+),
+total AS (
+  SELECT {_sum_exact_sql('l_extendedprice')} AS total_value FROM nation_lines
+)
+SELECT p.l_partkey, p.part_value
+FROM per_part p, total t
+WHERE p.part_value > 0.001 * t.total_value
+""",
+    ("J*", "A2"),
+    "TPC-H Q11 shape: parts representing an outsized share of one "
+    "nation's supplied value (partsupp adapted: value = exact-decimal sum "
+    "of the nation's line prices per part).  The HAVING-vs-global-total "
+    "threshold is a scalar aggregate broadcast as a one-row cross join — "
+    "every executor compares locally, no second pass over the data; the "
+    "nation filter reaches the supplier dim before the fact join.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    lines = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_partkey", "l_extendedprice")
+    )
+    per_part = lines.groupBy("l_partkey").agg(
+        sum_exact("l_extendedprice").alias("part_value")
+    )
+    total = lines.agg(sum_exact("l_extendedprice").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_customer_distribution",
+    """
+WITH counts AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM counts GROUP BY c_count
+""",
+    ("J*", "A3"),
+    "TPC-H Q13 shape: the customer order-count histogram — a LEFT OUTER "
+    "join with a predicate INSIDE the join condition (not a post-filter: "
+    "customers with only urgent orders must survive with count 0), then "
+    "two stacked aggregates.  count(o_orderkey) ignores the null-extended "
+    "rows, so zero-order customers land in the c_count=0 bucket.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    counts = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Top supplier by quarterly revenue (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {_sum_exact_sql('l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT max(total_revenue) AS m FROM revenue)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey, mx
+WHERE r.total_revenue = mx.m
+""",
+    ("J*", "A2", "O2"),
+    "TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue — "
+    "the view + scalar-max subquery decorrelated into a one-row broadcast "
+    "compared against the per-supplier aggregate.  The equality on a "
+    "double is safe ONLY because both engines compute the revenue through "
+    "the exact-decimal recipe, so max and members are bitwise identical.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    revenue = l.groupBy("l_suppkey").agg(sum_exact(rev).alias("total_revenue"))
+    mx = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dominant promo-part suppliers (TPC-H Q20 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_promo_part_suppliers",
+    """
+WITH promo_1996 AS (
+  SELECT l.l_suppkey, l.l_partkey, l.l_quantity
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'PROMO'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+),
+pair_qty AS (
+  SELECT l_suppkey, l_partkey,
+         ((sum(CAST(l_quantity AS DECIMAL(28,10)))::VARCHAR)::DOUBLE) AS sq
+  FROM promo_1996 GROUP BY l_suppkey, l_partkey
+),
+part_qty AS (
+  SELECT l_partkey,
+         ((sum(CAST(l_quantity AS DECIMAL(28,10)))::VARCHAR)::DOUBLE) AS pq
+  FROM promo_1996 GROUP BY l_partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name AS nation
+FROM pair_qty a
+JOIN part_qty b ON a.l_partkey = b.l_partkey
+JOIN supplier s ON a.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE a.sq > 0.1 * b.pq
+""",
+    ("J*", "A2"),
+    "TPC-H Q20 shape: suppliers who moved more than 10% of any promo "
+    "part's 1996 volume (partsupp availqty adapted to shipped quantity). "
+    "Two aggregates over the same filtered slice at different grains, "
+    "joined on partkey for the share predicate, then the qualifying "
+    "supplier keyset deduplicated and enriched — the IN-subquery chain "
+    "becomes aggregate + hash join + distinct, no correlated probing. "
+    "Both quantity sums go through the exact-decimal recipe so the 10% "
+    "boundary is engine-independent.",
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    promo = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    pair_qty = promo.groupBy("l_suppkey", "l_partkey").agg(
+        sum_exact("l_quantity").alias("sq")
+    )
+    part_qty = promo.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        sum_exact("l_quantity").alias("pq")
+    )
+    dominant = (
+        pair_qty.join(part_qty, pair_qty.l_partkey == part_qty.b_partkey)
+        .filter(F.col("sq") > F.lit(0.1) * F.col("pq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        dominant.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
