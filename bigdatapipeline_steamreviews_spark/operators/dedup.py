@@ -28,6 +28,7 @@ from .partitioning import ensure_min_parallelism
 
 __all__ = [
     "exact_dedup",
+    "paragraph_dedup",
     "shingle_table",
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -275,6 +276,79 @@ def lsh_candidate_pairs(
         )
         .select(F.col("a.bid").alias("a_id"), F.col("b.bid").alias("b_id"))
         .distinct()
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 20,
+) -> DataFrame:
+    """X1, sub-document grain — exact dedup of fixed-width word spans
+    ("paragraphs") across the whole corpus, with per-document reassembly
+    of the surviving text (the RefinedWeb/CCNet-style pass that strips
+    boilerplate repeated across documents without dropping whole docs).
+
+    Shape, built for 100 TB:
+    * spans are generated per-row with pure array expressions (split →
+      sequence → slice → array_join), exploded once — no UDF;
+    * the global keep/drop decision is a **groupBy(span digest) +
+      min(struct(id, span_idx))** — partial-aggregatable (map-side
+      combine), constant-width shuffle key, NO corpus-wide window;
+    * the keeper set joins back on the digest (hash equi-join), and
+      reassembly is a per-document sort of its own surviving spans
+      (collect_list bounded by document length, never corpus length).
+
+    First occurrence (minimum ``(doc_id, span_idx)``) survives; every
+    later identical span anywhere in the corpus is dropped.  Returns
+    (doc_id, n_spans, n_kept, cleaned_text) — cleaned_text '' when every
+    span of a document was seen earlier.
+    """
+    w = F.split(F.col(text_col), " ")
+    n_spans = F.greatest(
+        F.ceil(F.size(w) / F.lit(float(span_words))).cast("int"), F.lit(1)
+    )
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * span_words + 1, span_words), " "
+        ),
+    )
+    spans = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(spans_arr).alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "span",
+        F.md5(F.col("span")).alias("h"),
+    )
+    spans = spans.localCheckpoint()  # used 3x below (keeper, join-back, counts)
+    keeper = spans.groupBy("h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("k")
+    ).select("h", F.col("k.doc_id").alias("k_doc"), F.col("k.span_idx").alias("k_idx"))
+    kept = spans.join(
+        keeper,
+        (spans.h == keeper.h)
+        & (spans.doc_id == keeper.k_doc)
+        & (spans.span_idx == keeper.k_idx),
+    ).select("doc_id", "span_idx", "span")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    counts = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return counts.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
 
 

@@ -306,6 +306,56 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x1_paragraph_dedup",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS span_idx,
+         array_to_string(w[(CAST(t.i AS INT)*20+1):(CAST(t.i AS INT)*20+20)],
+                         ' ') AS span
+  FROM toks,
+       unnest(range(greatest(CAST(ceil(len(w)/20.0) AS BIGINT), 1))) AS t(i)
+),
+hashed AS (SELECT doc_id, span_idx, span, md5(span) AS h FROM spans),
+keeper AS (
+  SELECT h, doc_id AS k_doc, span_idx AS k_idx FROM (
+    SELECT h, doc_id, span_idx,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, span_idx) AS rn
+    FROM hashed) WHERE rn = 1
+),
+kept AS (
+  SELECT x.doc_id, x.span_idx, x.span
+  FROM hashed x JOIN keeper k
+    ON x.h = k.h AND x.doc_id = k.k_doc AND x.span_idx = k.k_idx
+),
+counts AS (SELECT doc_id, count(*) AS n_spans FROM hashed GROUP BY doc_id),
+re AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY span_idx) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_spans,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+FROM counts c LEFT JOIN re r USING (doc_id)
+""",
+    ("X1",),
+    "Sub-document exact dedup (RefinedWeb/CCNet-style): the corpus is cut "
+    "into fixed 20-word spans, the first occurrence of each distinct span "
+    "(min (doc_id, span_idx)) survives corpus-wide, and each document is "
+    "reassembled from its surviving spans — boilerplate repeated across "
+    "documents is stripped without dropping whole docs.  Keep/drop is a "
+    "partial-aggregatable digest groupBy (min-struct), never a corpus "
+    "window; reassembly sorts only within each document. "
+    "operators/dedup.py::paragraph_dedup.",
+)
+def x1_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(spark, sf_dir), span_words=20)
+
+
+@register(
     "x2_ngram_jaccard",
     f"""
 WITH {_SHINGLES3_SQL},

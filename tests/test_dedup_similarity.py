@@ -284,3 +284,45 @@ def test_cosine_topk_corpus_pred_filters_candidates(spark):
     ).collect()
     # Only label-1 candidates survive; vec 2 (closest overall) is excluded.
     assert [r.neighbor_id for r in got] == [1, 3]
+
+
+def test_paragraph_dedup_strips_repeated_spans(spark):
+    """Sub-document dedup: a span repeated across documents survives only
+    at its first (min doc_id, span_idx) occurrence; unique spans are
+    untouched and reassembly preserves in-document order."""
+    from bigdatapipeline_steamreviews_spark.operators.dedup import paragraph_dedup
+
+    span_a = " ".join(f"a{i}" for i in range(4))   # shared boilerplate
+    span_b = " ".join(f"b{i}" for i in range(4))   # unique to doc 0
+    span_c = " ".join(f"c{i}" for i in range(4))   # unique to doc 1
+    rows = [
+        (0, f"{span_a} {span_b}"),          # spans: [a, b]
+        (1, f"{span_a} {span_c}"),          # spans: [a, c] — a is a dup
+        (2, f"{span_a} {span_a}"),          # both spans dups of doc 0's a
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r for r in paragraph_dedup(df, span_words=4).collect()
+    }
+    assert (got[0].n_spans, got[0].n_kept) == (2, 2)
+    assert got[0].cleaned_text == f"{span_a} {span_b}"
+    assert (got[1].n_spans, got[1].n_kept) == (2, 1)
+    assert got[1].cleaned_text == span_c        # boilerplate stripped
+    assert (got[2].n_spans, got[2].n_kept) == (2, 0)
+    assert got[2].cleaned_text == ""            # nothing original survives
+
+
+def test_paragraph_dedup_partial_tail_span(spark):
+    """Documents whose length is not a span multiple keep a short tail
+    span; an empty-ish doc still yields one span."""
+    from bigdatapipeline_steamreviews_spark.operators.dedup import paragraph_dedup
+
+    rows = [(0, "w1 w2 w3 w4 w5"), (1, "solo")]
+    got = {
+        r.doc_id: r
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), span_words=4
+        ).collect()
+    }
+    assert got[0].n_spans == 2 and got[0].cleaned_text == "w1 w2 w3 w4 w5"
+    assert got[1].n_spans == 1 and got[1].cleaned_text == "solo"
