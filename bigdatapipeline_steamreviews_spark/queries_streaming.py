@@ -29,11 +29,25 @@ _STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_stream_stage")
 _query_counter = 0
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Identity of the source events parquet: path + size + mtime.  The
+    driver has regenerated the testdata in place between rounds (same
+    path, new bytes); folding the fingerprint into the stage cache key
+    makes a stale /tmp stage impossible rather than merely unlikely."""
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(path)
+        ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:  # directory-style parquet or driver-managed path
+        ident = sf_dir
+    return hashlib.md5(ident.encode()).hexdigest()[:10]
+
+
 def _stage_events_chunks(spark: SparkSession, sf_dir: str, chunks: int = 4) -> str:
     """Stage the events table as time-ordered replay chunks under /tmp —
-    each file becomes one micro-batch.  Staged once per sf_dir and reused
-    (content is deterministic)."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    each file becomes one micro-batch.  Staged once per source fingerprint
+    and reused (content is deterministic)."""
+    key = _source_fingerprint(sf_dir)
     # "_us" suffix versions the staged wire format (ts = epoch micros long);
     # prevents reuse of pre-round-4 nanos-format stage dirs left in /tmp.
     stage = os.path.join(_STAGE_ROOT, f"events_{key}_{chunks}_us")
@@ -50,7 +64,7 @@ def _stage_events_chunks_duped(spark: SparkSession, sf_dir: str) -> str:
     import time
 
     src = _stage_events_chunks(spark, sf_dir)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    key = _source_fingerprint(sf_dir)
     duped = os.path.join(_STAGE_ROOT, f"events_duped_{key}_us")
     if not os.path.exists(os.path.join(duped, "_DONE")):
         os.makedirs(duped, exist_ok=True)
