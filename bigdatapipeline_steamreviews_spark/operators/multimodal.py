@@ -38,6 +38,7 @@ __all__ = [
     "blob_metadata",
     "extract_features",
     "frame_sample",
+    "resize_payload",
 ]
 
 MODALITY_METADATA_COLUMNS = ("modality", "mime", "n_bytes", "content_md5")
@@ -123,6 +124,50 @@ _FRAME_SCHEMA = T.StructType(
         T.StructField("frame", T.BinaryType(), False),
     ]
 )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType(), False),
+        T.StructField("orig_bytes", T.LongType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_payload(blobs: DataFrame, target_bytes: int = 16) -> DataFrame:
+    """Resize plumbing: every payload is nearest-neighbor resampled to a
+    fixed ``target_bytes`` length through the codec seam — the 1-D stand-in
+    for image resize / audio resample (sample index i reads source byte
+    ``floor(i * n / target)``, the same arithmetic a nearest-neighbor
+    image kernel runs per axis).  Down- and up-sampling both work; a
+    zero-byte payload resizes to zero bytes.  Output rows are fixed-width
+    regardless of input size — which is the point at 100 TB: downstream
+    stages (feature models, dedup over thumbnails) see bounded bytes per
+    row no matter what arrived.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_orig, out_resized = [], [], []
+            for bid, payload, mime in zip(pdf["blob_id"], pdf["payload"], pdf["mime"]):
+                content = _decode_payload(payload, mime)
+                n = len(content)
+                resized = (
+                    bytes(content[i * n // target_bytes] for i in range(target_bytes))
+                    if n
+                    else b""
+                )
+                out_ids.append(bid)
+                out_orig.append(n)
+                out_resized.append(resized)
+            yield pd.DataFrame(
+                {"blob_id": out_ids, "orig_bytes": out_orig, "resized": out_resized}
+            )
+
+    return blobs.select("blob_id", "payload", "mime").mapInPandas(
+        resize, schema=_RESIZE_SCHEMA
+    )
 
 
 def frame_sample(blobs: DataFrame, every_n_bytes: int = 64) -> DataFrame:

@@ -17,6 +17,7 @@ from .operators.multimodal import (
     blob_metadata,
     extract_features,
     frame_sample,
+    resize_payload,
 )
 from .registry import register
 from .sources.tables import load_table
@@ -75,6 +76,36 @@ def x5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 1).alias("f_len"),
         F.element_at("features", 2).alias("f_first"),
         F.element_at("features", 3).alias("f_last"),
+    )
+
+
+@register(
+    "x5_resize",
+    """
+SELECT doc_id AS blob_id,
+       octet_length(encode(text))::BIGINT AS orig_bytes,
+       CASE WHEN octet_length(encode(text)) = 0 THEN ''
+            ELSE list_aggr(
+              [substr(hex(encode(text)),
+                      CAST(floor(i * octet_length(encode(text)) / 16.0)
+                           AS INT) * 2 + 1, 2)
+               for i in range(0, 16)],
+              'string_agg', '')
+       END AS resized_hex
+FROM documents
+""",
+    ("X5",),
+    "Resize plumbing through the codec seam: nearest-neighbor resample of "
+    "every payload to a fixed 16 bytes (sample i reads source byte "
+    "floor(i*n/16) — the same kernel arithmetic an image resize runs per "
+    "axis), via Arrow-batched mapInPandas. The oracle re-derives each "
+    "sampled OCTET by hex-string slicing, so the whole Python round-trip "
+    "is bit-checked. operators/multimodal.py::resize_payload.",
+)
+def x5_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resized = resize_payload(_doc_blobs(spark, sf_dir), target_bytes=16)
+    return resized.select(
+        "blob_id", "orig_bytes", F.hex("resized").alias("resized_hex")
     )
 
 

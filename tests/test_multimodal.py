@@ -131,3 +131,29 @@ def test_blob_metadata_scan_prunes_payload(spark, blobs, tmp_path):
     read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
     assert "payload" not in read_schema
     assert "content_md5" in read_schema
+
+
+def test_resize_payload_shapes(spark):
+    """Nearest-neighbor resize: fixed output width for any input size
+    (down- and up-sampling), empty payload -> empty output."""
+    from bigdatapipeline_steamreviews_spark.operators.multimodal import (
+        as_blob_table,
+        resize_payload,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, b"0123456789abcdefghij"),  # 20 bytes -> downsample
+        (1, b"xy"),                    # 2 bytes  -> upsample
+        (2, b""),                      # empty    -> empty
+    ]
+    df = spark.createDataFrame(rows, "blob_id long, payload binary").withColumn(
+        "text", F.lit("")
+    )
+    blobs = as_blob_table(df, "payload", "text", "application/x-fake", "blob_id")
+    got = {r.blob_id: r for r in resize_payload(blobs, target_bytes=4).collect()}
+    # idx_i = i * n // 4
+    assert bytes(got[0].resized) == bytes(b"0123456789abcdefghij"[i * 20 // 4] for i in range(4))
+    assert bytes(got[1].resized) == bytes(b"xy"[i * 2 // 4] for i in range(4))  # upsample repeats
+    assert got[1].orig_bytes == 2
+    assert bytes(got[2].resized) == b"" and got[2].orig_bytes == 0
