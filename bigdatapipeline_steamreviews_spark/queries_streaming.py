@@ -249,8 +249,13 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, stage, max_files_per_trigger=2)
     result = streaming_sessionize(stream, gap_seconds=1800, watermark="30 minutes")
     checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    # Unlike the daily-summary aggregates (state = days x event types, 8
+    # partitions ample), session state is per-USER — wide enough that the
+    # Arrow state function's parallelism dominates the per-partition
+    # trigger fixed cost.  Profiled at sf0.1: 16 -> 4.8 s vs 8 -> 6.4 s
+    # vs 32 -> 5.1 s (best-of-3 each); state sizing tracks state width.
     return run_to_memory_table(
-        result, name, checkpoint, "append", shuffle_partitions=8
+        result, name, checkpoint, "append", shuffle_partitions=16
     )
 
 
