@@ -1,0 +1,93 @@
+"""Source-format coverage beyond parquet/CSV (SURVEY.md §2.1): the flagship
+aggregate run end-to-end from JSON-lines and ORC stagings of the events
+table, gated against the SAME DuckDB oracle as the parquet flagship — if
+the format round-trip loses or mangles a single value anywhere (timestamp
+precision, embedded-JSON escaping, null handling), the hash compare fails.
+
+Staging derives deterministically from the driver's parquet (fingerprint-
+cached under /tmp, same invalidation discipline as the streaming replay
+stage), so the oracle legitimately reads the parquet view: identical rows,
+different wire format on the Spark side.
+
+Scale notes: both readers take a DECLARED schema (no sampling-based
+inference pass over 100 TB); JSON carries event-time as epoch-micros
+integers because timestamp-string round-trips are where JSON pipelines
+silently lose sub-second precision.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators.aggregations import daily_summary
+from .queries_streaming import _source_fingerprint
+from .registry import FLAGSHIP_ORACLE, register
+from .sources.tables import load_table
+
+_EVENTS_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # epoch micros
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def _stage_events_as(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write the events table once as ``fmt`` under /tmp, fingerprint-keyed
+    so regenerated testdata can never serve a stale staging."""
+    key = _source_fingerprint(sf_dir)
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_src_{fmt}_{key}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        df = load_table(spark, sf_dir, "events")
+        if fmt == "json":
+            df = df.withColumn("ts", F.unix_micros(F.col("ts")))
+            df.write.mode("overwrite").json(out)
+        elif fmt == "orc":
+            df.write.mode("overwrite").orc(out)
+        else:  # pragma: no cover - registration-time typo guard
+            raise ValueError(f"unknown staging format {fmt!r}")
+    return out
+
+
+@register(
+    "src_json_daily_summary",
+    FLAGSHIP_ORACLE,
+    ("S1", "A1", "P2", "P3"),
+    "The flagship daily summary computed from a JSON-lines source: events "
+    "staged as JSON (event-time as epoch-micros integers, props as an "
+    "embedded JSON string — the escaping round-trip is part of the test), "
+    "read back with a DECLARED schema (no inference scan), aggregated, and "
+    "hash-compared against the parquet oracle. Proves the engine's query "
+    "surface is source-format-agnostic end-to-end.",
+)
+def src_json_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_events_as(spark, sf_dir, "json")
+    events = (
+        spark.read.schema(_EVENTS_JSON_SCHEMA)
+        .json(path)
+        .withColumn("ts", F.timestamp_micros(F.col("ts")))
+    )
+    return daily_summary(events)
+
+
+@register(
+    "src_orc_daily_summary",
+    FLAGSHIP_ORACLE,
+    ("S1", "A1"),
+    "The flagship daily summary computed from an ORC source (the second "
+    "columnar format a lakehouse actually encounters): native ORC "
+    "timestamps survive the round-trip under the pinned UTC session, and "
+    "the result must hash-match the parquet oracle exactly.",
+)
+def src_orc_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_events_as(spark, sf_dir, "orc")
+    return daily_summary(spark.read.orc(path))
