@@ -672,3 +672,87 @@ def a11_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(hll_alpha_numerator()) / s_total.cast("double")).alias("hll_raw"),
         (F.lit(64) - F.col("n_buckets")).cast("long").alias("empty_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G4 — CUBE grouping sets (every grain of a two-dim report in one pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g4_status_priority_cube",
+    f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       {_sum_exact_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    ("P11", "A5"),
+    "CUBE over (status, priority): all four grains — (s,p), (s,·), (·,p), "
+    "grand total — in ONE aggregation pass with map-side partials, where "
+    "ROLLUP (g1) only produces the hierarchy's prefixes.  The dashboard "
+    "shape for two independent drilldown axes; at 100 TB one cube pass "
+    "replaces four separate scans.",
+)
+def g4_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_exact("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — ranking-function family (ntile / rank / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w5_user_value_quartiles",
+    f"""
+WITH spend AS (
+  SELECT user_id, {_sum_exact_sql('value')} AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_value,
+       ntile(4)       OVER w AS quartile,
+       rank()         OVER w AS rnk,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM spend
+WINDOW w AS (ORDER BY total_value DESC, user_id)
+""",
+    ("W*", "O1"),
+    "The ranking-function family over per-user total spend: ntile "
+    "quartiles, rank, percent_rank, cume_dist in one window.  The order "
+    "is totally tie-broken (exact-decimal total, then user_id), so every "
+    "rank — and the (rank-1)/(n-1) double arithmetic behind percent_rank "
+    "— is engine-independent.  One aggregation shuffle + one single-"
+    "partition window over |users| rows (the aggregate output, never raw "
+    "events); at 100 TB user-grain ranking stays a post-aggregate step.",
+)
+def w5_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    spend = e.groupBy("user_id").agg(sum_exact("value").alias("total_value"))
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
+    return spend.select(
+        "user_id",
+        "total_value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
