@@ -722,34 +722,49 @@ def g4_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w5_user_value_quartiles",
     f"""
 WITH spend AS (
-  SELECT user_id, {_sum_exact_sql('value')} AS total_value
-  FROM events GROUP BY user_id
+  SELECT e.user_id,
+         coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+         {_sum_exact_sql('e.value')} AS total_value
+  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY 1, 2
 )
-SELECT user_id, total_value,
+SELECT user_id, segment, total_value,
        ntile(4)       OVER w AS quartile,
        rank()         OVER w AS rnk,
        percent_rank() OVER w AS pct_rank,
        cume_dist()    OVER w AS cume
 FROM spend
-WINDOW w AS (ORDER BY total_value DESC, user_id)
+WINDOW w AS (PARTITION BY segment ORDER BY total_value DESC, user_id)
 """,
-    ("W*", "O1"),
-    "The ranking-function family over per-user total spend: ntile "
-    "quartiles, rank, percent_rank, cume_dist in one window.  The order "
-    "is totally tie-broken (exact-decimal total, then user_id), so every "
-    "rank — and the (rank-1)/(n-1) double arithmetic behind percent_rank "
-    "— is engine-independent.  One aggregation shuffle + one single-"
-    "partition window over |users| rows (the aggregate output, never raw "
-    "events); at 100 TB user-grain ranking stays a post-aggregate step.",
+    ("W*", "O1", "J*"),
+    "The ranking-function family — ntile quartiles, rank, percent_rank, "
+    "cume_dist — over per-user exact-decimal spend, PARTITIONED by the "
+    "user's market segment (broadcast customer enrichment).  The order is "
+    "totally tie-broken (total, then user_id), so every rank and the "
+    "(rank-1)/(n-1) double arithmetic is engine-independent.  The window "
+    "partitions on segment, so ranking distributes — a global ORDER BY "
+    "window would funnel every user through one task, which this repo's "
+    "own plan lint rejects (single-partition-window).",
 )
 def w5_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    spend = e.groupBy("user_id").agg(sum_exact("value").alias("total_value"))
-    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey, "left")
+        .groupBy(
+            "user_id",
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(sum_exact("value").alias("total_value"))
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
     return spend.select(
         "user_id",
+        "segment",
         "total_value",
         F.ntile(4).over(w).alias("quartile"),
         F.rank().over(w).alias("rnk"),
