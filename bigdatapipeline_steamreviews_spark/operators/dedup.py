@@ -33,6 +33,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "lsh_band_table",
+    "lsh_self_join",
     "lsh_candidate_pairs",
     "cross_corpus_lsh_candidates",
     "incremental_exact_dedup",
@@ -88,6 +89,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.5,
     max_doc_freq: int | None = None,
     cache_shingles: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """X2a — exact n-gram Jaccard similarity join.
 
@@ -95,6 +97,12 @@ def ngram_jaccard_pairs(
     the shingle (only pairs sharing >=1 shingle are ever materialized),
     count intersections, then Jaccard = inter / (|A| + |B| - inter).
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
+
+    ``shingles`` accepts a prebuilt (sid, sh) posting table — the
+    materialized-to-storage form a pipeline keeps between runs (see
+    ``sources/staging.py``); when given, ``df``/shingling params are
+    ignored and no in-session caching is needed (parquet IS the
+    materialization).
 
     ``cache_shingles`` materializes the exploded shingle table once
     (``localCheckpoint``), which this plan otherwise computes THREE times
@@ -107,9 +115,12 @@ def ngram_jaccard_pairs(
     scope.  At 100 TB the same idea is "materialize the posting table to
     storage once, join from storage".
     """
-    s = shingle_table(df, text_col, id_col, n, max_doc_freq)
-    if cache_shingles:
-        s = s.localCheckpoint()
+    if shingles is not None:
+        s = shingles
+    else:
+        s = shingle_table(df, text_col, id_col, n, max_doc_freq)
+        if cache_shingles:
+            s = s.localCheckpoint()
     sizes = s.groupBy("sid").agg(F.count(F.lit(1)).alias("nsh"))
     a, b = s.alias("a"), s.alias("b")
     inter = (
@@ -238,35 +249,17 @@ def lsh_band_table(
     ).select("bid", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    id_col: str = "doc_id",
-    k: int = 8,
-    bands: int = 4,
-    cache_signatures: bool = True,
-) -> DataFrame:
-    """X2b — LSH banding: documents agreeing on every minhash within any
-    band become candidate pairs.  Returns distinct (a_id, b_id), a < b.
+def lsh_self_join(band_table: DataFrame) -> DataFrame:
+    """The LSH bucket self-join over a (bid, band, key) band table:
+    documents agreeing on any full band become candidate pairs.  Returns
+    distinct (a_id, b_id), a < b.  The band key is a constant-width md5,
+    so the join shuffles fixed-size keys regardless of shingle sizes.
 
-    The band key is md5 over the band's minhashes, so bucket joins shuffle
-    a constant-width key regardless of shingle sizes.
-
-    ``cache_signatures`` materializes the banded signature table once
-    (``localCheckpoint``) before the self-join: a self-join plans its
-    subtree TWICE, and the subtree here is the expensive part
-    (k x |shingles| md5 calls per document), so without it every
-    signature is computed twice.  Measured ~3x on the join phase at
-    sf0.1.  localCheckpoint instead of persist so the blocks are
-    reclaimed when the DataFrame goes out of scope (persist'd plans sat
-    in the CacheManager forever in r1 — one leaked cache per sweep); the
-    table is tiny (id + band + one md5 per band).  At 100 TB the same
-    idea is "materialize the signature table once, join from storage" —
-    signatures are reused across dedup runs anyway.
-    """
-    exploded = lsh_band_table(sigs, id_col, k, bands)
-    if cache_signatures:
-        exploded = exploded.localCheckpoint()
-    a, b = exploded.alias("a"), exploded.alias("b")
+    Callers pass either an in-session band table (see
+    :func:`lsh_candidate_pairs`) or one read back from storage — the
+    materialized signature table a pipeline keeps between dedup runs
+    (``sources/staging.py``)."""
+    a, b = band_table.alias("a"), band_table.alias("b")
     return (
         a.join(
             b,
@@ -279,11 +272,41 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    cache_signatures: bool = True,
+) -> DataFrame:
+    """X2b — LSH banding: documents agreeing on every minhash within any
+    band become candidate pairs.  Returns distinct (a_id, b_id), a < b.
+
+    ``cache_signatures`` materializes the banded signature table once
+    (``localCheckpoint``) before the self-join: a self-join plans its
+    subtree TWICE, and the subtree here is the expensive part
+    (k x |shingles| md5 calls per document), so without it every
+    signature is computed twice.  Measured ~3x on the join phase at
+    sf0.1.  localCheckpoint instead of persist so the blocks are
+    reclaimed when the DataFrame goes out of scope (persist'd plans sat
+    in the CacheManager forever in r1 — one leaked cache per sweep); the
+    table is tiny (id + band + one md5 per band).  At 100 TB the same
+    idea is "materialize the signature table once, join from storage" —
+    which is exactly what the registered query does via
+    ``sources/staging.py`` + :func:`lsh_self_join`.
+    """
+    exploded = lsh_band_table(sigs, id_col, k, bands)
+    if cache_signatures:
+        exploded = exploded.localCheckpoint()
+    return lsh_self_join(exploded)
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     span_words: int = 20,
+    cache_spans: bool = True,
 ) -> DataFrame:
     """X1, sub-document grain — exact dedup of fixed-width word spans
     ("paragraphs") across the whole corpus, with per-document reassembly
@@ -304,6 +327,17 @@ def paragraph_dedup(
     later identical span anywhere in the corpus is dropped.  Returns
     (doc_id, n_spans, n_kept, cleaned_text) — cleaned_text '' when every
     span of a document was seen earlier.
+
+    ``cache_spans`` localCheckpoints the exploded span table (used 3x
+    below: keeper, join-back, counts).  Checkpoint blocks are pinned to
+    executor storage and are NOT fault-tolerant — the right call at test
+    scale where recompute costs more than storage, the wrong one for a
+    corpus-sized span table on a real cluster.  At 100 TB pass
+    ``cache_spans=False`` and materialize the span table to storage
+    instead (the ``sources/staging.py`` pattern), or accept the 3x
+    recompute; the join below aliases the keeper-side digest (``kh``) so
+    its correctness never depends on Spark's same-exprId self-join
+    disambiguation either way.
     """
     w = F.split(F.col(text_col), " ")
     n_spans = F.greatest(
@@ -323,13 +357,18 @@ def paragraph_dedup(
         "span",
         F.md5(F.col("span")).alias("h"),
     )
-    spans = spans.localCheckpoint()  # used 3x below (keeper, join-back, counts)
+    if cache_spans:
+        spans = spans.localCheckpoint()  # used 3x below (keeper, join-back, counts)
     keeper = spans.groupBy("h").agg(
         F.min(F.struct("doc_id", "span_idx")).alias("k")
-    ).select("h", F.col("k.doc_id").alias("k_doc"), F.col("k.span_idx").alias("k_idx"))
+    ).select(
+        F.col("h").alias("kh"),
+        F.col("k.doc_id").alias("k_doc"),
+        F.col("k.span_idx").alias("k_idx"),
+    )
     kept = spans.join(
         keeper,
-        (spans.h == keeper.h)
+        (spans.h == keeper.kh)
         & (spans.doc_id == keeper.k_doc)
         & (spans.span_idx == keeper.k_idx),
     ).select("doc_id", "span_idx", "span")

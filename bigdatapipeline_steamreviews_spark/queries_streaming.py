@@ -7,7 +7,6 @@ into a correctness gate.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
@@ -30,17 +29,16 @@ _query_counter = 0
 
 
 def _source_fingerprint(sf_dir: str) -> str:
-    """Identity of the source events parquet: path + size + mtime.  The
-    driver has regenerated the testdata in place between rounds (same
-    path, new bytes); folding the fingerprint into the stage cache key
-    makes a stale /tmp stage impossible rather than merely unlikely."""
-    path = os.path.join(sf_dir, "events.parquet")
-    try:
-        st = os.stat(path)
-        ident = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
-    except OSError:  # directory-style parquet or driver-managed path
-        ident = sf_dir
-    return hashlib.md5(ident.encode()).hexdigest()[:10]
+    """Identity of the source events parquet (path + size + mtime;
+    content-derived fallbacks for directory-style parquet and unstattable
+    layouts).  The driver has regenerated the testdata in place between
+    rounds (same path, new bytes); folding the fingerprint into the stage
+    cache key makes a stale /tmp stage impossible rather than merely
+    unlikely.  Shared with the dedup signature staging —
+    :mod:`..sources.staging`."""
+    from .sources.staging import source_fingerprint
+
+    return source_fingerprint(sf_dir, "events")
 
 
 def _stage_events_chunks(spark: SparkSession, sf_dir: str, chunks: int = 4) -> str:
