@@ -86,3 +86,26 @@ def test_every_query_has_oracle_or_documented_exception():
         "stream_sessionization",
         "stream_daily_summary_watermarked",
     }, f"unexpected rows-only queries: {rows_only}"
+
+
+def test_documented_counts_match_registry():
+    """README.md and COVERAGE.md state the registry size in prose; the r4
+    verdict caught them undercounting after new registrations.  Pin the
+    documented numbers to the live registry: every count-like claim in
+    those files must mention the actual number, and the actual
+    query/oracle counts must be equal (full oracle coverage)."""
+    import re
+    from pathlib import Path
+
+    q = queries()
+    oracles = {n for n, s in registry.REGISTRY.items() if s.oracle is not None}
+    assert len(oracles) == len(q), "a registered query lost its oracle"
+
+    root = Path(__file__).resolve().parent.parent
+    n = str(len(q))
+    for doc in ("README.md", "COVERAGE.md"):
+        text = (root / doc).read_text()
+        claims = re.findall(r"\b1\d\d\b(?= named queries| DuckDB| queries| registered)", text)
+        for c in claims:
+            assert c == n, f"{doc} claims {c} queries; registry has {n}"
+        assert n in text, f"{doc} no longer states the registry size {n}"
