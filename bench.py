@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "x4_quality_score",            # text quality scoring
     "x4_tfidf_top_terms",          # tf-idf (explode + join + window)
     "x5_feature_extract",          # Arrow/pandas multimodal path
+    # r5 additions — keep the 20 above untouched so the r1/r4 series stays
+    # comparable; these give the r4-born operator families a perf artifact.
+    "q9_product_profit",           # heaviest TPC-H join tree (5-way)
+    "g4_status_priority_cube",     # grouping-set multiplier (CUBE)
+    "x1_paragraph_dedup",          # explode-heavy sub-document dedup
 ]
 
 
@@ -84,10 +89,18 @@ def main() -> None:
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
+        "n_completed": len(per_query),
+        "n_queries": len(BENCH_QUERIES),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
+    if len(per_query) < len(BENCH_QUERIES):
+        # A partial sum reads as a perf WIN to any consumer that misses the
+        # flag (round-3 postmortem, shifted from crash to silent
+        # undercount): never report a total over a partial query set.  (A
+        # warmup-only error leaves the total intact — all timed queries ran.)
+        out["value"] = None
         out["incomplete"] = True
     print(json.dumps(out))
 
