@@ -44,7 +44,7 @@ _TS_MICROS = [
 
 def _write_events_variant(path: str, arrow_ts_type) -> None:
     """One synthetic events.parquet with ts in the given arrow encoding."""
-    if pa.types.is_timestamp(arrow_ts_type):
+    if arrow_ts_type is not None and pa.types.is_timestamp(arrow_ts_type):
         unit = arrow_ts_type.unit
         scale = {"s": 10**-6, "ms": 10**-3, "us": 1, "ns": 10**3}[unit]
         ts_vals = [int(v * scale) for v in _TS_MICROS]
@@ -65,16 +65,23 @@ def _write_events_variant(path: str, arrow_ts_type) -> None:
 
 
 @pytest.mark.parametrize(
-    "label,arrow_type",
+    "label,arrow_type,unit_micros",
     [
-        ("nanos", pa.timestamp("ns")),        # rounds 1-2 driver encoding
-        ("micros_ntz", pa.timestamp("us")),   # round 3+ driver encoding
-        ("micros_utc", pa.timestamp("us", tz="UTC")),  # plausible next drift
+        ("nanos", pa.timestamp("ns"), 1),          # rounds 1-2 driver encoding
+        ("micros_ntz", pa.timestamp("us"), 1),     # round 3+ driver encoding
+        ("micros_utc", pa.timestamp("us", tz="UTC"), 1),   # plausible next drift
+        ("nanos_utc", pa.timestamp("ns", tz="UTC"), 1),    # tz-adjusted nanos
+        ("millis_ntz", pa.timestamp("ms"), 1000),  # coarser logical unit
+        ("int64_nanos", None, 1),                  # raw epoch-nanos BIGINT column
     ],
 )
-def test_events_ts_encoding_drift(spark, tmp_path, label, arrow_type):
+def test_events_ts_encoding_drift(spark, tmp_path, label, arrow_type, unit_micros):
     """load_table returns the SAME canonical (TimestampType, UTC wall-clock)
-    values whatever the parquet's physical timestamp encoding."""
+    values whatever the parquet's physical timestamp encoding — identical
+    logical data in any encoding the driver has shipped (or plausibly
+    could) normalizes to identical rows.  ``unit_micros`` is the encoding's
+    precision: values are truncated to it on write, so the expectation
+    truncates identically."""
     d = tmp_path / label
     d.mkdir()
     _write_events_variant(str(d / "events.parquet"), arrow_type)
@@ -82,12 +89,13 @@ def test_events_ts_encoding_drift(spark, tmp_path, label, arrow_type):
     assert isinstance(df.schema["ts"].dataType, T.TimestampType), (
         f"{label}: loader returned {df.schema['ts'].dataType}, expected TIMESTAMP"
     )
+    logical_micros = [v // unit_micros * unit_micros for v in _TS_MICROS]
     got = [r.ts for r in df.orderBy("event_id").collect()]
     want = [
         datetime.datetime.fromtimestamp(v / 1e6, tz=datetime.timezone.utc).replace(
             tzinfo=None
         )
-        for v in _TS_MICROS
+        for v in logical_micros
     ]
     assert got == want, f"{label}: wall-clock drifted: {got} != {want}"
 
@@ -95,7 +103,7 @@ def test_events_ts_encoding_drift(spark, tmp_path, label, arrow_type):
     raw = spark.read.parquet(str(d / "events.parquet"))
     micros = event_ts_micros(raw)
     assert isinstance(micros.schema["ts"].dataType, T.LongType)
-    assert sorted(r.ts for r in micros.collect()) == sorted(_TS_MICROS)
+    assert sorted(r.ts for r in micros.collect()) == sorted(logical_micros)
 
 
 def test_normalize_rejects_unknown_type(spark):
