@@ -122,15 +122,18 @@ def stream_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH summary AS ({FLAGSHIP_ORACLE})
 SELECT * FROM summary
-WHERE epoch_ms(time) - 1 <= (SELECT epoch_ms(max(ts)) FROM events) - 86400000
+WHERE epoch_ms(time) <= (SELECT epoch_ms(max(ts)) FROM events) - 86400000
 """,
     ("T3",),
     "Production mode: 1-day watermark bounds state; append mode emits each "
     "window once, closed and final.  The replay is event-time-ordered so "
     "nothing is ever late: the emitted set is exactly the batch summary "
-    "restricted to watermark-closed windows — final watermark = max event "
-    "time (ms) - 1 day, and Spark evicts a window when window.end - 1 <= "
-    "watermark, which the oracle's WHERE mirrors in ms arithmetic.",
+    "restricted to watermark-closed windows — final watermark = floor(max "
+    "event ms) - 1 day, and Spark evicts a window iff window.end <= "
+    "watermark (probed empirically at the exact boundary, +/-1ms and "
+    "+/-1us: tests/test_streaming.py::test_watermark_close_boundary).  An "
+    "earlier revision used `epoch_ms(time) - 1 <=`, which wrongly admits "
+    "a window whose end sits exactly 1 ms above the final watermark.",
 )
 def stream_daily_summary_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, sf_dir, watermark="1 day", output_mode="append")

@@ -63,6 +63,47 @@ def test_watermarked_append_emits_closed_windows_only(spark, staged_events):
         assert row == b_rows[key]  # closed windows are final and exact
 
 
+@pytest.mark.parametrize(
+    "delta_us",
+    [-2000, -1000, -1, 0, 1, 1000],
+    ids=["-2ms", "-1ms", "-1us", "exact", "+1us", "+1ms"],
+)
+def test_watermark_close_boundary(spark, delta_us):
+    """The watermarked-stream oracle predicate must agree with Spark's
+    eviction AT the boundary: a window [start, end) is emitted iff
+    end_ms <= floor(max_event_us/1000) - delay_ms.  Probes max event time
+    at end + 1 day + delta for deltas straddling the boundary by 1 ms and
+    1 us — a driver dataset landing exactly on a day boundary must not
+    silently diverge (the pre-r5 predicate admitted end = watermark + 1 ms
+    and failed at delta=-1ms/-1us)."""
+    global _qn
+    _qn += 1
+    day0 = 1_699_920_000  # day-aligned epoch seconds
+    end = day0 + 86_400   # day0 window end
+    stage = tempfile.mkdtemp(prefix="wmb_")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    max_ts_us = (end + 86_400) * 10**6 + delta_us
+    spark.createDataFrame(
+        [(1, day0 * 10**6 + 100, 1, "click", 10.0, "{}")], schema
+    ).coalesce(1).write.parquet(f"{stage}/f1.parquet")
+    spark.createDataFrame(
+        [(2, max_ts_us, 1, "click", 20.0, "{}")], schema
+    ).coalesce(1).write.parquet(f"{stage}/f2.parquet")
+    emitted = _stream_result(
+        spark, f"{stage}/*", watermark="1 day", output_mode="append"
+    ).collect()
+    day0_emitted = any(r.time.timestamp() == end for r in emitted)
+    # The registered oracle's WHERE, in ms arithmetic (queries_streaming.py):
+    oracle_admits = end * 1000 <= max_ts_us // 1000 - 86_400_000
+    assert day0_emitted == oracle_admits, (
+        f"delta_us={delta_us}: Spark emitted={day0_emitted} but oracle "
+        f"admits={oracle_admits} — boundary predicates diverged"
+    )
+
+
 def test_late_data_updates_open_window(spark):
     """Out-of-order rows across micro-batches merge into their window when
     no watermark bounds state (T3: every window stays live forever)."""

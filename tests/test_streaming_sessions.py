@@ -58,3 +58,51 @@ def test_streamed_sessions_are_unique_and_closed(streamed_sessions):
     for s in streamed_sessions:
         assert s.session_end_unix >= s.session_start_unix
         assert s.n_events >= 1
+
+
+@pytest.mark.parametrize(
+    "delta_us",
+    [0, 999, 1000, 1001, 2000, 3000],
+    ids=["exact", "+999us", "+1ms", "+1ms1us", "+2ms", "+3ms"],
+)
+def test_session_timeout_boundary(spark, tmp_path, delta_us):
+    """The registered oracle emits a user's LAST session iff
+    (end + gap)*1000 + 1 < final watermark (ms) — mirroring the timeout
+    timestamp the state function sets and Spark's STRICT < firing
+    (timeouts fire when the watermark advances beyond the set timestamp,
+    not at it).  Probe the final watermark at the exact timeout, +/-1 us
+    and +/-1 ms around it: Spark's emitted set and the oracle predicate
+    must agree at every offset, so a driver dataset landing on the
+    boundary can't silently diverge (probed empirically in r5: emission
+    starts at delta=+2ms on both sides)."""
+    L = 1_699_920_000
+    stage = str(tmp_path / "stage")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # user 1: lone event at L (session [L, L], closed only by timeout);
+    # user 2: the probe event that drives the final watermark.
+    max_ts_us = (L + 2 * GAP) * 10**6 + delta_us
+    spark.createDataFrame(
+        [(1, L * 10**6, 1, "click", 10.0, "{}")], schema
+    ).coalesce(1).write.parquet(f"{stage}/f1.parquet")
+    spark.createDataFrame(
+        [(2, max_ts_us, 2, "click", 20.0, "{}")], schema
+    ).coalesce(1).write.parquet(f"{stage}/f2.parquet")
+    stream = events_file_stream(spark, f"{stage}/*", max_files_per_trigger=1)
+    result = streaming_sessionize(stream, gap_seconds=GAP, watermark="30 minutes")
+    df = run_to_memory_table(
+        result,
+        f"sess_boundary_{delta_us}",
+        str(tmp_path / "ckpt"),
+        "append",
+        shuffle_partitions=2,
+    )
+    emitted_u1 = any(r.user_id == 1 for r in df.collect())
+    wm_ms = max_ts_us // 1000 - GAP * 1000
+    oracle_admits = (L + GAP) * 1000 + 1 < wm_ms
+    assert emitted_u1 == oracle_admits, (
+        f"delta_us={delta_us}: Spark emitted={emitted_u1} but oracle "
+        f"admits={oracle_admits} — timeout boundary predicates diverged"
+    )
