@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Per-query physical-plan snapshots — plan-drift detection across rounds.
+
+The plan lint (`plans/lint.py`) checks invariants (no cartesian products,
+no row-Python, broadcasts where asserted) but not DRIFT: a lost broadcast
+or a new exchange that the lint rules don't name slips through silently,
+visible only as a bench regression with no artifact to diff.  This script
+records, for every batch query in the bench headline set, the normalized
+physical-plan operator skeleton and its hash into ``PLANS.json`` at the
+repo root.  Commit the file each round: `git diff PLANS.json` then shows
+exactly which query's plan changed shape and how (the `ops` list), before
+any timing number moves.
+
+Streaming queries are skipped — invoking them executes the replay and the
+returned memory-table scan carries no plan worth diffing.
+
+Usage: python scripts/plan_snapshot.py [sf_dir]   (default sf0.1 testdata)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import BENCH_QUERIES  # noqa: E402
+from bigdatapipeline_steamreviews_spark import get_spark, queries  # noqa: E402
+from bigdatapipeline_steamreviews_spark.plans.lint import plan_text  # noqa: E402
+
+# Volatile tokens that differ run-to-run without the plan changing shape:
+# expression ids, codegen/plan ids, staged-file paths, stats, object hashes.
+_VOLATILE = [
+    (re.compile(r"#\d+L?"), "#x"),
+    (re.compile(r"plan_id=\d+"), "plan_id=x"),
+    (re.compile(r"\[id=#?x?\d*\]"), "[id=x]"),
+    (re.compile(r"file:[^\],\s]+"), "file:x"),
+    (re.compile(r"@[0-9a-f]{6,}"), "@x"),
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics(x)"),
+    (re.compile(r"\d+ paths"), "N paths"),
+]
+
+_OP_LINE = re.compile(r"^[\s:+*(-]*(\d+\))?\s*([A-Z][A-Za-z]+[A-Za-z0-9]*)")
+
+
+def normalize(plan: str) -> str:
+    for pat, repl in _VOLATILE:
+        plan = pat.sub(repl, plan)
+    return plan
+
+
+def op_skeleton(plan: str) -> list[str]:
+    """The tree's operator names, top-down, indentation preserved via
+    depth prefixes — the human-diffable shape of the plan."""
+    ops = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-*(")
+        m = re.match(r"(\d+\) )?([A-Z][A-Za-z0-9]+)", stripped)
+        if m and not stripped.startswith(("Output", "Input", "Arguments",
+                                          "Functions", "Keys", "Results",
+                                          "Condition", "Join", "Location",
+                                          "ReadSchema", "PushedFilters",
+                                          "Batched")):
+            depth = (len(line) - len(line.lstrip(" :+-*"))) // 3
+            ops.append("  " * depth + m.group(2))
+    return ops
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("plan-snapshot")
+    regs = queries()
+    out: dict[str, dict] = {}
+    for name in BENCH_QUERIES:
+        if name.startswith("stream_"):
+            continue
+        df = regs[name](spark, sf_dir)
+        norm = normalize(plan_text(df))
+        out[name] = {
+            "hash": hashlib.md5(norm.encode()).hexdigest()[:12],
+            "ops": op_skeleton(norm),
+        }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "PLANS.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {path}: {len(out)} plans")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
