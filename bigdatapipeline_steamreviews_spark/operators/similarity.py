@@ -28,6 +28,9 @@ from ..functions.columns import avg_exact, cosine_similarity
 
 __all__ = [
     "sign_bucket",
+    "rp_hyperplanes",
+    "rp_bucket",
+    "cosine_topk_rp",
     "cosine_topk",
     "cosine_topk_bucketed",
     "cosine_topk_multiprobe",
@@ -102,6 +105,90 @@ def cosine_topk(
         )
     )
     return _topk(pairs, k).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def rp_hyperplanes(bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-random-projection
+    LSH (Charikar's SimHash for cosine): component (j, d) is derived from
+    md5 over the indices, mapped to [-1, 1] with 1e-3 resolution.  Every
+    engine that runs the same arithmetic derives the same planes, so
+    Spark and the DuckDB oracle bucket identically — the same portability
+    trick as the Carter-Wegman MinHash family (dedup.py)."""
+    import hashlib
+
+    planes = []
+    for j in range(bits):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"rp_lsh_v1|{j}|{d}".encode()).hexdigest()[:15], 16)
+            row.append(((h % 2001) - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def rp_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """LSH code over random hyperplanes: bit j = sign of the projection
+    onto plane j.  Each projection is a sequential left-to-right fold
+    (``F.aggregate``) over the zipped element products — the same fold
+    order as DuckDB's ``list_sum``, so the double result (and therefore
+    the sign, and the bucket) is bitwise engine-portable.  Pure
+    per-row projection arithmetic: shuffle-free, whole-stage codegen."""
+    acc = None
+    for j, row in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(v) for v in row]),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        term = (proj > 0).cast("long") * F.lit(2**j)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def cosine_topk_rp(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane-LSH approximate top-k: candidates restricted to
+    the query's sign-random-projection bucket.
+
+    Versus :func:`cosine_topk_bucketed` (axis-aligned sign bits), random
+    hyperplanes give the standard SimHash collision guarantee
+    P[bit agrees] = 1 - angle/pi for ANY data distribution — axis-aligned
+    bits degrade when mass concentrates on few coordinates.  Cost shape
+    is identical: per-row bucket projection (no shuffle), equality hash
+    join on the bucket, per-query top-k window.  At 100 TB the bucket
+    count (2^bits) is the partition-pruning knob: persist the corpus
+    bucketed/partitioned by the code and a query touches one partition.
+    """
+    planes = rp_hyperplanes(bits, dim)
+    with_bucket = embeddings.withColumn("bucket", rp_bucket(F.col(vec_col), planes))
+    q = with_bucket.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("bucket"),
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    return _topk(pairs, k).select("query_id", "neighbor_id", "bucket", "cosine", "rank")
 
 
 def cosine_topk_bucketed(

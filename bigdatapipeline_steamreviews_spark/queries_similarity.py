@@ -16,7 +16,9 @@ from .operators.similarity import (
     cosine_topk_bucketed,
     cosine_topk_ivf,
     cosine_topk_multiprobe,
+    cosine_topk_rp,
     embedding_near_dup_pairs,
+    rp_hyperplanes,
 )
 from .registry import register
 from .sources.tables import load_table
@@ -41,6 +43,21 @@ _BUCKET_SQL = (
     "((embedding[1] > 0)::BIGINT + (embedding[2] > 0)::BIGINT * 2"
     " + (embedding[3] > 0)::BIGINT * 4 + (embedding[4] > 0)::BIGINT * 8)"
 )
+
+
+def _rp_bucket_sql(bits: int = 8, dim: int = 64) -> str:
+    """DuckDB mirror of operators.similarity.rp_bucket: identical md5-derived
+    hyperplane constants inlined as literals (Python float repr round-trips
+    the exact double, and DuckDB parses it back to the same double), and
+    the same sequential list_sum fold as Spark's F.aggregate."""
+    terms = []
+    for j, row in enumerate(rp_hyperplanes(bits, dim)):
+        arr = "[" + ", ".join(repr(v) for v in row) + "]"
+        terms.append(
+            f"(list_sum(list_transform(list_zip(embedding, {arr}),"
+            f" x -> x[1]::DOUBLE * x[2])) > 0)::BIGINT * {2**j}"
+        )
+    return "(" + "\n + ".join(terms) + ")"
 
 
 @register(
@@ -90,6 +107,35 @@ SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
 def x3_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_bucketed(emb, F.col("vec_id") < 10, k=5, bits=4)
+
+
+@register(
+    "x3_cosine_topk_rp_lsh",
+    f"""
+WITH e AS (SELECT vec_id, embedding, {{RP_BUCKET}} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM e),
+pairs AS (
+  SELECT query_id, neighbor_id, c.bucket, qe, ce
+  FROM q JOIN c USING (bucket) WHERE neighbor_id != query_id
+),
+{_COS_TERMS.format(extra_cols=", bucket")}
+SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+""".replace("{RP_BUCKET}", _rp_bucket_sql(8, 64)),
+    ("X3",),
+    "Sign-random-projection (SimHash-for-cosine) LSH top-5: 8 md5-derived "
+    "hyperplanes bucket the corpus, candidates restricted to the query's "
+    "bucket — the distribution-free LSH guarantee (P[bit agrees] = "
+    "1 - angle/pi) that axis-aligned sign buckets lack.  Buckets, "
+    "projections, and cosines are bitwise engine-portable.",
+)
+def x3_cosine_topk_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_rp(emb, F.col("vec_id") < 10, k=5, bits=8, dim=64)
 
 
 @register(

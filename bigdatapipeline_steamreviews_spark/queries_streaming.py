@@ -261,6 +261,90 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_window_builtin",
+    """
+WITH marked AS (
+  SELECT user_id, event_id, value, ts, epoch_us(ts) AS us,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, us, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sid
+  FROM marked
+),
+stats AS (
+  SELECT user_id, sid,
+         min(us) AS start_us,
+         max(us) AS end_us,
+         count(*) AS n_events,
+         sum(CAST(floor(coalesce(value, 0.0) * 100000000.0 + 0.5) AS BIGINT))
+           AS total_q
+  FROM sessions GROUP BY user_id, sid
+),
+wm AS (SELECT (SELECT epoch_ms(max(ts)) FROM events) - 1800000 AS wm_ms)
+SELECT user_id,
+       start_us // 1000000 AS session_start_unix,
+       end_us // 1000000 AS session_end_unix,
+       n_events,
+       (CAST(total_q AS DOUBLE) / 100000000.0) AS total_value
+FROM stats, wm
+WHERE end_us // 1000 + 1800000 <= wm.wm_ms
+""",
+    ("W*", "T1", "T2", "T3"),
+    "The Spark-NATIVE session operator: groupBy(user, session_window(ts, "
+    "gap)) — what the engine uses when built-in semantics suffice, vs the "
+    "custom applyInPandasWithState sessionizer (stream_sessionization) "
+    "for custom state transitions.  Semantics probed empirically at the "
+    "boundaries: an event exactly gap seconds after the previous MERGES "
+    "(split iff diff > gap, micros precision), and append emits a session "
+    "iff its window end (last + gap, ms-floored) <= the final watermark "
+    "(max event ms - 30 min) — both mirrored exactly by the oracle.  "
+    "total_value accumulates in exact integer 1e-8 units on both sides.",
+)
+def stream_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_sw_builtin_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+
+    from pyspark.sql import functions as F
+
+    vq = F.floor(
+        F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(1e8) + F.lit(0.5)
+    ).cast("long")
+    result = (
+        stream.withColumn("vq", vq)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("vq").alias("total_q"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(session_window.start) div 1000000").alias(
+                "session_start_unix"
+            ),
+            (
+                F.expr("unix_micros(session_window.end) div 1000000") - F.lit(1800)
+            ).alias("session_end_unix"),
+            "n_events",
+            (F.col("total_q").cast("double") / F.lit(1e8)).alias("total_value"),
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    # Same state-sizing logic as the custom sessionizer: per-user session
+    # state is wide, 16 partitions (see stream_sessionization).
+    return run_to_memory_table(
+        result, name, checkpoint, "append", shuffle_partitions=16
+    )
+
+
+@register(
     "stream_stream_click_purchase",
     """
 SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,

@@ -326,3 +326,66 @@ def test_paragraph_dedup_partial_tail_span(spark):
     }
     assert got[0].n_spans == 2 and got[0].cleaned_text == "w1 w2 w3 w4 w5"
     assert got[1].n_spans == 1 and got[1].cleaned_text == "solo"
+
+
+def test_rp_lsh_buckets_and_candidates(spark):
+    """Random-hyperplane LSH: planes are deterministic (md5-derived), every
+    candidate pair shares the query's bucket, and every returned neighbor's
+    cosine equals the brute-force cosine for that pair (the approximation
+    only restricts the candidate set, never perturbs the metric)."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_rp,
+        rp_bucket,
+        rp_hyperplanes,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    planes = rp_hyperplanes(8, 64)
+    assert planes == rp_hyperplanes(8, 64)  # deterministic
+    assert all(-1.0 <= v <= 1.0 for row in planes for v in row)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pred = F.col("vec_id") < 10
+    got = cosine_topk_rp(emb, pred, k=5, bits=8, dim=64).collect()
+    assert got, "no candidates survived bucketing"
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in emb.select("vec_id", rp_bucket(F.col("embedding"), planes).alias("bucket")).collect()
+    }
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(emb, pred, k=len(buckets)).collect()
+    }
+    for r in got:
+        assert buckets[r["query_id"]] == r["bucket"] == buckets[r["neighbor_id"]]
+        assert r["cosine"] == exact[(r["query_id"], r["neighbor_id"])]
+
+
+def test_fuzzy_dedup_survivors_complement(spark):
+    """Survivors = corpus minus every non-minimum member of each LSH
+    duplicate cluster: sizes and membership must complement exactly."""
+    from bigdatapipeline_steamreviews_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs, k=8), k=8, bands=4)
+    labels = connected_components(pairs).collect()
+    dropped = {r["doc_id"] for r in labels if r["cluster_id"] != r["doc_id"]}
+    survivors = {
+        r["doc_id"]
+        for r in docs.join(
+            connected_components(pairs).filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ).collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert survivors == all_ids - dropped
+    assert dropped, "fixture contains near-duplicates; none dropped"

@@ -106,3 +106,54 @@ def test_session_timeout_boundary(spark, tmp_path, delta_us):
         f"delta_us={delta_us}: Spark emitted={emitted_u1} but oracle "
         f"admits={oracle_admits} — timeout boundary predicates diverged"
     )
+
+
+def test_builtin_session_window_merges_at_exact_gap(spark, tmp_path):
+    """Spark's built-in session_window MERGES an event arriving exactly
+    gap seconds after the previous one (split iff diff > gap, micros
+    precision) — the semantics the stream_session_window_builtin oracle
+    mirrors (is_new: diff > gap).  Probed at gap, gap-1us, gap+1us."""
+    from pyspark.sql import functions as F
+
+    stage = str(tmp_path / "stage")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    L = 1_699_920_000
+    gap_us = 1800 * 10**6
+    rows = [
+        # user 1: second event exactly gap later -> ONE session
+        (1, L * 10**6, 1, "click", 1.0, "{}"),
+        (2, L * 10**6 + gap_us, 1, "click", 1.0, "{}"),
+        # user 2: second event gap+1us later -> TWO sessions
+        (3, L * 10**6, 2, "click", 1.0, "{}"),
+        (4, L * 10**6 + gap_us + 1, 2, "click", 1.0, "{}"),
+        # user 3: second event gap-1us later -> ONE session
+        (5, L * 10**6, 3, "click", 1.0, "{}"),
+        (6, L * 10**6 + gap_us - 1, 3, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{stage}/f1.parquet"
+    )
+    # far-future probe closes everything
+    spark.createDataFrame(
+        [(9, (L + 10 * 86_400) * 10**6, 9, "click", 1.0, "{}")], schema
+    ).coalesce(1).write.parquet(f"{stage}/f2.parquet")
+
+    stream = events_file_stream(spark, f"{stage}/*", max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    df = run_to_memory_table(
+        agg, "sw_merge_probe", str(tmp_path / "ckpt"), "append",
+        shuffle_partitions=2,
+    )
+    per_user = {}
+    for r in df.collect():
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [2]      # merged at exact gap
+    assert sorted(per_user[2]) == [1, 1]   # split at gap + 1us
+    assert sorted(per_user[3]) == [2]      # merged below gap
