@@ -28,6 +28,7 @@ from .partitioning import ensure_min_parallelism
 
 __all__ = [
     "exact_dedup",
+    "paragraph_spans",
     "paragraph_dedup",
     "shingle_table",
     "ngram_jaccard_pairs",
@@ -301,12 +302,45 @@ def lsh_candidate_pairs(
     return lsh_self_join(exploded)
 
 
+def paragraph_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 20,
+) -> DataFrame:
+    """The exploded fixed-width span table behind :func:`paragraph_dedup`:
+    one (doc_id, span_idx, span, h) row per ``span_words``-word span, spans
+    generated with pure array expressions (split -> sequence -> slice ->
+    array_join) — no UDF.  This is the table a pipeline materializes to
+    storage and reuses (``sources/staging.py``); ``paragraph_dedup``
+    accepts it prebuilt."""
+    w = F.split(F.col(text_col), " ")
+    n_spans = F.greatest(
+        F.ceil(F.size(w) / F.lit(float(span_words))).cast("int"), F.lit(1)
+    )
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * span_words + 1, span_words), " "
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(spans_arr).alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "span",
+        F.md5(F.col("span")).alias("h"),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     span_words: int = 20,
     cache_spans: bool = True,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """X1, sub-document grain — exact dedup of fixed-width word spans
     ("paragraphs") across the whole corpus, with per-document reassembly
@@ -328,37 +362,22 @@ def paragraph_dedup(
     (doc_id, n_spans, n_kept, cleaned_text) — cleaned_text '' when every
     span of a document was seen earlier.
 
-    ``cache_spans`` localCheckpoints the exploded span table (used 3x
-    below: keeper, join-back, counts).  Checkpoint blocks are pinned to
-    executor storage and are NOT fault-tolerant — the right call at test
-    scale where recompute costs more than storage, the wrong one for a
-    corpus-sized span table on a real cluster.  At 100 TB pass
-    ``cache_spans=False`` and materialize the span table to storage
-    instead (the ``sources/staging.py`` pattern), or accept the 3x
-    recompute; the join below aliases the keeper-side digest (``kh``) so
-    its correctness never depends on Spark's same-exprId self-join
-    disambiguation either way.
+    ``spans`` accepts the prebuilt span table (one materialized to
+    storage via the ``sources/staging.py`` pattern — the 100 TB form);
+    when given, ``df``/span params are ignored and no in-session caching
+    happens (parquet IS the materialization).  Otherwise ``cache_spans``
+    localCheckpoints the exploded span table (used 3x below: keeper,
+    join-back, counts).  Checkpoint blocks are pinned to executor storage
+    and are NOT fault-tolerant — the right call at test scale where
+    recompute costs more than storage, the wrong one for a corpus-sized
+    span table on a real cluster.  The keeper join aliases its digest
+    (``kh``) so correctness never depends on Spark's same-exprId
+    self-join disambiguation either way.
     """
-    w = F.split(F.col(text_col), " ")
-    n_spans = F.greatest(
-        F.ceil(F.size(w) / F.lit(float(span_words))).cast("int"), F.lit(1)
-    )
-    spans_arr = F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(
-            F.slice(w, i * span_words + 1, span_words), " "
-        ),
-    )
-    spans = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(spans_arr).alias("span_idx", "span")
-    ).select(
-        "doc_id",
-        F.col("span_idx").cast("long").alias("span_idx"),
-        "span",
-        F.md5(F.col("span")).alias("h"),
-    )
-    if cache_spans:
-        spans = spans.localCheckpoint()  # used 3x below (keeper, join-back, counts)
+    if spans is None:
+        spans = paragraph_spans(df, text_col, id_col, span_words)
+        if cache_spans:
+            spans = spans.localCheckpoint()  # used 3x (keeper, join-back, counts)
     keeper = spans.groupBy("h").agg(
         F.min(F.struct("doc_id", "span_idx")).alias("k")
     ).select(

@@ -409,9 +409,18 @@ FROM counts c LEFT JOIN re r USING (doc_id)
     "operators/dedup.py::paragraph_dedup.",
 )
 def x1_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import paragraph_dedup
+    from .operators.dedup import paragraph_dedup, paragraph_spans
+    from .sources.staging import source_fingerprint, stage_params_key, staged_parquet
 
-    return paragraph_dedup(_docs(spark, sf_dir), span_words=20)
+    fp = source_fingerprint(sf_dir, "documents")
+    pk = stage_params_key("paragraph_spans", 20)
+    spans = staged_parquet(
+        spark,
+        f"spans_{pk}",
+        fp,
+        lambda: paragraph_spans(_docs(spark, sf_dir), span_words=20),
+    )
+    return paragraph_dedup(_docs(spark, sf_dir), span_words=20, spans=spans)
 
 
 @register(

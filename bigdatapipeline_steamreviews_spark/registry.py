@@ -132,6 +132,13 @@ _loaded = False
 # ones, and they must re-enter the checked window immediately no matter
 # which family they're in.  Hard driver signal thus accumulates over the
 # whole registry instead of re-checking a fixed prefix forever.
+#
+# NB the repo-root ``CORRECTNESS_r*.json`` driver artifacts are therefore a
+# LOAD-BEARING input to registration order: deleting one makes its greens
+# look stale (harmless — they re-queue for checking), but an artifact that
+# goes unparseable silently drops a whole round's signal (it is skipped,
+# by design, rather than crashing import).  The ``reg_index`` tie-break
+# keeps the order deterministic regardless.
 _PRIORITY_PREFIXES = ("x1_", "x2_", "x3_", "x4_", "x5_", "stream_", "review_")
 
 
