@@ -713,6 +713,55 @@ def g4_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "g5_custom_grouping_sets",
+    f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS oyear,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(year(o_orderdate))
+            AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       {_sum_exact_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, year(o_orderdate)),
+                        (o_orderstatus), (year(o_orderdate)))
+""",
+    ("P11", "A5"),
+    "Arbitrary GROUPING SETS — the general grain-list form that ROLLUP "
+    "(g1, hierarchy prefixes) and CUBE (g4, full lattice) are special "
+    "cases of: exactly the grains a report needs ((status,year), "
+    "(status), (year)) and nothing else, one aggregation pass, with "
+    "GROUPING() flags disambiguating produced-by-grouping nulls from "
+    "data nulls (bit order pinned status*2+year on both engines).",
+)
+def g5_custom_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "__oyear", F.year("o_orderdate").cast("long")
+    )
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "__oyear"], ["o_orderstatus"], ["__oyear"]],
+            "o_orderstatus",
+            "__oyear",
+        )
+        .agg(
+            # grouping() is only resolvable INSIDE the grouping-sets agg.
+            (F.grouping("o_orderstatus") * F.lit(2) + F.grouping("__oyear"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_exact("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("__oyear"), F.lit(-1)).alias("oyear"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # W5 — ranking-function family (ntile / rank / percent_rank / cume_dist)
 # ---------------------------------------------------------------------------
