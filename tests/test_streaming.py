@@ -203,3 +203,55 @@ def test_paced_event_stream_rate_source(spark):
         assert all(r.props.startswith('{"k":') for r in rows)
     finally:
         q.stop()
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """T6/T8: stop a streaming aggregation after it drains part of the
+    input, then RESTART from the same checkpoint after more files arrive —
+    the resumed query must recover its state store, skip the
+    already-committed offsets (no double counting), process only the new
+    files, and land on exactly the batch result over the full input."""
+    stage = str(tmp_path / "stage")
+    import os
+
+    os.makedirs(stage)
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = 1_699_920_000 * 10**6
+    day = 86_400 * 10**6
+
+    def write_chunk(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{stage}/{name}"
+        )
+
+    write_chunk("f1.parquet", [(1, base, 1, "click", 10.0, "{}")])
+    write_chunk("f2.parquet", [(2, base + 1000, 2, "click", 20.0, "{}")])
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(qname):
+        stream = events_file_stream(spark, f"{stage}/*", max_files_per_trigger=1)
+        result = streaming_daily_summary(stream, watermark=None)
+        return run_to_memory_table(result, qname, ckpt, "complete")
+
+    first = run("ckpt_restart_a").collect()
+    assert sum(r.T_events for r in first) == 2  # drained f1+f2, stopped
+
+    # More data arrives while the query is down: same window (state must
+    # merge, not reset) AND a new window (new state must appear).
+    write_chunk("f3.parquet", [(3, base + 2000, 1, "click", 30.0, "{}")])
+    write_chunk("f4.parquet", [(4, base + day, 3, "click", 40.0, "{}")])
+
+    resumed = run("ckpt_restart_b")
+    batch = daily_summary(
+        spark.read.parquet(f"{stage}/*").withColumn(
+            "ts", F.timestamp_micros(F.col("ts"))
+        )
+    )
+    assert sorted(resumed.collect()) == sorted(batch.collect())
+    # 2 windows; day-1 window counts f1+f2+f3 exactly once each.
+    by_time = {r.time: r.T_events for r in resumed.collect()}
+    assert sorted(by_time.values()) == [1, 3]
