@@ -135,3 +135,54 @@ def x5_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame").cast("long").alias("frame_len"),
         F.hex("frame").alias("frame_hex"),
     )
+
+
+@register(
+    "x5_payload_dedup",
+    """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies,
+       min(octet_length(encode(text)))::BIGINT AS n_bytes
+FROM documents GROUP BY 1
+""",
+    ("X5", "X1"),
+    "X1 over binary media: exact payload dedup on the convention's "
+    "content_md5 METADATA column — one surviving (minimum) blob id per "
+    "distinct payload digest, without ever decoding or re-reading payload "
+    "bytes (on a persisted blob table the binary column is pruned from "
+    "the scan entirely).  The shuffle key is the constant-width digest, "
+    "exactly like text exact-dedup.",
+)
+def x5_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = blob_metadata(_doc_blobs(spark, sf_dir))
+    return meta.groupBy("content_md5").agg(
+        F.min("blob_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_bytes").alias("n_bytes"),
+    )
+
+
+@register(
+    "x5_modality_budget",
+    f"""
+SELECT 'text' AS modality, '{_FAKE_MIME}' AS mime,
+       count(*) AS n_blobs,
+       sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+       max(octet_length(encode(text)))::BIGINT AS max_bytes
+FROM documents
+GROUP BY 1, 2
+""",
+    ("X5", "A*"),
+    "Storage budgeting per (modality, mime) — the planning query a "
+    "multimodal training pipeline runs before sampling a mix ('how many "
+    "bytes of each modality do we hold'): metadata-only aggregation, "
+    "payload column pruned from the scan, map-side partial aggregation.",
+)
+def x5_modality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    meta = blob_metadata(_doc_blobs(spark, sf_dir))
+    return meta.groupBy("modality", "mime").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
