@@ -35,6 +35,7 @@ __all__ = [
     "cosine_topk_bucketed",
     "cosine_topk_multiprobe",
     "embedding_near_dup_pairs",
+    "train_ivf",
     "cosine_topk_ivf",
     "label_centroids",
     "scalar_quantize",
@@ -394,6 +395,40 @@ def scalar_quantize(
     return tmp.select(id_col, "vmin", "vmax", "codes", sq_err.alias("sq_err"))
 
 
+def train_ivf(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF index: k-means inverted lists + per-vector list
+    assignment.  Returns ``(assignments, centroids)`` —
+    ``(id, vec, list_id)`` and ``(list_id, centroid)`` — the two tables a
+    pipeline PERSISTS between queries (train once, probe many; see
+    ``sources/staging.py``).  ``cosine_topk_ivf`` accepts them prebuilt."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    dense = embeddings.withColumn(
+        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="__v", predictionCol="list_id"
+    ).fit(dense)
+    assignments = model.transform(dense).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("list_id").cast("long").alias("list_id"),
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id long, centroid array<double>",
+    )
+    return assignments, centroids
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_pred: Column,
@@ -403,6 +438,7 @@ def cosine_topk_ivf(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF with *trained* centroids: k-means (MLlib) learns ``n_lists``
     inverted lists from the data, each corpus vector is assigned to its
@@ -425,31 +461,24 @@ def cosine_topk_ivf(
     plan itself explodes at realistic 4-64k lists, while a broadcast of
     the same rows is metadata-sized at any n_lists (r1 verdict finding).
 
+    ``index`` accepts a prebuilt ``(assignments, centroids)`` pair — the
+    persisted trained index (train once, probe many); when given, no
+    training happens in this call.
+
     Non-SQL-expressible (iterative training) => registered rows-only; the
     recall-vs-brute-force property is pytest-asserted instead.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    spark = embeddings.sparkSession
-    dense = embeddings.withColumn(
-        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
-    model = KMeans(
-        k=n_lists, seed=seed, featuresCol="__v", predictionCol="list_id"
-    ).fit(dense)
-    corpus = model.transform(dense).select(
+    if index is None:
+        index = train_ivf(embeddings, n_lists, seed, id_col, vec_col)
+    assignments, centroids = index
+    corpus = assignments.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.col("list_id").cast("long").alias("list_id"),
+        "list_id",
     )
 
     # Query side: broadcast the centroid table against the (small) query
     # set, rank centroid distances per query, keep the n_probe nearest.
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "list_id long, centroid array<double>",
-    )
     qdist = (
         embeddings.filter(query_pred)
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))

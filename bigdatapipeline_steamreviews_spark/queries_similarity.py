@@ -19,6 +19,7 @@ from .operators.similarity import (
     cosine_topk_rp,
     embedding_near_dup_pairs,
     rp_hyperplanes,
+    train_ivf,
 )
 from .registry import register
 from .sources.tables import load_table
@@ -232,6 +233,30 @@ def x2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, min_cosine=0.4, bits=4)
 
 
+def _staged_ivf_index(spark, sf_dir, n_lists=16, seed=7):
+    """Train the IVF index ONCE per (corpus fingerprint, params) and
+    persist both tables from the same fitted model — two separately-cached
+    trainings could disagree (k-means float sums depend on partitioning),
+    which would pair assignments with foreign centroids."""
+    import os
+
+    from .sources.staging import STAGE_ROOT, source_fingerprint, stage_params_key
+
+    fp = source_fingerprint(sf_dir, "embeddings")
+    pk = stage_params_key("ivf", n_lists, seed)
+    a_path = os.path.join(STAGE_ROOT, f"ivf_assign_{pk}_{fp}")
+    c_path = os.path.join(STAGE_ROOT, f"ivf_centroids_{pk}_{fp}")
+    done = all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in (a_path, c_path)
+    )
+    if not done:
+        emb = load_table(spark, sf_dir, "embeddings")
+        assignments, centroids = train_ivf(emb, n_lists=n_lists, seed=seed)
+        assignments.write.mode("overwrite").parquet(a_path)
+        centroids.write.mode("overwrite").parquet(c_path)
+    return spark.read.parquet(a_path), spark.read.parquet(c_path)
+
+
 @register(
     "x3_cosine_topk_ivf",
     f"""
@@ -257,8 +282,17 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
     "cosine_topk_ivf.",
 )
 def x3_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The trained index (inverted-list assignments + centroids) is the
+    # artifact a pipeline persists — train once per corpus, probe many
+    # (sources/staging.py).  Staging also pins the trained centroids
+    # across sessions; the exhaustive-probe oracle equivalence holds for
+    # ANY centroids, so this is a determinism upgrade, not a correctness
+    # dependency.
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_ivf(emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=16)
+    index = _staged_ivf_index(spark, sf_dir, n_lists=16, seed=7)
+    return cosine_topk_ivf(
+        emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=16, index=index
+    )
 
 
 @register(
