@@ -1369,8 +1369,14 @@ def x1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy + semi join) would otherwise be planned and executed twice.
     # At 100 TB each stage writes to storage anyway — this is that seam.
     ex = kept.join(ex_keep, "doc_id", "left_semi").localCheckpoint()
-    sigs = minhash_signatures(ex, k=8)
-    pairs = lsh_candidate_pairs(sigs, k=8, bands=4)
+    # Band keys are per-document, so the fuzzy stage reuses the persisted
+    # full-corpus band index restricted (semi-join) to the stage's
+    # survivors — no signature recompute inside the pipeline.
+    bands = _staged_bands(spark, sf_dir, k=8, bands=4)
+    ex_bands = bands.join(
+        ex.select(F.col("doc_id").alias("bid")), "bid", "left_semi"
+    )
+    pairs = lsh_self_join(ex_bands)
     clusters = connected_components(pairs)
     losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
     return (
