@@ -568,57 +568,6 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-@register(
-    "x1_fuzzy_dedup_survivors",
-    f"""
-WITH RECURSIVE {_SHINGLES3_SQL},
-sigs AS (
-  SELECT doc_id,
-         {_MINHASH_MINS}
-  FROM shingles GROUP BY doc_id
-),
-bands AS (
-  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sigs
-  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
-  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
-  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-),
-edges AS (
-  SELECT a_id AS src, b_id AS dst FROM pairs
-  UNION SELECT b_id, a_id FROM pairs
-),
-reach(node, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-)
-SELECT doc_id, text FROM documents
-WHERE doc_id NOT IN (
-  SELECT node FROM (
-    SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
-  ) WHERE cluster_id != node
-)
-""",
-    ("X1", "X2"),
-    "The fuzzy-dedup pipeline's actual OUTPUT: the corpus after dropping "
-    "every non-survivor of each MinHash-LSH duplicate cluster (survivor = "
-    "minimum doc id per connected component) — what a training pipeline "
-    "writes back to storage after X2, composing the staged band table, "
-    "the LSH self-join, connected components, and an anti-join.  The "
-    "anti-join ships only the (tiny) non-survivor id set; the corpus is "
-    "scanned once.",
-)
-def x1_fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    pairs = lsh_self_join(_staged_bands(spark, sf_dir, k=8, bands=4))
-    labels = connected_components(pairs)
-    dropped = labels.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
-    return docs.join(dropped, "doc_id", "left_anti").select("doc_id", "text")
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -910,8 +859,7 @@ WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
 )
 def x2_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, k=8)
-    pairs = lsh_candidate_pairs(sigs, k=8, bands=4)
+    pairs = lsh_self_join(_staged_bands(spark, sf_dir, k=8, bands=4))
     clusters = connected_components(pairs)
     losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
     return docs.join(losers, "doc_id", "left_anti").select("doc_id", "text")
