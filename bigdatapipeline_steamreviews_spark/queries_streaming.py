@@ -344,6 +344,90 @@ def stream_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _stage_document_chunks(spark: SparkSession, sf_dir: str, chunks: int = 2) -> str:
+    """Stage the ODD half of the documents table as doc_id-ordered replay
+    chunks — the continuously-arriving ingest batch a curation pipeline
+    dedups against its existing corpus (the even half).  Staged once per
+    source fingerprint, like the events replay."""
+    key = _source_fingerprint_docs(sf_dir)
+    stage = os.path.join(_STAGE_ROOT, f"docs_{key}_{chunks}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 2 == 1
+        )
+        n = docs.count()
+        per = max(1, (n + chunks - 1) // chunks)
+        bucket = (F.col("doc_id") / F.lit(2 * per)).cast("int")
+        docs.withColumn("__b", bucket).repartitionByRange(
+            chunks, "__b"
+        ).drop("__b").write.mode("overwrite").parquet(stage)
+    return stage
+
+
+def _source_fingerprint_docs(sf_dir: str) -> str:
+    from .sources.staging import source_fingerprint
+
+    return source_fingerprint(sf_dir, "documents")
+
+
+@register(
+    "stream_document_ingest_dedup",
+    """
+SELECT md5(d.text) AS content_hash,
+       min(d.doc_id) AS doc_id,
+       count(*) AS n_copies
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND md5(d.text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+GROUP BY 1
+""",
+    ("T3", "T7", "X1", "J*", "S3"),
+    "Continuous-ingest dedup — the streaming form of X1's incremental "
+    "dedup: newly-arriving documents (streamed in micro-batches) are "
+    "anti-joined against the EXISTING corpus's digest dictionary (a "
+    "stream-static left-anti join: the static side is the persisted "
+    "artifact, broadcast once per batch) and the survivors reduce to one "
+    "row per new digest (min doc id + copy count) in a streaming "
+    "aggregation.  Final complete-mode state must equal the batch "
+    "formulation exactly — the streaming/batch equivalence gate applied "
+    "to the curation pipeline's ingest edge.",
+)
+def stream_document_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_doc_ingest_{_query_counter}"
+    from pyspark.sql import functions as F
+
+    stage = _stage_document_chunks(spark, sf_dir)
+    docs_schema = load_table(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    base_digests = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    fresh = (
+        stream.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        .join(base_digests, "content_hash", "left_anti")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        fresh, name, checkpoint, "complete", shuffle_partitions=8
+    )
+
+
 @register(
     "stream_stream_click_purchase",
     """
