@@ -297,6 +297,42 @@ def s1_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s2_nation_bag_set_ops",
+    """
+SELECT 'intersect_all' AS op, nationkey, count(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY 1, 2
+UNION ALL
+SELECT 'except_all', nationkey, count(*) FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY 1, 2
+""",
+    ("SET*",),
+    "BAG-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicities "
+    "are min(m, n) and m - n per key rather than the 0/1 of s1's DISTINCT "
+    "forms — the multiset algebra (aggregated per key so the compare is "
+    "order-free).  Spark's intersectAll/exceptAll plan as aggregate-and-"
+    "join, never a row-by-row loop.",
+)
+def s2_nation_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+
+    def counted(df: DataFrame, label: str) -> DataFrame:
+        return df.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(label).alias("op"), "nationkey", "n"
+        )
+
+    return counted(c.intersectAll(s), "intersect_all").unionAll(
+        counted(c.exceptAll(s), "except_all")
+    )
+
+
 # ---------------------------------------------------------------------------
 # J2 — semi / anti join cohorts
 # ---------------------------------------------------------------------------

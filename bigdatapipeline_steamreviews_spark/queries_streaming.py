@@ -344,6 +344,48 @@ def stream_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "stream_topn_users",
+    """
+SELECT user_id, total_value
+FROM (
+  SELECT user_id,
+         (sum(CAST(value AS DECIMAL(28,10)))::VARCHAR)::DOUBLE AS total_value
+  FROM events GROUP BY user_id
+)
+ORDER BY total_value DESC, user_id
+LIMIT 10
+""",
+    ("O2", "T3", "S3"),
+    "Streaming top-N maintenance: the running top-10 users by total value "
+    "over the live replay — complete-mode streaming aggregation with "
+    "sort + limit on the output side (allowed exactly because complete "
+    "mode re-emits whole state; append/update cannot sort).  Final state "
+    "must equal the batch top-10, decimal-exact totals and all — the "
+    "leaderboard a serving layer reads after every trigger.",
+)
+def stream_topn_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_topn_{_query_counter}"
+    from pyspark.sql import functions as F
+
+    from .functions.columns import sum_exact
+
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    ranked = (
+        stream.groupBy("user_id")
+        .agg(sum_exact("value").alias("total_value"))
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(10)
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        ranked, name, checkpoint, "complete", shuffle_partitions=8
+    )
+
+
 def _stage_document_chunks(spark: SparkSession, sf_dir: str, chunks: int = 2) -> str:
     """Stage the ODD half of the documents table as doc_id-ordered replay
     chunks — the continuously-arriving ingest batch a curation pipeline
