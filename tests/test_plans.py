@@ -118,3 +118,30 @@ def test_registry_wide_plan_lint(spark):
         if findings:
             offenders[name] = [f.rule for f in findings]
     assert offenders == {}
+
+
+def test_staged_lsh_joins_read_index_and_push_filters(spark):
+    """The staged-index dedup claims, plan-asserted: the LSH self-join
+    reads the persisted band parquet (no signature recompute in-plan —
+    no md5 over shingles anywhere), and the cross-corpus variant's bid
+    parity filters are pushed to the staged scan."""
+    self_plan = _plan(spark, "x2_minhash_lsh")
+    assert "spark_graft_stage" in self_plan  # reads the persisted index
+    assert "array_min" not in self_plan      # no signature recompute
+    assert "split(" not in self_plan         # no shingling in-plan
+
+    cross_plan = _plan(spark, "x2_cross_corpus_lsh")
+    assert "spark_graft_stage" in cross_plan
+    # DataFilters on bid % 2 evaluated at the scan, not post-join.
+    assert cross_plan.count("(bid") >= 2
+
+
+def test_rp_lsh_bucket_join_is_hash_equality(spark):
+    """Sign-random-projection ANN joins on the bucket by EQUALITY (hash
+    or broadcast-hash join) — never a nested-loop over the corpus."""
+    plan = _plan(spark, "x3_cosine_topk_rp_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
