@@ -7,10 +7,17 @@ order-insensitive exact values (columns sorted by name, rows sorted by all
 columns).  Usage:
 
     python scripts/verify_local.py [sf_dir] [query ...]
+    python scripts/verify_local.py --json OUT.json [sf_dir] [query ...]
+
+``--json`` additionally writes a machine-readable per-query result file
+(driver-artifact-shaped), so a full local sweep can be COMMITTED as
+evidence — the registry outgrew the driver's bounded per-round window, and
+a committed artifact beats prose for the queries outside it.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -67,11 +74,17 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("verify-local")
     con = duck_connect(sf_dir)
     failed = []
+    results: dict[str, dict] = {}
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
@@ -81,15 +94,18 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             failed.append(name)
+            results[name] = {"match": False, "err": f"spark {type(e).__name__}: {e}"[:300]}
             continue
         if spec.oracle is None:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"match": None, "spark_rows": len(sdf), "err": None}
             continue
         try:
             ddf = con.execute(spec.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             failed.append(name)
+            results[name] = {"match": False, "err": f"duckdb {type(e).__name__}: {e}"[:300]}
             continue
         problems = compare(name, sdf, ddf)
         if problems:
@@ -97,10 +113,23 @@ def main() -> int:
             for p in problems:
                 print(f"      {p}")
             failed.append(name)
+            results[name] = {"match": False, "err": "; ".join(problems)[:300]}
         else:
             print(f"ok    {name}: {len(sdf)} rows match [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "match": True,
+                "spark_rows": len(sdf),
+                "oracle_rows": len(ddf),
+                "sec": round(time.time() - t0, 2),
+                "err": None,
+            }
     total = len(only) if only else len(REGISTRY)
     print(f"\n{total - len(failed)}/{total} queries verified" + (f"; FAILED: {failed}" if failed else ""))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 
