@@ -856,3 +856,113 @@ def w5_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "w6_trailing_hour_range_frame",
+    """
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS event_unix,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       ((sum(CAST(coalesce(value, 0.0) AS DECIMAL(28,10))) OVER w)::VARCHAR)::DOUBLE
+         AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+    ("W*",),
+    "VALUE-based (RANGE) window frame — the frame class w3's ROWS frame "
+    "is not: each event sees every same-user event within the trailing "
+    "3600 SECONDS, however many rows that is, including all peers at the "
+    "current timestamp (RANGE peer semantics, identical in both engines). "
+    "Count and decimal-exact sum per frame; the frame bound is data-value "
+    "arithmetic, so ordering ties need no tie-break column.",
+)
+def w6_trailing_hour_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    unix = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("event_unix"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        e.select("event_id", "user_id", unix.alias("event_unix"), "value")
+        .withColumn("n_1h", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "sum_1h",
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(28,10)"))
+            .over(w)
+            .cast("string")
+            .cast("double"),
+        )
+        .drop("value")
+    )
+
+
+@register(
+    "w7_first_last_nth",
+    """
+SELECT user_id, event_id,
+       first_value(value) OVER w AS first_val,
+       last_value(value) OVER w AS last_val,
+       nth_value(value, 2) OVER w AS second_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    ("W*",),
+    "The positional window family w1's lag/lead leaves out: first_value /"
+    " last_value / nth_value over the full partition (frame pinned "
+    "UNBOUNDED..UNBOUNDED — the default growing frame makes last_value "
+    "just the current row, a classic correctness trap).  NULL values are "
+    "respected positionally on both engines; ordering ties broken by "
+    "event_id so the positions are deterministic.",
+)
+def w7_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
+
+
+@register(
+    "p17_props_map_stats",
+    """
+SELECT t.key, count(*) AS n_events,
+       sum(json_extract(e.props, '$.' || t.key)::BIGINT) AS total,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e
+JOIN (SELECT event_id, unnest(json_keys(props)) AS key FROM events) t
+  USING (event_id)
+GROUP BY t.key
+""",
+    ("P2", "A*"),
+    "MapType end-to-end: props parsed as map<string,bigint> (from_json), "
+    "exploded to (key, value) rows, aggregated per key — the dynamic-"
+    "schema path for semi-structured payloads whose keys are NOT known "
+    "at plan time (the flagship's from_json-to-struct requires them "
+    "known).  The oracle walks the same JSON with json_each.",
+)
+def p17_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    kv = e.select(
+        "user_id",
+        F.explode(F.from_json(F.col("props"), "map<string,bigint>")).alias(
+            "key", "value"
+        ),
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -157,3 +157,86 @@ def test_builtin_session_window_merges_at_exact_gap(spark, tmp_path):
     assert sorted(per_user[1]) == [2]      # merged at exact gap
     assert sorted(per_user[2]) == [1, 1]   # split at gap + 1us
     assert sorted(per_user[3]) == [2]      # merged below gap
+
+
+def test_sessionizer_checkpoint_restart(spark, tmp_path):
+    """T6/T8 for the CUSTOM stateful op: stop the applyInPandasWithState
+    sessionizer mid-replay, restart from the same checkpoint after more
+    files arrive — recovered per-key state must continue sessions across
+    the restart (no re-emission, no split), and the accumulated file-sink
+    output must equal an uninterrupted run over the full input.  (File
+    sink, not memory: the memory sink cannot recover an append-mode
+    checkpoint.)"""
+    import os
+    import shutil
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    L = 1_699_920_000
+    chunks = [
+        # phase 1: user 1 session A starts; user 2 session starts
+        [(1, L * 10**6, 1, "click", 1.0, "{}"),
+         (2, (L + 60) * 10**6, 2, "click", 2.0, "{}")],
+        # phase 1: session A continues (within gap)
+        [(3, (L + 600) * 10**6, 1, "click", 3.0, "{}")],
+        # phase 2 (after restart): session A CONTINUES across the restart
+        # (gap from L+600 is 900 < 1800), then a far event closes it
+        [(4, (L + 1500) * 10**6, 1, "click", 4.0, "{}")],
+        [(5, (L + 86_400) * 10**6, 3, "click", 5.0, "{}")],
+    ]
+
+    def write_chunk(stage, i):
+        spark.createDataFrame(chunks[i], schema).coalesce(1).write.parquet(
+            f"{stage}/f{i}.parquet"
+        )
+
+    def run(stage, ckpt, out):
+        stream = events_file_stream(spark, f"{stage}/*", max_files_per_trigger=1)
+        result = streaming_sessionize(stream, gap_seconds=GAP, watermark="30 minutes")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            q = (
+                result.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return spark.read.parquet(out).collect()
+
+    # Interrupted run: phase 1 (2 chunks), stop, phase 2 (2 more), resume
+    # into the SAME checkpoint and output directory.
+    stage_a = str(tmp_path / "stage_a")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    out_a = str(tmp_path / "out_a")
+    os.makedirs(stage_a)
+    write_chunk(stage_a, 0)
+    write_chunk(stage_a, 1)
+    run(stage_a, ckpt_a, out_a)
+    write_chunk(stage_a, 2)
+    write_chunk(stage_a, 3)
+    resumed = run(stage_a, ckpt_a, out_a)
+
+    # Uninterrupted twin over the identical file set, fresh checkpoint.
+    stage_b = str(tmp_path / "stage_b")
+    os.makedirs(stage_b)
+    for i in range(4):
+        shutil.copytree(f"{stage_a}/f{i}.parquet", f"{stage_b}/f{i}.parquet")
+    single = run(stage_b, str(tmp_path / "ckpt_b"), str(tmp_path / "out_b"))
+
+    key = lambda r: (r.user_id, r.session_start_unix)  # noqa: E731
+    row = lambda r: (key(r), r.session_end_unix, r.n_events, r.total_value)  # noqa: E731
+    assert sorted(map(row, resumed)) == sorted(map(row, single))
+    # The restart-spanning session must be ONE session of 3 events —
+    # state was recovered, not reset.
+    spanning = [r for r in resumed if r.user_id == 1]
+    assert len(spanning) == 1 and spanning[0].n_events == 3
+    assert spanning[0].session_start_unix == L
+    assert spanning[0].session_end_unix == L + 1500
