@@ -15,7 +15,6 @@ from .operators.dedup import (
     connected_components,
     exact_dedup,
     lsh_band_table,
-    lsh_candidate_pairs,
     lsh_self_join,
     minhash_signatures,
     ngram_jaccard_pairs,
