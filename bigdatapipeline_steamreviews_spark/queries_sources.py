@@ -91,3 +91,39 @@ def src_json_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def src_orc_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage_events_as(spark, sf_dir, "orc")
     return daily_summary(spark.read.orc(path))
+
+
+@register(
+    "src_union_evolved_schema",
+    """
+SELECT coalesce(lang, 'unknown') AS lang,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS total_tokens
+FROM (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 != 0
+  UNION ALL
+  SELECT doc_id, text, NULL AS lang FROM documents WHERE doc_id % 3 = 0
+)
+GROUP BY 1
+""",
+    ("S*", "P13"),
+    "Schema evolution at the ingest edge: an older batch written before "
+    "the `lang` column existed unions with current batches via "
+    "unionByName(allowMissingColumns=True) — positional unionAll would "
+    "silently misalign columns; by-name union NULL-fills the missing one "
+    "and the aggregate treats it as 'unknown'.  The batch split is "
+    "simulated by doc_id parity; the oracle mirrors it with explicit "
+    "NULL projection.",
+)
+def src_union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    current = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text", "lang")
+    # The "pre-lang" batch: the column simply doesn't exist in its schema.
+    legacy = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    unioned = current.unionByName(legacy, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.coalesce(F.col("lang"), F.lit("unknown")).alias("lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("total_tokens"),
+    )

@@ -109,3 +109,13 @@ def test_documented_counts_match_registry():
         for c in claims:
             assert c == n, f"{doc} claims {c} queries; registry has {n}"
         assert n in text, f"{doc} no longer states the registry size {n}"
+
+
+def test_bench_queries_are_registered():
+    """Every bench headline query must exist in the registry — a renamed
+    or dropped query must fail HERE, not as a silent bench error entry
+    (the round-3 failure class)."""
+    from bench import BENCH_QUERIES
+
+    missing = set(BENCH_QUERIES) - set(queries())
+    assert not missing, f"bench references unregistered queries: {missing}"
