@@ -966,3 +966,50 @@ def p17_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("total"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "w8_conversion_funnel",
+    """
+WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+SELECT 'view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT 'view>click', count(*) FROM c
+UNION ALL SELECT 'view>click>purchase', count(*) FROM p
+""",
+    ("W*", "J*", "A*"),
+    "Ordered conversion funnel (view -> click -> purchase): each stage "
+    "counts users whose first qualifying event occurs AT-OR-AFTER their "
+    "previous stage's first event — the product-analytics sequence query. "
+    "Expressed as three conditional-min aggregations chained by equi-joins "
+    "(each stage's table shrinks monotonically), never a per-user "
+    "collect+scan; every stage is partial-aggregatable and the joins key "
+    "on user_id only.",
+)
+def w8_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def first_after(etype: str, prior: DataFrame | None, prior_ts: str, out: str):
+        s = e.filter(F.col("event_type") == etype)
+        if prior is not None:
+            s = s.join(prior, "user_id").filter(F.col("ts") >= F.col(prior_ts))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = first_after("view", None, "", "v_ts")
+    c = first_after("click", v, "v_ts", "c_ts")
+    p = first_after("purchase", c, "c_ts", "p_ts")
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "view")
+        .unionAll(stage(c, "view>click"))
+        .unionAll(stage(p, "view>click>purchase"))
+    )
