@@ -1013,3 +1013,58 @@ def w8_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(c, "view>click"))
         .unionAll(stage(p, "view>click>purchase"))
     )
+
+
+@register(
+    "w9_time_weighted_value",
+    """
+WITH spans AS (
+  SELECT user_id,
+         CAST(floor(coalesce(value, 0.0) * 100000000.0 + 0.5) AS BIGINT) AS vq,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t0,
+         CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(sum(t1 - t0) AS BIGINT) AS observed_s,
+       (CAST(sum(vq * (t1 - t0)) AS DOUBLE) / 100000000.0
+         / CAST(sum(t1 - t0) AS DOUBLE)) AS tw_avg
+FROM spans
+WHERE t1 IS NOT NULL AND t1 > t0
+GROUP BY user_id
+""",
+    ("W*", "A*"),
+    "Time-weighted average (the monitoring/metrics semantics a plain AVG "
+    "gets wrong when samples are irregular): each reading holds until the "
+    "next one, so it weighs by its holding duration — lead() spans per "
+    "user, zero-length spans dropped, decimal-exact weighted sum divided "
+    "once.  One shuffle (the user window), then a partial-aggregatable "
+    "groupBy.",
+)
+def w9_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    unix = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
+    vq = F.floor(
+        F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(1e8) + F.lit(0.5)
+    ).cast("long")
+    spans = e.select(
+        "user_id",
+        vq.alias("vq"),
+        unix.alias("t0"),
+        F.floor(F.unix_timestamp(F.lead("ts").over(w))).cast("long").alias("t1"),
+    ).filter(F.col("t1").isNotNull() & (F.col("t1") > F.col("t0")))
+    gap = F.col("t1") - F.col("t0")
+    # Weighted sum in exact integer 1e-8 units (the sessionizer's recipe):
+    # double->decimal casts of arbitrary doubles round engine-dependently,
+    # int64 math cannot.  int->double at the end is correctly rounded and
+    # identical everywhere.
+    return spans.groupBy("user_id").agg(
+        F.sum(gap).cast("long").alias("observed_s"),
+        (
+            F.sum(F.col("vq") * gap).cast("double")
+            / F.lit(1e8)
+            / F.sum(gap).cast("double")
+        ).alias("tw_avg"),
+    )
