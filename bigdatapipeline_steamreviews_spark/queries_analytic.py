@@ -999,8 +999,14 @@ def w8_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = s.join(prior, "user_id").filter(F.col("ts") >= F.col(prior_ts))
         return s.groupBy("user_id").agg(F.min("ts").alias(out))
 
-    v = first_after("view", None, "", "v_ts")
-    c = first_after("click", v, "v_ts", "c_ts")
+    # Each stage table is used twice (next stage's build + its own count)
+    # and stages nest, so without a materialization barrier the events
+    # scan count grows combinatorially (1+2+3 plus the count side -- 12
+    # scans measured).  localCheckpoint each tiny per-user stage: 3 scans
+    # total.  At 100 TB the same seam is "write each funnel stage to
+    # storage" (they shrink monotonically).
+    v = first_after("view", None, "", "v_ts").localCheckpoint()
+    c = first_after("click", v, "v_ts", "c_ts").localCheckpoint()
     p = first_after("purchase", c, "c_ts", "p_ts")
 
     def stage(df: DataFrame, label: str) -> DataFrame:
