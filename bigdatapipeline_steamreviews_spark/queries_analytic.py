@@ -886,17 +886,19 @@ def w6_trailing_hour_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("event_unix"))
         .rangeBetween(-3600, Window.currentRow)
     )
-    return (
-        e.select("event_id", "user_id", unix.alias("event_unix"), "value")
-        .withColumn("n_1h", F.count(F.lit(1)).over(w).cast("long"))
-        .withColumn(
-            "sum_1h",
-            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(28,10)"))
-            .over(w)
-            .cast("string")
-            .cast("double"),
-        )
-        .drop("value")
+    # Both frame aggregates in ONE projection so CollapseWindow plans a
+    # single Window exec (a withColumn chain interposes projections that
+    # keep them apart -- 2 Window nodes measured, 1 after).
+    return e.select("event_id", "user_id", unix.alias("event_unix"), "value").select(
+        "event_id",
+        "user_id",
+        "event_unix",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(28,10)"))
+        .over(w)
+        .cast("string")
+        .cast("double")
+        .alias("sum_1h"),
     )
 
 
