@@ -165,3 +165,67 @@ def test_hll_corrected_estimate_accuracy(spark):
     assert set(est) == set(exact)
     for etype, n in exact.items():
         assert abs(est[etype] - n) / n < 0.35, (etype, est[etype], n)
+
+
+def test_conversion_funnel_ordering_semantics(spark):
+    """Hand-computed funnel: a click BEFORE the first view must not count,
+    a click AT the same instant as the view must (>= semantics), and a
+    purchase before the first qualifying click must not."""
+    from bigdatapipeline_steamreviews_spark.queries_analytic import (
+        w8_conversion_funnel,
+    )
+    import tempfile
+
+    rows = [
+        # user 1: view -> click -> purchase, fully ordered: all 3 stages
+        (1, 1000, 1, "view", 0.0, "{}"),
+        (2, 2000, 1, "click", 0.0, "{}"),
+        (3, 3000, 1, "purchase", 0.0, "{}"),
+        # user 2: click BEFORE first view, purchase after view but no
+        # qualifying click: stops at 'view'
+        (4, 500, 2, "click", 0.0, "{}"),
+        (5, 1000, 2, "view", 0.0, "{}"),
+        (6, 2000, 2, "purchase", 0.0, "{}"),
+        # user 3: click at the SAME micros as view (>= counts), no purchase
+        (7, 1000, 3, "view", 0.0, "{}"),
+        (8, 1000, 3, "click", 0.0, "{}"),
+        # user 4: never views: no stage at all
+        (9, 1000, 4, "click", 0.0, "{}"),
+    ]
+    sf = tempfile.mkdtemp(prefix="funnel_sf_")
+    spark.createDataFrame(
+        [(eid, __import__("datetime").datetime.utcfromtimestamp(ts), uid, et, v, p)
+         for eid, ts, uid, et, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {r.stage: r.n_users for r in w8_conversion_funnel(spark, sf).collect()}
+    assert got == {"view": 3, "view>click": 2, "view>click>purchase": 1}
+
+
+def test_time_weighted_value_hand_case(spark):
+    """Hand-computed time-weighted average: value 10 held 30 s then value
+    20 held 10 s -> (10*30 + 20*10) / 40 = 12.5; the last reading (no
+    successor) contributes no span."""
+    from bigdatapipeline_steamreviews_spark.queries_analytic import (
+        w9_time_weighted_value,
+    )
+    import datetime
+    import tempfile
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "click", 10.0, "{}"),
+        (2, t0 + datetime.timedelta(seconds=30), 1, "click", 20.0, "{}"),
+        (3, t0 + datetime.timedelta(seconds=40), 1, "click", 99.0, "{}"),
+    ]
+    sf = tempfile.mkdtemp(prefix="twa_sf_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = w9_time_weighted_value(spark, sf).collect()
+    assert len(got) == 1
+    assert got[0].observed_s == 40
+    assert got[0].tw_avg == 12.5
