@@ -172,7 +172,16 @@ def cosine_topk_rp(
     bucketed/partitioned by the code and a query touches one partition.
     """
     planes = rp_hyperplanes(bits, dim)
-    with_bucket = embeddings.withColumn("bucket", rp_bucket(F.col(vec_col), planes))
+    # Defensive, applied identically in the oracle: a vector of the wrong
+    # length or with NULL elements has no well-defined projection, and the
+    # two engines disagree on what a null-poisoned fold yields (Spark's
+    # aggregate propagates NULL; DuckDB's list_sum skips it) — exclude
+    # them symmetrically so the bucketing can't silently diverge.
+    clean = embeddings.filter(
+        (F.size(F.col(vec_col)) == dim)
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
+    with_bucket = clean.withColumn("bucket", rp_bucket(F.col(vec_col), planes))
     q = with_bucket.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )

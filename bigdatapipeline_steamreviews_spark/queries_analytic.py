@@ -940,13 +940,18 @@ def w7_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p17_props_map_stats",
     """
-SELECT t.key, count(*) AS n_events,
-       sum(json_extract(e.props, '$.' || t.key)::BIGINT) AS total,
-       count(DISTINCT e.user_id) AS n_users
-FROM events e
-JOIN (SELECT event_id, unnest(json_keys(props)) AS key FROM events) t
-  USING (event_id)
-GROUP BY t.key
+SELECT key, count(*) AS n_events,
+       sum(val::BIGINT) AS total,
+       count(DISTINCT user_id) AS n_users
+FROM (
+  SELECT e.user_id, t.key,
+         json_extract_string(e.props, '$."' || t.key || '"') AS val
+  FROM events e
+  JOIN (SELECT event_id, unnest(json_keys(props)) AS key FROM events) t
+    USING (event_id)
+)
+WHERE val IS NOT NULL AND regexp_matches(val, '^-?[0-9]+$')
+GROUP BY key
 """,
     ("P2", "A*"),
     "MapType end-to-end: props parsed as map<string,bigint> (from_json), "
@@ -957,15 +962,20 @@ GROUP BY t.key
 )
 def p17_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    # map<string,string> + explicit integer filter, NOT map<string,bigint>:
+    # PERMISSIVE from_json nulls the ENTIRE map when any one value fails
+    # the type, silently dropping the row from every key's counts.  Both
+    # sides count only integer-valued entries; the oracle quotes the key
+    # inside the JSON path so '.'/'[' in key names cannot reroute it.
     kv = e.select(
         "user_id",
-        F.explode(F.from_json(F.col("props"), "map<string,bigint>")).alias(
+        F.explode(F.from_json(F.col("props"), "map<string,string>")).alias(
             "key", "value"
         ),
-    )
+    ).filter(F.col("value").rlike("^-?[0-9]+$"))
     return kv.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total"),
+        F.sum(F.col("value").cast("long")).alias("total"),
         F.countDistinct("user_id").alias("n_users"),
     )
 

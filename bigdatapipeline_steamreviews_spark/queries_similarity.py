@@ -113,7 +113,9 @@ def x3_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x3_cosine_topk_rp_lsh",
     f"""
-WITH e AS (SELECT vec_id, embedding, {{RP_BUCKET}} AS bucket FROM embeddings),
+WITH e AS (SELECT vec_id, embedding, {{RP_BUCKET}} AS bucket FROM embeddings
+           WHERE len(embedding) = 64
+             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
 q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM e),
 pairs AS (
@@ -237,23 +239,34 @@ def _staged_ivf_index(spark, sf_dir, n_lists=16, seed=7):
     """Train the IVF index ONCE per (corpus fingerprint, params) and
     persist both tables from the same fitted model — two separately-cached
     trainings could disagree (k-means float sums depend on partitioning),
-    which would pair assignments with foreign centroids."""
+    which would pair assignments with foreign centroids.  Both tables live
+    under ONE stage directory published with a single atomic rename
+    (staging.publish_dir), so no interleaving of writers can ever mix
+    assignments from fit A with centroids from fit B."""
     import os
 
-    from .sources.staging import STAGE_ROOT, source_fingerprint, stage_params_key
+    from .sources.staging import (
+        STAGE_ROOT,
+        publish_dir,
+        source_fingerprint,
+        stage_params_key,
+    )
 
     fp = source_fingerprint(sf_dir, "embeddings")
     pk = stage_params_key("ivf", n_lists, seed)
-    a_path = os.path.join(STAGE_ROOT, f"ivf_assign_{pk}_{fp}")
-    c_path = os.path.join(STAGE_ROOT, f"ivf_centroids_{pk}_{fp}")
+    root = os.path.join(STAGE_ROOT, f"ivf_{pk}_{fp}")
+    a_path = os.path.join(root, "assign")
+    c_path = os.path.join(root, "centroids")
     done = all(
         os.path.exists(os.path.join(p, "_SUCCESS")) for p in (a_path, c_path)
     )
     if not done:
         emb = load_table(spark, sf_dir, "embeddings")
         assignments, centroids = train_ivf(emb, n_lists=n_lists, seed=seed)
-        assignments.write.mode("overwrite").parquet(a_path)
-        centroids.write.mode("overwrite").parquet(c_path)
+        tmp = f"{root}.build{os.getpid()}"
+        assignments.write.mode("overwrite").parquet(os.path.join(tmp, "assign"))
+        centroids.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        publish_dir(tmp, root)
     return spark.read.parquet(a_path), spark.read.parquet(c_path)
 
 

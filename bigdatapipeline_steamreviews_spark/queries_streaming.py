@@ -294,7 +294,7 @@ SELECT user_id,
        n_events,
        (CAST(total_q AS DOUBLE) / 100000000.0) AS total_value
 FROM stats, wm
-WHERE end_us // 1000 + 1800000 <= wm.wm_ms
+WHERE end_us + 1800000000 <= wm.wm_ms * 1000
 """,
     ("W*", "T1", "T2", "T3"),
     "The Spark-NATIVE session operator: groupBy(user, session_window(ts, "
@@ -303,8 +303,11 @@ WHERE end_us // 1000 + 1800000 <= wm.wm_ms
     "for custom state transitions.  Semantics probed empirically at the "
     "boundaries: an event exactly gap seconds after the previous MERGES "
     "(split iff diff > gap, micros precision), and append emits a session "
-    "iff its window end (last + gap, ms-floored) <= the final watermark "
-    "(max event ms - 30 min) — both mirrored exactly by the oracle.  "
+    "iff its window end (last + gap) <= the final watermark COMPARED IN "
+    "MICROS (wm is ms-floored, then scaled; a session end with sub-ms "
+    "residue in (wm, wm+1ms) is withheld — an earlier ms-floored oracle "
+    "admitted it; probed at ±500us/±1ms in "
+    "tests/test_streaming_sessions.py::test_builtin_session_emission_boundary). "
     "total_value accumulates in exact integer 1e-8 units on both sides.",
 )
 def stream_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,8 +424,9 @@ SELECT md5(d.text) AS content_hash,
        min(d.doc_id) AS doc_id,
        count(*) AS n_copies
 FROM documents d
-WHERE d.doc_id % 2 = 1
-  AND md5(d.text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+WHERE d.doc_id % 2 = 1 AND d.text IS NOT NULL
+  AND md5(d.text) NOT IN (SELECT md5(text) FROM documents
+                          WHERE doc_id % 2 = 0 AND text IS NOT NULL)
 GROUP BY 1
 """,
     ("T3", "T7", "X1", "J*", "S3"),
@@ -449,14 +453,19 @@ def stream_document_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
+    # NULL text is excluded SYMMETRICALLY: a NULL digest on the SQL side
+    # poisons the whole NOT IN (three-valued logic collapses it to zero
+    # rows), while the anti-join would silently keep such rows — so both
+    # sides drop them before hashing.
     base_digests = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 2 == 0)
+        .filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
         .select(F.md5(F.col("text")).alias("content_hash"))
         .distinct()
     )
     fresh = (
-        stream.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        stream.filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5(F.col("text")).alias("content_hash"))
         .join(base_digests, "content_hash", "left_anti")
         .groupBy("content_hash")
         .agg(

@@ -64,31 +64,35 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PARAMS = (MINHASH_PRIME, MINHASH_A, MINHASH_B)
 
 
-def _staged_sigs(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
-    from .sources.staging import source_fingerprint, stage_params_key, staged_parquet
-
-    fp = source_fingerprint(sf_dir, "documents")
-    pk = stage_params_key("minhash_sigs", 3, k, *_MINHASH_PARAMS)
-    return staged_parquet(
-        spark,
-        f"sigs_{pk}",
-        fp,
-        lambda: minhash_signatures(_docs(spark, sf_dir), k=k),
-    )
-
-
-def _staged_bands(
-    spark: SparkSession, sf_dir: str, k: int = 8, bands: int = 4
+def _staged_sigs(
+    spark: SparkSession, sf_dir: str, k: int = 8, n: int = 3
 ) -> DataFrame:
     from .sources.staging import source_fingerprint, stage_params_key, staged_parquet
 
     fp = source_fingerprint(sf_dir, "documents")
-    pk = stage_params_key("lsh_bands", 3, k, bands, *_MINHASH_PARAMS)
+    # The SAME n variable feeds the key and the build — a key that
+    # hardcodes a default the build merely inherits can drift apart from it.
+    pk = stage_params_key("minhash_sigs", n, k, *_MINHASH_PARAMS)
+    return staged_parquet(
+        spark,
+        f"sigs_{pk}",
+        fp,
+        lambda: minhash_signatures(_docs(spark, sf_dir), n=n, k=k),
+    )
+
+
+def _staged_bands(
+    spark: SparkSession, sf_dir: str, k: int = 8, bands: int = 4, n: int = 3
+) -> DataFrame:
+    from .sources.staging import source_fingerprint, stage_params_key, staged_parquet
+
+    fp = source_fingerprint(sf_dir, "documents")
+    pk = stage_params_key("lsh_bands", n, k, bands, *_MINHASH_PARAMS)
     return staged_parquet(
         spark,
         f"bands_{pk}",
         fp,
-        lambda: lsh_band_table(_staged_sigs(spark, sf_dir, k), k=k, bands=bands),
+        lambda: lsh_band_table(_staged_sigs(spark, sf_dir, k, n), k=k, bands=bands),
     )
 
 

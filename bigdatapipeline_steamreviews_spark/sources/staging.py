@@ -83,6 +83,23 @@ def stage_params_key(*params) -> str:
     return hashlib.md5("|".join(map(repr, params)).encode()).hexdigest()[:8]
 
 
+def publish_dir(tmp: str, final: str) -> None:
+    """Atomically publish a fully-written stage directory: rename into
+    place, first-writer-wins.  A lost race (destination appeared while we
+    built) discards our copy — the winner's bytes are identical by
+    determinism, and crucially nothing ever DELETES a directory a
+    concurrent reader may already be scanning (an overwrite-in-place
+    would: Spark's overwrite clears the target before rewriting it,
+    leaving a window where a reader that passed the ``_SUCCESS`` check
+    sees missing part files)."""
+    import shutil
+
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def staged_parquet(
     spark: SparkSession,
     name: str,
@@ -96,11 +113,14 @@ def staged_parquet(
     :func:`stage_params_key`) and the source identity into
     ``fingerprint``.
 
-    Races: two processes building the same stage concurrently both write
-    (mode=overwrite) and the loser's output is identical by determinism;
-    the ``_SUCCESS`` marker gates readers on a completed write.
+    Concurrency: the build writes to a process-private temp directory and
+    publishes with an atomic rename (:func:`publish_dir`) — readers only
+    ever see absent-or-complete stages, never a partial or mid-overwrite
+    one.
     """
     path = os.path.join(STAGE_ROOT, f"{name}_{fingerprint}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build().write.mode("overwrite").parquet(path)
+        tmp = f"{path}.build{os.getpid()}"
+        build().write.mode("overwrite").parquet(tmp)
+        publish_dir(tmp, path)
     return spark.read.parquet(path)

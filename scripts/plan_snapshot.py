@@ -43,9 +43,6 @@ _VOLATILE = [
     (re.compile(r"\d+ paths"), "N paths"),
 ]
 
-_OP_LINE = re.compile(r"^[\s:+*(-]*(\d+\))?\s*([A-Z][A-Za-z]+[A-Za-z0-9]*)")
-
-
 def normalize(plan: str) -> str:
     for pat, repl in _VOLATILE:
         plan = pat.sub(repl, plan)

@@ -240,3 +240,56 @@ def test_sessionizer_checkpoint_restart(spark, tmp_path):
     assert len(spanning) == 1 and spanning[0].n_events == 3
     assert spanning[0].session_start_unix == L
     assert spanning[0].session_end_unix == L + 1500
+
+
+@pytest.mark.parametrize(
+    "residue_us,wm_delta_us,expect_emitted",
+    [
+        (0, -1, False), (0, 0, True), (0, 1000, True),
+        (500, -500, False), (500, 0, False), (500, 500, True),
+    ],
+    ids=["r0-1us", "r0-exact", "r0+1ms", "r500-at-floor", "r500-at-ms", "r500-past"],
+)
+def test_builtin_session_emission_boundary(
+    spark, tmp_path, residue_us, wm_delta_us, expect_emitted
+):
+    """Spark evicts a built-in session window iff session end (micros) <=
+    watermark (ms-floored, scaled to micros) — NOT end floored to ms: a
+    session end with sub-ms residue landing inside (wm, wm+1ms) is
+    withheld.  The registered oracle compares in micros for exactly this
+    reason; probe both zero-residue and 500us-residue ends around the
+    boundary and assert Spark and the oracle predicate agree."""
+    from pyspark.sql import functions as F
+
+    L = 1_699_920_000
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    end_us = L * 10**6 + residue_us + GAP * 10**6
+    max_ts_us = end_us + GAP * 10**6 + wm_delta_us
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(
+        [(1, L * 10**6 + residue_us, 1, "click", 1.0, "{}")], schema
+    ).coalesce(1).write.parquet(f"{stage}/f1.parquet")
+    spark.createDataFrame(
+        [(2, max_ts_us, 2, "click", 1.0, "{}")], schema
+    ).coalesce(1).write.parquet(f"{stage}/f2.parquet")
+    stream = events_file_stream(spark, f"{stage}/*", max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qname = f"swb_{residue_us}_{wm_delta_us}".replace("-", "m")
+    df = run_to_memory_table(
+        agg, qname, str(tmp_path / "ckpt"),
+        "append", shuffle_partitions=2,
+    )
+    emitted = any(r.user_id == 1 for r in df.collect())
+    wm_ms = max_ts_us // 1000 - GAP * 1000
+    oracle_admits = end_us <= wm_ms * 1000  # the registered oracle's WHERE
+    assert emitted == oracle_admits == expect_emitted, (
+        f"residue={residue_us} wm_delta={wm_delta_us}: spark={emitted} "
+        f"oracle={oracle_admits} expected={expect_emitted}"
+    )
