@@ -1046,7 +1046,7 @@ WITH spans AS (
 )
 SELECT user_id,
        CAST(sum(t1 - t0) AS BIGINT) AS observed_s,
-       (CAST(sum(vq * (t1 - t0)) AS DOUBLE) / 100000000.0
+       ((sum(CAST(vq AS DECIMAL(38,0)) * (t1 - t0))::VARCHAR)::DOUBLE / 100000000.0
          / CAST(sum(t1 - t0) AS DOUBLE)) AS tw_avg
 FROM spans
 WHERE t1 IS NOT NULL AND t1 > t0
@@ -1076,12 +1076,18 @@ def w9_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = F.col("t1") - F.col("t0")
     # Weighted sum in exact integer 1e-8 units (the sessionizer's recipe):
     # double->decimal casts of arbitrary doubles round engine-dependently,
-    # int64 math cannot.  int->double at the end is correctly rounded and
-    # identical everywhere.
+    # integer math cannot.  The per-span term vq*gap can overflow int64
+    # (vq ~ value*1e8, gap in seconds), and Spark's non-ANSI long multiply
+    # WRAPS silently while DuckDB promotes to INT128 — so the term is
+    # widened to DECIMAL(38,0) BEFORE the multiply on both sides; the
+    # exact integer decimal then converts to double through one string
+    # round-trip, correctly rounded everywhere.
     return spans.groupBy("user_id").agg(
         F.sum(gap).cast("long").alias("observed_s"),
         (
-            F.sum(F.col("vq") * gap).cast("double")
+            F.sum(F.col("vq").cast("decimal(38,0)") * gap)
+            .cast("string")
+            .cast("double")
             / F.lit(1e8)
             / F.sum(gap).cast("double")
         ).alias("tw_avg"),

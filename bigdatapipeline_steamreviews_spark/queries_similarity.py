@@ -247,6 +247,7 @@ def _staged_ivf_index(spark, sf_dir, n_lists=16, seed=7):
 
     from .sources.staging import (
         STAGE_ROOT,
+        STAGE_VERSION,
         publish_dir,
         source_fingerprint,
         stage_params_key,
@@ -254,7 +255,7 @@ def _staged_ivf_index(spark, sf_dir, n_lists=16, seed=7):
 
     fp = source_fingerprint(sf_dir, "embeddings")
     pk = stage_params_key("ivf", n_lists, seed)
-    root = os.path.join(STAGE_ROOT, f"ivf_{pk}_{fp}")
+    root = os.path.join(STAGE_ROOT, f"ivf_{pk}_{fp}_{STAGE_VERSION}")
     a_path = os.path.join(root, "assign")
     c_path = os.path.join(root, "centroids")
     done = all(

@@ -393,9 +393,13 @@ def _stage_document_chunks(spark: SparkSession, sf_dir: str, chunks: int = 2) ->
     """Stage the ODD half of the documents table as doc_id-ordered replay
     chunks — the continuously-arriving ingest batch a curation pipeline
     dedups against its existing corpus (the even half).  Staged once per
-    source fingerprint, like the events replay."""
+    source fingerprint, published atomically (staging.publish_dir) like
+    every other stage — a direct overwrite into the final path would let
+    two concurrent builders interleave part files."""
+    from .sources.staging import STAGE_VERSION, publish_dir
+
     key = _source_fingerprint_docs(sf_dir)
-    stage = os.path.join(_STAGE_ROOT, f"docs_{key}_{chunks}")
+    stage = os.path.join(_STAGE_ROOT, f"docs_{key}_{chunks}_{STAGE_VERSION}")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         from pyspark.sql import functions as F
 
@@ -405,9 +409,11 @@ def _stage_document_chunks(spark: SparkSession, sf_dir: str, chunks: int = 2) ->
         n = docs.count()
         per = max(1, (n + chunks - 1) // chunks)
         bucket = (F.col("doc_id") / F.lit(2 * per)).cast("int")
+        tmp = f"{stage}.build{os.getpid()}"
         docs.withColumn("__b", bucket).repartitionByRange(
             chunks, "__b"
-        ).drop("__b").write.mode("overwrite").parquet(stage)
+        ).drop("__b").write.mode("overwrite").parquet(tmp)
+        publish_dir(tmp, stage)
     return stage
 
 

@@ -35,7 +35,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_stage")
 
-__all__ = ["STAGE_ROOT", "source_fingerprint", "staged_parquet", "stage_params_key"]
+# Format/code version folded into every stage path.  Parameters are already
+# keyed (stage_params_key), but an IMPLEMENTATION change with identical
+# parameters — e.g. swapping the md5 base hash for xxhash64 — would
+# otherwise keep serving parquet built by the old code.  Bump on any change
+# to what a derivation writes (the events replay staging established the
+# pattern with its "_us" wire-format suffix).
+STAGE_VERSION = "v1"
+
+__all__ = [
+    "STAGE_ROOT",
+    "STAGE_VERSION",
+    "source_fingerprint",
+    "staged_parquet",
+    "stage_params_key",
+    "publish_dir",
+]
 
 
 def _walk_identity(root: str) -> str:
@@ -91,13 +106,22 @@ def publish_dir(tmp: str, final: str) -> None:
     concurrent reader may already be scanning (an overwrite-in-place
     would: Spark's overwrite clears the target before rewriting it,
     leaving a window where a reader that passed the ``_SUCCESS`` check
-    sees missing part files)."""
+    sees missing part files).
+
+    A rename failure is only swallowed when the destination is a COMPLETE
+    stage (the lost-race case); any other failure (permissions, a stale
+    partial directory blocking the rename) re-raises — silently discarding
+    the build would surface later as an unrelated path-not-found error.
+    """
     import shutil
 
     try:
         os.rename(tmp, final)
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(os.path.join(final, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
 
 
 def staged_parquet(
@@ -118,7 +142,7 @@ def staged_parquet(
     ever see absent-or-complete stages, never a partial or mid-overwrite
     one.
     """
-    path = os.path.join(STAGE_ROOT, f"{name}_{fingerprint}")
+    path = os.path.join(STAGE_ROOT, f"{name}_{fingerprint}_{STAGE_VERSION}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.build{os.getpid()}"
         build().write.mode("overwrite").parquet(tmp)

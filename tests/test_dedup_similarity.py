@@ -376,12 +376,15 @@ def test_fuzzy_dedup_survivors_complement(spark):
 
     docs = load_table(spark, SF_DIR, "documents")
     pairs = lsh_candidate_pairs(minhash_signatures(docs, k=8), k=8, bands=4)
-    labels = connected_components(pairs).collect()
+    # One components run, materialized: it is the iterative (multi-round)
+    # part of the test, and the join below must see the SAME labels.
+    labels_df = connected_components(pairs).localCheckpoint()
+    labels = labels_df.collect()
     dropped = {r["doc_id"] for r in labels if r["cluster_id"] != r["doc_id"]}
     survivors = {
         r["doc_id"]
         for r in docs.join(
-            connected_components(pairs).filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id"),
+            labels_df.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id"),
             "doc_id",
             "left_anti",
         ).collect()
