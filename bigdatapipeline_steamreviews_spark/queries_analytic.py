@@ -949,8 +949,9 @@ FROM (
   FROM events e
   JOIN (SELECT event_id, unnest(json_keys(props)) AS key FROM events) t
     USING (event_id)
+  WHERE strpos(t.key, '"') = 0 AND strpos(t.key, '\\') = 0
 )
-WHERE val IS NOT NULL AND regexp_matches(val, '^-?[0-9]+$')
+WHERE val IS NOT NULL AND regexp_matches(val, '\A-?[0-9]{1,18}\z')
 GROUP BY key
 """,
     ("P2", "A*"),
@@ -967,12 +968,23 @@ def p17_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the type, silently dropping the row from every key's counts.  Both
     # sides count only integer-valued entries; the oracle quotes the key
     # inside the JSON path so '.'/'[' in key names cannot reroute it.
+    # Symmetric restrictions, probed on both engines: keys containing a
+    # double quote or backslash are excluded (the oracle's runtime JSON
+    # path cannot express them); values must match \A-?[0-9]{1,18}\z —
+    # \A/\z anchors behave identically in Java regex and RE2 (a plain $
+    # does NOT: Java matches before a trailing newline), and 18 digits
+    # can never overflow int64 (DuckDB ::BIGINT raises where Spark's
+    # cast returns NULL, so overflow must be unreachable on both).
     kv = e.select(
         "user_id",
         F.explode(F.from_json(F.col("props"), "map<string,string>")).alias(
             "key", "value"
         ),
-    ).filter(F.col("value").rlike("^-?[0-9]+$"))
+    ).filter(
+        (F.instr(F.col("key"), '"') == 0)
+        & (F.instr(F.col("key"), "\\") == 0)
+        & F.col("value").rlike("\\A-?[0-9]{1,18}\\z")
+    )
     return kv.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("long")).alias("total"),

@@ -27,6 +27,29 @@ from .sources.tables import load_table
 # DuckDB fragment: cosine between lists qe and ce.  list_sum folds the list
 # sequentially left-to-right — bitwise identical to Spark's F.aggregate fold
 # (verified empirically), so no tolerance is needed in the compare.
+
+_EMB_DIM = 64
+
+# Malformed vectors (wrong length / NULL elements) have no well-defined
+# cosine or bucket, and the engines disagree on null-poisoned folds
+# (Spark's aggregate propagates NULL; DuckDB's list_sum skips it) — every
+# fold-based embedding query excludes them through this ONE helper, and
+# each oracle applies the identical predicate inline, so the exclusions
+# can never drift apart per-query.
+_CLEAN_EMB_SQL = (
+    "(SELECT * FROM embeddings WHERE len(embedding) = 64"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings"
+)
+
+
+def _clean_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(
+        (F.size("embedding") == _EMB_DIM)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+
+
 _COS_EXPR = (
     "(list_sum(list_transform(list_zip(qe, ce), x -> x[1]::DOUBLE * x[2]::DOUBLE))"
     " / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))"
@@ -64,8 +87,8 @@ def _rp_bucket_sql(bits: int = 8, dim: int = 64) -> str:
 @register(
     "x3_cosine_topk",
     f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings),
 pairs AS (SELECT query_id, neighbor_id, qe, ce FROM q, c WHERE neighbor_id != query_id),
 {_COS_TERMS.format(extra_cols="")}
 SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -79,14 +102,14 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
     "queries, single corpus scan, per-query window top-k.",
 )
 def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _clean_emb(spark, sf_dir)
     return cosine_topk(emb, F.col("vec_id") < 10, k=5)
 
 
 @register(
     "x3_cosine_topk_bucketed",
     f"""
-WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM e),
 pairs AS (
@@ -106,7 +129,7 @@ SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
     "cross join; the 100 TB scale path.",
 )
 def x3_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _clean_emb(spark, sf_dir)
     return cosine_topk_bucketed(emb, F.col("vec_id") < 10, k=5, bits=4)
 
 
@@ -144,7 +167,7 @@ def x3_cosine_topk_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x3_cosine_topk_multiprobe",
     f"""
-WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings),
 q0 AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS b0
        FROM e WHERE vec_id < 10),
 q AS (
@@ -171,7 +194,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
     "brute force.",
 )
 def x3_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _clean_emb(spark, sf_dir)
     return cosine_topk_multiprobe(emb, F.col("vec_id") < 10, k=5, bits=4)
 
 
@@ -215,7 +238,7 @@ def x3_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x2_embedding_near_dup",
     f"""
-WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings),
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          a.embedding AS qe, b.embedding AS ce
@@ -231,7 +254,7 @@ FROM sims WHERE cosine >= 0.4
     "corpus; production dedup would use ~0.9+.",
 )
 def x2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _clean_emb(spark, sf_dir)
     return embedding_near_dup_pairs(emb, min_cosine=0.4, bits=4)
 
 
@@ -262,20 +285,21 @@ def _staged_ivf_index(spark, sf_dir, n_lists=16, seed=7):
         os.path.exists(os.path.join(p, "_SUCCESS")) for p in (a_path, c_path)
     )
     if not done:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = _clean_emb(spark, sf_dir)
         assignments, centroids = train_ivf(emb, n_lists=n_lists, seed=seed)
         tmp = f"{root}.build{os.getpid()}"
         assignments.write.mode("overwrite").parquet(os.path.join(tmp, "assign"))
         centroids.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
-        publish_dir(tmp, root)
+        # centroids is written LAST, so its marker proves a complete stage.
+        publish_dir(tmp, root, marker="centroids/_SUCCESS")
     return spark.read.parquet(a_path), spark.read.parquet(c_path)
 
 
 @register(
     "x3_cosine_topk_ivf",
     f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings),
 pairs AS (SELECT query_id, neighbor_id, qe, ce FROM q, c WHERE neighbor_id != query_id),
 {_COS_TERMS.format(extra_cols="")}
 SELECT query_id, neighbor_id, cosine, rank FROM (
@@ -302,7 +326,7 @@ def x3_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across sessions; the exhaustive-probe oracle equivalence holds for
     # ANY centroids, so this is a determinism upgrade, not a correctness
     # dependency.
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _clean_emb(spark, sf_dir)
     index = _staged_ivf_index(spark, sf_dir, n_lists=16, seed=7)
     return cosine_topk_ivf(
         emb, F.col("vec_id") < 10, k=5, n_lists=16, n_probe=16, index=index
@@ -313,7 +337,7 @@ def x3_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x2_embedding_dedup_clusters",
     f"""
 WITH RECURSIVE e AS (
-  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings
 ),
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -345,7 +369,7 @@ SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
 def x2_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _clean_emb(spark, sf_dir)
     pairs = embedding_near_dup_pairs(emb, min_cosine=0.4, bits=4).select(
         "a_id", "b_id"
     )
@@ -457,7 +481,7 @@ WITH pos AS (
   SELECT label, u['pos'] AS pos, u['val'] AS val FROM (
     SELECT label, unnest([{{'pos': i-1, 'val': embedding[i]}}
                           for i in range(1, len(embedding)+1)]) AS u
-    FROM embeddings)
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings)
 ),
 per AS (
   SELECT label, pos,
@@ -469,7 +493,7 @@ per AS (
 cents AS (SELECT label AS cluster, list(m ORDER BY pos) AS centroid
           FROM per GROUP BY label),
 e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
-      FROM embeddings),
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings),
 d AS (
   SELECT id, v, cluster,
          list_sum(list_transform(list_zip(v, centroid),
@@ -502,16 +526,16 @@ SELECT cluster, a_id, b_id, cosine FROM (
 def x2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semantic_dedup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _clean_emb(spark, sf_dir)
     return semantic_dedup_pairs(emb, min_cosine=0.4)
 
 
 @register(
     "x3_cosine_topk_filtered",
     f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings
            WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings
       WHERE label IN (1, 2)),
 pairs AS (SELECT query_id, neighbor_id, qe, ce FROM q, c
           WHERE neighbor_id != query_id),
@@ -530,7 +554,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
     "rank-then-filter.  operators/similarity.py::cosine_topk(corpus_pred).",
 )
 def x3_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _clean_emb(spark, sf_dir)
     return cosine_topk(
         emb, F.col("vec_id") < 10, k=5, corpus_pred=F.col("label").isin(1, 2)
     )

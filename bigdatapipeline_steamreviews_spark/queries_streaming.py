@@ -44,40 +44,58 @@ def _source_fingerprint(sf_dir: str) -> str:
 def _stage_events_chunks(spark: SparkSession, sf_dir: str, chunks: int = 4) -> str:
     """Stage the events table as time-ordered replay chunks under /tmp —
     each file becomes one micro-batch.  Staged once per source fingerprint
-    and reused (content is deterministic)."""
+    and reused (content is deterministic).
+
+    Built in a temp dir and published atomically: the chunk writes are
+    SEQUENTIAL append jobs (replay order = mtime order needs the gaps),
+    and the first job already drops a ``_SUCCESS`` — appending straight
+    into the final path would let a concurrent reader pass the
+    completeness check against a 1-of-N-chunks stage.  The rename
+    preserves file mtimes, so the replay order survives publishing."""
+    from .sources.staging import publish_dir
+
     key = _source_fingerprint(sf_dir)
     # "_us" suffix versions the staged wire format (ts = epoch micros long);
     # prevents reuse of pre-round-4 nanos-format stage dirs left in /tmp.
     stage = os.path.join(_STAGE_ROOT, f"events_{key}_{chunks}_us")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        stage_events_for_replay(spark, sf_dir, stage, chunks)
+        tmp = f"{stage}.build{os.getpid()}"
+        stage_events_for_replay(spark, sf_dir, tmp, chunks)
+        publish_dir(tmp, stage)
     return stage
 
 
 def _stage_events_chunks_duped(spark: SparkSession, sf_dir: str) -> str:
     """Replay staging with at-least-once delivery simulated: the time-
     ordered chunks, plus one chunk REDELIVERED at the end (a copy with a
-    later mtime, so the file source replays it as a new micro-batch)."""
+    later mtime, so the file source replays it as a new micro-batch).
+    Built in a temp dir and published atomically — two concurrent
+    builders copying into one directory would overwrite each other's
+    files and scramble the mtime ordering the replay depends on."""
     import shutil
     import time
+
+    from .sources.staging import publish_dir
 
     src = _stage_events_chunks(spark, sf_dir)
     key = _source_fingerprint(sf_dir)
     duped = os.path.join(_STAGE_ROOT, f"events_duped_{key}_us")
     if not os.path.exists(os.path.join(duped, "_DONE")):
-        os.makedirs(duped, exist_ok=True)
+        tmp = f"{duped}.build{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
         parts = sorted(
             (f for f in os.listdir(src) if f.endswith(".parquet")),
             key=lambda f: os.path.getmtime(os.path.join(src, f)),
         )
         for f in parts:
-            shutil.copy(os.path.join(src, f), os.path.join(duped, f))
+            shutil.copy(os.path.join(src, f), os.path.join(tmp, f))
             time.sleep(0.05)
         # Redeliver the second chunk (duplicate rows, arriving late).
         shutil.copy(
-            os.path.join(src, parts[1]), os.path.join(duped, "redelivered.parquet")
+            os.path.join(src, parts[1]), os.path.join(tmp, "redelivered.parquet")
         )
-        open(os.path.join(duped, "_DONE"), "w").close()
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        publish_dir(tmp, duped, marker="_DONE")
     return duped
 
 

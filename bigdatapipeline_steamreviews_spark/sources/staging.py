@@ -98,27 +98,31 @@ def stage_params_key(*params) -> str:
     return hashlib.md5("|".join(map(repr, params)).encode()).hexdigest()[:8]
 
 
-def publish_dir(tmp: str, final: str) -> None:
+def publish_dir(tmp: str, final: str, marker: str = "_SUCCESS") -> None:
     """Atomically publish a fully-written stage directory: rename into
     place, first-writer-wins.  A lost race (destination appeared while we
     built) discards our copy — the winner's bytes are identical by
     determinism, and crucially nothing ever DELETES a directory a
     concurrent reader may already be scanning (an overwrite-in-place
     would: Spark's overwrite clears the target before rewriting it,
-    leaving a window where a reader that passed the ``_SUCCESS`` check
+    leaving a window where a reader that passed the completeness check
     sees missing part files).
 
-    A rename failure is only swallowed when the destination is a COMPLETE
-    stage (the lost-race case); any other failure (permissions, a stale
-    partial directory blocking the rename) re-raises — silently discarding
-    the build would surface later as an unrelated path-not-found error.
+    ``marker`` is the path (relative to ``final``) whose existence proves
+    the destination is a COMPLETE stage — "_SUCCESS" for a single parquet
+    write; callers with nested layouts pass the marker their LAST write
+    produces (e.g. the IVF index passes "centroids/_SUCCESS").  A rename
+    failure is only swallowed when that marker exists (the lost-race
+    case); any other failure (permissions, a stale partial directory
+    blocking the rename) re-raises — silently discarding the build would
+    surface later as an unrelated path-not-found error.
     """
     import shutil
 
     try:
         os.rename(tmp, final)
     except OSError:
-        if os.path.exists(os.path.join(final, "_SUCCESS")):
+        if os.path.exists(os.path.join(final, marker)):
             shutil.rmtree(tmp, ignore_errors=True)
         else:
             raise

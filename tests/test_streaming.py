@@ -89,6 +89,7 @@ def test_watermark_close_boundary(spark, delta_us):
     spark.createDataFrame(
         [(1, day0 * 10**6 + 100, 1, "click", 10.0, "{}")], schema
     ).coalesce(1).write.parquet(f"{stage}/f1.parquet")
+    __import__("time").sleep(0.05)  # strictly later mtime: replay order is mtime order
     spark.createDataFrame(
         [(2, max_ts_us, 1, "click", 20.0, "{}")], schema
     ).coalesce(1).write.parquet(f"{stage}/f2.parquet")
@@ -113,6 +114,7 @@ def test_late_data_updates_open_window(spark):
         [(1, 1_700_000_000_000_000, 1, "click", 10.0, '{"k":1}')],
         "event_id long, ts long, user_id long, event_type string, value double, props string",
     ).coalesce(1).write.parquet(f"{stage}/f1.parquet")
+    __import__("time").sleep(0.05)  # strictly later mtime: replay order is mtime order
     # second file: one row a full day LATER, plus one LATE row in day 1
     spark.createDataFrame(
         [

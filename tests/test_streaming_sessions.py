@@ -87,6 +87,7 @@ def test_session_timeout_boundary(spark, tmp_path, delta_us):
     spark.createDataFrame(
         [(1, L * 10**6, 1, "click", 10.0, "{}")], schema
     ).coalesce(1).write.parquet(f"{stage}/f1.parquet")
+    __import__("time").sleep(0.05)  # strictly later mtime: replay order is mtime order
     spark.createDataFrame(
         [(2, max_ts_us, 2, "click", 20.0, "{}")], schema
     ).coalesce(1).write.parquet(f"{stage}/f2.parquet")
@@ -272,6 +273,7 @@ def test_builtin_session_emission_boundary(
     spark.createDataFrame(
         [(1, L * 10**6 + residue_us, 1, "click", 1.0, "{}")], schema
     ).coalesce(1).write.parquet(f"{stage}/f1.parquet")
+    __import__("time").sleep(0.05)  # strictly later mtime: replay order is mtime order
     spark.createDataFrame(
         [(2, max_ts_us, 2, "click", 1.0, "{}")], schema
     ).coalesce(1).write.parquet(f"{stage}/f2.parquet")
