@@ -37,6 +37,10 @@ __all__ = [
     "nearest_rank_percentiles",
     "as_of_join",
     "range_join_count",
+    "gap_fill_forward",
+    "rolling_zscore",
+    "event_transitions",
+    "equi_width_histogram",
 ]
 
 _ACC_DECIMAL = "decimal(28,10)"
@@ -229,6 +233,166 @@ def as_of_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry_cols],
     )
     return carried.filter(F.col("__tag") == 1).drop("__tag")
+
+
+def gap_fill_forward(
+    series: DataFrame,
+    time_col: str,
+    value_cols: list[str],
+    step: str = "interval 1 day",
+) -> DataFrame:
+    """Densify a sparse time series onto a complete calendar spine and
+    forward-fill missing values (classic time-series gap fill; Spark has
+    no builtin).
+
+    The spine is ``sequence(min(t), max(t), step)`` exploded — built from
+    a 1-row aggregate, so the join back to the data is a broadcast.  Rows
+    absent from the input get ``is_gap = 1`` and carry the last observed
+    value forward via ``last(ignorenulls=True)`` over an unpartitioned
+    ordered window.
+
+    Scale note: the unpartitioned window is safe because a gap-fill input
+    is an already-aggregated series (one row per period — thousands of
+    rows for decades of days).  For per-key gap fill at scale, aggregate
+    per key first and add the key to both the spine (cross join keys ×
+    periods) and the window's ``partitionBy``.
+    """
+    bounds = series.agg(
+        F.min(time_col).alias("__lo"), F.max(time_col).alias("__hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr(f"sequence(__lo, __hi, {step})")).alias(time_col)
+    )
+    filled = spine.join(series, time_col, "left")
+    w = Window.orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = filled.withColumn(
+        "is_gap", F.when(F.col(value_cols[0]).isNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def rolling_zscore(
+    series: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    preceding: int = 6,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Trailing-frame z-score anomaly flag over an ordered per-group series.
+
+    Moments are exact: each value is quantized to integer micro-units
+    (``round(x * 1e6)`` — a fixed-shape double op, deterministic), and the
+    frame accumulates Σv and Σv² in integer/DECIMAL arithmetic (the v²
+    term widened to DECIMAL(38,0) BEFORE the multiply — int64 would wrap
+    silently in Spark while DuckDB promotes, the w9 time-weighted-average
+    lesson).  Casting the *raw* doubles (or their squares) to DECIMAL
+    would NOT be portable: double→decimal rounding of arbitrary doubles
+    is engine-dependent at the 10th digit, and the E[x²]−E[x]² subtraction
+    amplifies that ulp into ~1e-13 z-score divergence (measured).  The
+    z-score is scale-invariant, so it is computed entirely in micro-units;
+    only ``frame_mean`` converts back.  A variance guard nulls the z-score
+    for (near-)constant frames instead of emitting ±inf/NaN.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(order_col).rowsBetween(
+        -preceding, Window.currentRow
+    )
+    x = F.col(value_col)
+    vq = F.round(x * F.lit(1e6)).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(vq).over(w).cast("double")
+    sq = (
+        F.sum(vq.cast("decimal(38,0)") * vq)
+        .over(w)
+        .cast("string")
+        .cast("double")
+    )
+    mean_q = s / n
+    var_q = sq / n - mean_q * mean_q
+    z = F.when(var_q > F.lit(0.5), (vq.cast("double") - mean_q) / F.sqrt(var_q))
+    return series.select(
+        *group_cols,
+        order_col,
+        x.alias(value_col),
+        n.alias("frame_n"),
+        (mean_q / F.lit(1e6)).alias("frame_mean"),
+        z.alias("zscore"),
+        F.when(F.abs(z) > F.lit(threshold), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over per-key event sequences:
+    for every observed (previous state → state) step, the count and the
+    conditional probability P(to | from).
+
+    One shuffle (the lag window on the key), then a partial-aggregatable
+    groupBy on the tiny (from, to) state product.  The probability is a
+    single double division of two exact BIGINT counts — deterministic.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    steps = events.select(
+        F.lag(state_col).over(w).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).filter(F.col("from_state").isNotNull())
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    per_from = Window.partitionBy("from_state")
+    return counts.select(
+        "*",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_from).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+def equi_width_histogram(
+    df: DataFrame, value_col: str, width: float
+) -> DataFrame:
+    """Equi-width histogram with cumulative counts: bucket id
+    (``floor(x / width)``), bounds, count, exact value sum, share of total,
+    and a running CDF over bucket order.
+
+    The bucketing is a map-side projection feeding a partial-aggregatable
+    groupBy on a small key space; the share/CDF windows run over the
+    already-aggregated bucket rows (hundreds, one task).  All doubles
+    come from exact BIGINT/DECIMAL accumulators through fixed-shape
+    expressions.
+    """
+    bucket = F.floor(F.col(value_col) / F.lit(width)).cast("bigint")
+    agg = df.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_to_double(F.sum(F.col(value_col).cast(_ACC_DECIMAL))).alias("value_sum"),
+    )
+    w_all = Window.partitionBy()
+    w_cdf = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        "bucket",
+        (F.col("bucket") * F.lit(width)).alias("lo"),
+        ((F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+        "n",
+        "value_sum",
+        (F.col("n").cast("double") / F.sum("n").over(w_all).cast("double")).alias(
+            "share"
+        ),
+        F.sum("n").over(w_cdf).alias("cum_n"),
+    )
 
 
 def range_join_count(

@@ -29,7 +29,59 @@ __all__ = [
     "distinct_values",
     "top_n",
     "with_date_parts",
+    "scd2_history",
 ]
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str,
+    attr_col: Column,
+    attr_name: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a keyed change feed:
+    collapse consecutive equal attribute values into validity intervals
+    ``[valid_from, valid_to)`` with a per-key version number and an
+    ``is_current`` flag on the open interval.
+
+    Classic two-window formulation over ONE shuffle (both windows share
+    the (key) partitioning and (ts, id) ordering, so Catalyst plans a
+    single exchange + sort):
+
+    1. change detection — keep a row iff ``lag(attr)`` differs (null-safe,
+       so a key's first observation and genuine null values both work);
+    2. interval stitching — ``valid_to = lead(valid_from)``, version =
+       ``row_number`` over the surviving change rows.
+
+    This is the dimension-history twin of ``upsert_compact`` (which keeps
+    only the current row): the serving pattern for point-in-time joins
+    (``as_of_join`` against this table reconstructs any key's attribute
+    at any timestamp).  At 100 TB the change feed is bucketed by the key
+    and the history table is overwritten per partition-of-keys —
+    append-only state, no global rewrite.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    marked = events.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), attr_col.alias(attr_name)
+    ).withColumn("__is_first", F.lag(id_col).over(w).isNull()).withColumn(
+        "__prev", F.lag(attr_name).over(w)
+    )
+    changes = marked.filter(
+        F.col("__is_first") | ~F.col(attr_name).eqNullSafe(F.col("__prev"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    return changes.select(
+        F.col(key_col),
+        F.col(attr_name),
+        F.unix_timestamp(F.col(ts_col)).alias("valid_from_unix"),
+        F.unix_timestamp(F.lead(ts_col).over(w2)).alias("valid_to_unix"),
+        F.row_number().over(w2).alias("version"),
+        F.when(F.lead(ts_col).over(w2).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_current"),
+    )
 
 
 def upsert_compact(

@@ -25,6 +25,7 @@ from .partitioning import ensure_min_parallelism
 __all__ = [
     "tokens",
     "token_stats",
+    "bigram_pmi",
     "quality_score",
     "gopher_rules",
     "language_id",
@@ -478,3 +479,85 @@ def contamination_hits(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining: top-k adjacent word pairs by pointwise mutual
+    information, scored as the probability RATIO p(w1,w2)/(p(w1)·p(w2))
+    rather than its log — the ranking is identical (log is monotone) and
+    the ratio is a fixed-shape expression over exact BIGINT counts, so the
+    score is bit-identical in every engine (``ln``/``log2`` library calls
+    are NOT guaranteed ulp-identical across engines and would break
+    hash-gated verification).
+
+    Plan shape: one explode for unigram counts, one explode for bigram
+    counts (adjacent pairs via an indexed ``transform`` over the token
+    array — pure Catalyst, no self-join of positions), then the bigram
+    table joins the unigram counts twice.  The unigram vocabulary is
+    orders of magnitude smaller than the corpus (Heaps' law), so both
+    count joins broadcast; corpus totals ride in via a 1-row broadcast
+    cross join.  ``min_count`` prunes rare pairs BEFORE the joins — the
+    same df-pruning idea as ``ngram_jaccard_pruned``.
+
+    Returns (w1, w2, n_pair, n_w1, n_w2, pmi_ratio) for the top_k pairs
+    by (pmi_ratio DESC, w1, w2) — the tie-break makes top-k deterministic.
+    """
+    toks = tokens(text_col)
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pairs_col = F.expr(
+        f"transform(slice(split({text_col}, ' '), 1, "
+        f"size(split({text_col}, ' ')) - 1), "
+        f"(t, i) -> struct(t AS w1, element_at(split({text_col}, ' '), i + 2) AS w2))"
+    )
+    bi_all = (
+        df.select(F.explode(pairs_col).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    bi = bi_all.filter(F.col("n_pair") >= min_count)
+    # n_pairs is the PRE-filter bigram total: p(w1,w2) = n_pair / all
+    # observed bigrams, not / the surviving heavy ones.
+    totals = uni.agg(
+        F.sum("n_w").alias("n_tokens"),
+    ).crossJoin(bi_all.agg(F.sum("n_pair").alias("n_pairs")))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            (
+                (
+                    F.col("n_pair").cast("double")
+                    * F.col("n_tokens").cast("double")
+                    * F.col("n_tokens").cast("double")
+                )
+                / (
+                    F.col("n_pairs").cast("double")
+                    * F.col("n_w1").cast("double")
+                    * F.col("n_w2").cast("double")
+                )
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), "w1", "w2"
+    ).limit(top_k)

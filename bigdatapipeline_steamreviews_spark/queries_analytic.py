@@ -17,10 +17,14 @@ from pyspark.sql import functions as F
 from .functions import avg_exact, sum_exact
 from .operators.analytic import (
     as_of_join,
+    equi_width_histogram,
     event_deltas,
+    event_transitions,
+    gap_fill_forward,
     nearest_rank_percentiles,
     range_join_count,
     rolling_frame_avg,
+    rolling_zscore,
     session_stats,
 )
 from .operators.partitioning import salted_join
@@ -1104,3 +1108,179 @@ def w9_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(gap).cast("double")
         ).alias("tw_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T3 — time-series gap fill (calendar spine + forward fill)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t3_gap_fill_revenue",
+    """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(28,10))) AS rev_dec,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+)
+SELECT s.day,
+       ((last_value(d.rev_dec IGNORE NULLS) OVER w)::VARCHAR)::DOUBLE AS revenue,
+       coalesce(d.n_orders, 0) AS n_orders,
+       CASE WHEN d.rev_dec IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM spine s LEFT JOIN daily d USING (day)
+WINDOW w AS (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    ("W*", "T*", "A5"),
+    "Time-series gap fill: densify the daily revenue series onto a complete "
+    "sequence() calendar spine (broadcast 1-row bounds), left-join the real "
+    "aggregates, and forward-fill missing days with last(ignorenulls) — "
+    "gap days flagged, order counts zero-filled. The unpartitioned fill "
+    "window is safe over the pre-aggregated series (one row per day).",
+)
+def t3_gap_fill_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        sum_exact("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    filled = gap_fill_forward(daily, "day", ["revenue"])
+    return filled.select(
+        "day",
+        "revenue",
+        F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("n_orders"),
+        "is_gap",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — equi-width histogram with CDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a12_price_histogram",
+    f"""
+WITH h AS (
+  SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+         count(*) AS n,
+         {_sum_exact_sql('o_totalprice')} AS value_sum
+  FROM orders GROUP BY 1
+)
+SELECT bucket,
+       bucket * 25000.0 AS lo,
+       (bucket + 1) * 25000.0 AS hi,
+       n,
+       value_sum,
+       CAST(n AS DOUBLE) / CAST(CAST(sum(n) OVER () AS BIGINT) AS DOUBLE) AS share,
+       CAST(sum(n) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+FROM h
+""",
+    ("A*", "W*"),
+    "Equi-width histogram of order totals with per-bucket share and a "
+    "running CDF: map-side floor-bucketing into a partial-aggregatable "
+    "groupBy on a tiny key space; the share/CDF windows run over the "
+    "already-aggregated bucket rows.",
+)
+def a12_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return equi_width_histogram(
+        load_table(spark, sf_dir, "orders"), "o_totalprice", 25000.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# W10 — trailing-frame z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w10_rolling_zscore",
+    f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         {_sum_exact_sql('value')} AS daily_value
+  FROM events GROUP BY 1, 2
+),
+q AS (
+  SELECT event_type, day, daily_value,
+         CAST(round(daily_value * 1000000.0) AS BIGINT) AS vq
+  FROM daily
+),
+fr AS (
+  SELECT event_type, day, daily_value, vq,
+         CAST(count(*) OVER w AS BIGINT) AS frame_n,
+         CAST(CAST(sum(vq) OVER w AS BIGINT) AS DOUBLE) AS s,
+         ((sum(CAST(vq AS DECIMAL(38,0)) * vq) OVER w)::VARCHAR)::DOUBLE AS sq
+  FROM q
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, daily_value, frame_n,
+       s / frame_n / 1000000.0 AS frame_mean,
+       CASE WHEN (sq / frame_n - (s / frame_n) * (s / frame_n)) > 0.5
+            THEN (CAST(vq AS DOUBLE) - s / frame_n)
+                 / sqrt(sq / frame_n - (s / frame_n) * (s / frame_n))
+            END AS zscore,
+       CASE WHEN abs(CASE WHEN (sq / frame_n - (s / frame_n) * (s / frame_n)) > 0.5
+                          THEN (CAST(vq AS DOUBLE) - s / frame_n)
+                               / sqrt(sq / frame_n - (s / frame_n) * (s / frame_n))
+                          END) > 2.0
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM fr
+""",
+    ("W*", "A*"),
+    "Rolling z-score anomaly flags over per-event-type daily value series: "
+    "trailing-7-row mean/variance in exact integer micro-units (round(x*1e6) "
+    "quantization; the v**2 term widened to DECIMAL(38,0) before the multiply "
+    "so it cannot wrap) — bit-identical under any partitioning AND any "
+    "engine; a variance guard nulls near-constant frames instead of "
+    "emitting NaN.",
+)
+def w10_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(sum_exact("value").alias("daily_value"))
+    return rolling_zscore(
+        daily, ["event_type"], "day", "daily_value", preceding=6, threshold=2.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# W11 — first-order Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w11_event_transitions",
+    """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_state,
+         event_type AS to_state
+  FROM events
+),
+c AS (
+  SELECT from_state, to_state, count(*) AS n_transitions
+  FROM steps WHERE from_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(CAST(sum(n_transitions) OVER (PARTITION BY from_state)
+                AS BIGINT) AS DOUBLE) AS p_transition
+FROM c
+""",
+    ("W*", "A*"),
+    "First-order Markov transition counts and conditional probabilities "
+    "P(to|from) over per-user event sequences: one lag window on the user "
+    "key, then a partial-aggregatable groupBy on the tiny state product.",
+)
+def w11_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_transitions(load_table(spark, sf_dir, "events"))

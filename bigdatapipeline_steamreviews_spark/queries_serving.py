@@ -421,3 +421,56 @@ def serving_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_custkey"],
         ["n_orders", "total_spent"],
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 — slowly-changing-dimension history from the event change feed
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "serving_scd2_history",
+    """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value IS NULL THEN 'none'
+              WHEN value >= 100.0 THEN 'high'
+              WHEN value >= 50.0 THEN 'mid'
+              ELSE 'low' END AS tier
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, event_id, tier,
+         lag(tier) OVER w AS prev_tier,
+         lag(event_id) OVER w AS prev_id
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT user_id, ts, event_id, tier FROM m
+  WHERE prev_id IS NULL OR tier IS DISTINCT FROM prev_tier
+)
+SELECT user_id, tier,
+       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_unix,
+       CAST(floor(epoch(lead(ts) OVER w2)) AS BIGINT) AS valid_to_unix,
+       CAST(row_number() OVER w2 AS BIGINT) AS version,
+       CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    ("A7", "W*"),
+    "SCD type-2 dimension history: per-user value-tier change detection "
+    "(null-safe lag compare) collapsed into [valid_from, valid_to) "
+    "intervals with version numbers and an is_current flag — the "
+    "dimension-history twin of upsert_compact, feeding point-in-time "
+    "as-of joins. Both windows share one exchange.",
+)
+def serving_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.serving import scd2_history
+
+    events = load_table(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value").isNull(), F.lit("none"))
+        .when(F.col("value") >= 100.0, F.lit("high"))
+        .when(F.col("value") >= 50.0, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    return scd2_history(events, "user_id", tier, "tier")

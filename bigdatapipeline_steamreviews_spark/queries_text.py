@@ -1336,3 +1336,54 @@ def x1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — bigram collocations by PMI ratio
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_bigram_pmi",
+    """
+WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+uni AS (
+  SELECT w, count(*) AS n_w
+  FROM (SELECT unnest(ts) AS w FROM toks)
+  WHERE w <> '' GROUP BY w
+),
+bi_all AS (
+  SELECT w1, w2, count(*) AS n_pair FROM (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)
+  )
+  WHERE w1 <> '' AND w2 <> ''
+  GROUP BY w1, w2
+),
+bi AS (SELECT * FROM bi_all WHERE n_pair >= 5),
+tot AS (
+  SELECT (SELECT CAST(sum(n_w) AS BIGINT) FROM uni) AS n_tokens,
+         (SELECT CAST(sum(n_pair) AS BIGINT) FROM bi_all) AS n_pairs
+)
+SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+       (CAST(n_pair AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+          * CAST(n_tokens AS DOUBLE))
+       / (CAST(n_pairs AS DOUBLE) * CAST(u1.n_w AS DOUBLE)
+          * CAST(u2.n_w AS DOUBLE)) AS pmi_ratio
+FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, tot
+ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50
+""",
+    ("X4",),
+    "Collocation mining: top-50 adjacent word pairs by PMI, scored as the "
+    "probability RATIO p(w1,w2)/(p(w1)p(w2)) — monotone-equivalent to log "
+    "PMI but bit-exact across engines (no ln() library call). Bigrams via "
+    "an indexed transform over the token array (no positional self-join); "
+    "both unigram-count joins broadcast (vocab << corpus, Heaps' law); "
+    "min-count pruning before the joins.",
+)
+def x4_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bigram_pmi
+
+    return bigram_pmi(
+        load_table(spark, sf_dir, "documents"), min_count=5, top_k=50
+    )

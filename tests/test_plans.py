@@ -102,8 +102,16 @@ def test_registry_wide_plan_lint(spark):
     # Documented single-task windows over pre-aggregated / pre-pruned
     # inputs (NOT corpus-sized): w3 ranks the daily rollup; the quality
     # filter's windows run over the 1024-row bucket table and one bucket's
-    # rows (operators/selection.py).
-    allowed_single_partition = {"w3_rolling_revenue", "x4_quality_filter"}
+    # rows (operators/selection.py); t3's forward-fill and a12's share/CDF
+    # windows run over the daily spine / bucket table respectively (both
+    # thousands of rows post-aggregation — see their operator docstrings
+    # for the per-key scale path).
+    allowed_single_partition = {
+        "w3_rolling_revenue",
+        "x4_quality_filter",
+        "t3_gap_fill_revenue",
+        "a12_price_histogram",
+    }
 
     offenders = {}
     for name, fn in sorted(queries().items()):
