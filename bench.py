@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "q9_product_profit",           # heaviest TPC-H join tree (5-way)
     "g4_status_priority_cube",     # grouping-set multiplier (CUBE)
     "x1_paragraph_dedup",          # explode-heavy sub-document dedup
+    "j4_fuzzy_name_match",         # deletion-variant fuzzy join (r5-born)
+    "x4_bigram_pmi",               # double-explode collocations (r5-born)
 ]
 
 

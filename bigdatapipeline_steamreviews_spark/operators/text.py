@@ -514,10 +514,13 @@ def bigram_pmi(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
-    pairs_col = F.expr(
-        f"transform(slice(split({text_col}, ' '), 1, "
-        f"size(split({text_col}, ' ')) - 1), "
-        f"(t, i) -> struct(t AS w1, element_at(split({text_col}, ' '), i + 2) AS w2))"
+    # Adjacent pairs via an indexed transform over the token array (pure
+    # Column API — no SQL-string interpolation of text_col): position i
+    # (0-based) in the size-1 slice pairs token i with token i+1, fetched
+    # 0-based with F.get.
+    pairs_col = F.transform(
+        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.struct(t.alias("w1"), F.get(toks, i + 1).alias("w2")),
     )
     bi_all = (
         df.select(F.explode(pairs_col).alias("p"))

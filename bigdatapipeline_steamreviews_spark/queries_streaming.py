@@ -660,3 +660,62 @@ def stream_serving_materialization(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(table_dir)
+
+
+@register(
+    "stream_event_transitions",
+    """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_state,
+         event_type AS to_state
+  FROM events
+),
+c AS (
+  SELECT from_state, to_state, count(*) AS n_transitions
+  FROM steps WHERE from_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(CAST(sum(n_transitions) OVER (PARTITION BY from_state)
+                AS BIGINT) AS DOUBLE) AS p_transition
+FROM c
+""",
+    ("W*", "T*", "X*"),
+    "Custom stateful streaming operator (applyInPandasWithState, NoTimeout): "
+    "per-user last-event state turns each arriving event into one "
+    "(from, to) transition step — across micro-batch boundaries via the "
+    "state row — then the materialized steps aggregate into the same "
+    "transition matrix the batch lag() twin (w11) produces.  No timeout "
+    "flush is needed: a transition is sealed by the next event's arrival, "
+    "so the emitted set is exactly the batch set and the oracle is the "
+    "batch SQL verbatim.",
+)
+def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from .streaming.transitions import streaming_transitions
+
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_transitions_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    result = streaming_transitions(stream)
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    # Per-user state rows like sessionization -> same 16-partition sizing.
+    steps = run_to_memory_table(
+        result, name, checkpoint, "append", shuffle_partitions=16
+    )
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    per_from = W.partitionBy("from_state")
+    return counts.select(
+        "*",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_from).cast("double")
+        ).alias("p_transition"),
+    )
