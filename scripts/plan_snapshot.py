@@ -41,6 +41,10 @@ _VOLATILE = [
     (re.compile(r"@[0-9a-f]{6,}"), "@x"),
     (re.compile(r"Statistics\([^)]*\)"), "Statistics(x)"),
     (re.compile(r"\d+ paths"), "N paths"),
+    # Higher-order-function lambda variables are numbered by a SESSION-global
+    # counter (lambda x_2 / lambda x_35 for the same plan), so any query
+    # planned earlier in the process shifts them — normalize the ordinal.
+    (re.compile(r"lambda ([A-Za-z]+)_\d+"), r"lambda \1_n"),
 ]
 
 def normalize(plan: str) -> str:
@@ -71,6 +75,10 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     spark = get_spark("plan-snapshot")
+    # Untruncated scan metadata: the default 100-char cut moves with the
+    # (session-global) lambda-variable ordinal width, so a truncated
+    # DataFilters string is order-sensitive even after normalization.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
     regs = queries()
     out: dict[str, dict] = {}
     for name in BENCH_QUERIES:
