@@ -38,6 +38,7 @@ __all__ = [
     "train_ivf",
     "cosine_topk_ivf",
     "label_centroids",
+    "cluster_inertia",
     "scalar_quantize",
     "assign_to_centroids",
     "semantic_dedup_pairs",
@@ -639,4 +640,51 @@ def semantic_dedup_pairs(
             cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(min_cosine))
+    )
+
+
+def cluster_inertia(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster quality metric: within-cluster sum of squared distances
+    (k-means inertia) and its per-vector mean, against the label centroids.
+
+    The evaluation half of the clustering family: ``label_centroids`` is
+    the E-step summary, this is the objective it minimizes — a curation
+    pipeline tracks it per label to spot clusters that are too loose to
+    trust for semantic dedup (SemDeDup prunes by exactly this radius).
+
+    Shape: centroids are |labels| rows — broadcast to the corpus scan, so
+    the per-vector distance is map-side work on an unshuffled corpus; the
+    only shuffle is the final |labels|-row aggregate (map-side partials).
+    Determinism: the per-vector distance is a sequential double fold
+    (deterministic, matches DuckDB's list_sum), then quantized to integer
+    1e-8 units so the cluster SUM accumulates exactly under any
+    partitioning — the label_centroids recipe applied to distances.
+
+    Returns (label, n_vecs, inertia, mean_sqdist).
+    """
+    cents = label_centroids(embeddings, label_col, vec_col)
+    e = embeddings.select(
+        F.col(label_col).alias("label"), F.col(vec_col).alias("__e")
+    )
+    joined = e.join(F.broadcast(cents), "label")
+    diffsq = F.zip_with(
+        F.transform(F.col("__e"), lambda x: x.cast("double")),
+        F.col("centroid"),
+        lambda x, y: (x - y) * (x - y),
+    )
+    dist = F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x)
+    dq = F.floor(dist * F.lit(1e8) + F.lit(0.5)).cast("long")
+    per = joined.select("label", dq.alias("__dq"))
+    inertia = (
+        F.sum(F.col("__dq").cast("decimal(38,0)")).cast("string").cast("double")
+        / F.lit(1e8)
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        inertia.alias("inertia"),
+        (inertia / F.count(F.lit(1))).alias("mean_sqdist"),
     )

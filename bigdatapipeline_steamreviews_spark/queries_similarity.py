@@ -558,3 +558,51 @@ def x3_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(
         emb, F.col("vec_id") < 10, k=5, corpus_pred=F.col("label").isin(1, 2)
     )
+
+
+@register(
+    "x3_cluster_inertia",
+    f"""
+WITH pos AS (
+  SELECT label, u['pos'] AS pos, u['val'] AS val FROM (
+    SELECT label, unnest([{{'pos': i-1, 'val': embedding[i]}}
+                          for i in range(1, len(embedding)+1)]) AS u
+    FROM {_CLEAN_EMB_SQL})
+),
+per AS (
+  SELECT label, pos,
+         ((sum(CAST(floor(val::DOUBLE * 100000000.0 + 0.5) / 100000000.0
+                    AS DECIMAL(28,10)))::VARCHAR)::DOUBLE)
+           / count(val) AS m
+  FROM pos GROUP BY 1, 2
+),
+cents AS (
+  SELECT label, list(m ORDER BY pos) AS ce FROM per GROUP BY label
+),
+d AS (
+  SELECT e.label,
+         list_sum([(e.embedding[i]::DOUBLE - c.ce[i])
+                   * (e.embedding[i]::DOUBLE - c.ce[i])
+                   for i in range(1, len(e.embedding)+1)]) AS dist
+  FROM {_CLEAN_EMB_SQL.removesuffix(' embeddings')} e JOIN cents c USING (label)
+)
+SELECT label, count(*) AS n_vecs,
+       ((sum(CAST(CAST(floor(dist * 100000000.0 + 0.5) AS BIGINT)
+                  AS DECIMAL(38,0)))::VARCHAR)::DOUBLE / 100000000.0) AS inertia,
+       (((sum(CAST(CAST(floor(dist * 100000000.0 + 0.5) AS BIGINT)
+                   AS DECIMAL(38,0)))::VARCHAR)::DOUBLE / 100000000.0)
+        / count(*)) AS mean_sqdist
+FROM d GROUP BY label
+""",
+    ("X3", "A*"),
+    "Per-cluster inertia (within-cluster sum of squared distances to the "
+    "label centroid) and per-vector mean — the k-means objective as an "
+    "evaluation rollup; SemDeDup-style curation prunes clusters by this "
+    "radius. Centroids broadcast to an unshuffled corpus scan; distances "
+    "are sequential double folds quantized to integer 1e-8 units so the "
+    "cluster sums accumulate exactly under any partitioning.",
+)
+def x3_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cluster_inertia
+
+    return cluster_inertia(_clean_emb(spark, sf_dir))

@@ -1387,3 +1387,72 @@ def x4_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_pmi(
         load_table(spark, sf_dir, "documents"), min_count=5, top_k=50
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — shard-balanced training-order interleave
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_interleave_order",
+    """
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS rank_in_source
+  FROM documents
+),
+src AS (
+  SELECT source,
+         CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS source_idx
+  FROM (SELECT DISTINCT source FROM documents)
+),
+tot AS (SELECT count(*) AS n_sources FROM src)
+SELECT r.doc_id, r.source, r.rank_in_source, s.source_idx,
+       (r.rank_in_source - 1) * t.n_sources + s.source_idx AS interleave_pos
+FROM ranked r JOIN src s USING (source), tot t
+""",
+    ("X4", "W*"),
+    "Deterministic round-robin interleave across sources — the training-"
+    "order key a data loader sorts by so consecutive samples rotate "
+    "through sources instead of streaming one source at a time. "
+    "interleave_pos = (rank_in_source - 1) * n_sources + source_idx "
+    "needs NO global window over the corpus: per-source ranks are one "
+    "keyed window, and the source index comes from a |sources|-row "
+    "broadcast dimension. Positions have gaps once a source exhausts "
+    "(it is an ordering key, not a dense offset).",
+)
+def x4_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = docs.withColumn(
+        "rank_in_source",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("doc_id"))
+        .cast("bigint"),
+    )
+    src = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "source_idx",
+            F.row_number().over(W.orderBy("source")).cast("bigint"),
+        )
+    )
+    n_sources = src.agg(F.count(F.lit(1)).alias("n_sources"))
+    return (
+        ranked.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "doc_id",
+            "source",
+            "rank_in_source",
+            "source_idx",
+            (
+                (F.col("rank_in_source") - 1) * F.col("n_sources")
+                + F.col("source_idx")
+            ).alias("interleave_pos"),
+        )
+    )

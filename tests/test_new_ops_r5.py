@@ -187,3 +187,45 @@ def test_bigram_pmi_ranks_exclusive_pair_top(spark):
     n_pairs = sum(len(d[0].split()) - 1 for d in docs)
     exp = (5 * n_tokens * n_tokens) / (n_pairs * 5 * 5)
     assert got[("x", "y")].pmi_ratio == pytest.approx(exp)
+
+
+def test_cluster_inertia_hand_case(spark):
+    # label 1: vectors (0,0) and (2,0) -> centroid (1,0), inertia 1+1=2,
+    # mean 1.0; label 2: single vector -> inertia 0.
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], 1), (2, [2.0, 0.0], 1), (3, [5.0, 5.0], 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        cluster_inertia,
+    )
+
+    out = {r.label: r for r in cluster_inertia(df).collect()}
+    assert out[1].n_vecs == 2
+    assert out[1].inertia == pytest.approx(2.0)
+    assert out[1].mean_sqdist == pytest.approx(1.0)
+    assert out[2].inertia == pytest.approx(0.0)
+
+
+def test_interleave_order_rotates_sources(spark, tmp_path):
+    # 2 sources, 3 docs each: sorting by interleave_pos must alternate
+    # sources (a, b, a, b, a, b).
+    import bigdatapipeline_steamreviews_spark.queries_text  # noqa: F401
+    from bigdatapipeline_steamreviews_spark.registry import REGISTRY
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", f"src{i % 2}", 1) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = (
+        REGISTRY["x4_interleave_order"]
+        .fn(spark, sf)
+        .orderBy("interleave_pos")
+        .collect()
+    )
+    assert [r.source for r in out] == ["src0", "src1"] * 3
+    # Positions are strictly increasing (a valid total order key).
+    pos = [r.interleave_pos for r in out]
+    assert pos == sorted(pos) and len(set(pos)) == 6
