@@ -81,3 +81,80 @@ def review_daily_summary_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The review corpus is a repo fixture (driver testdata has no
     # review-shaped CSV); sf_dir is unused by design.
     return review_daily_summary(read_reviews_csv(spark, REVIEWS_FIXTURE))
+
+
+DIRTY_FIXTURE = os.path.join(
+    os.path.dirname(REVIEWS_FIXTURE), "steam_reviews_dirty.csv"
+)
+
+# Read-everything-as-text schema: same 24 positional names, all VARCHAR, so
+# no row can poison the scan; typing happens per-field afterwards, where a
+# failure is a classifiable fact instead of a parse abort.
+_REVIEW_COLS = [
+    "index", "app_id", "app_name", "review_id", "language", "review",
+    "timestamp_created", "timestamp_updated", "recommended", "votes_helpful",
+    "votes_funny", "weighted_vote_score", "comment_count", "steam_purchase",
+    "received_for_free", "written_during_early_access", "author_steamid",
+    "author_num_games_owned", "author_num_reviews", "author_playtime_forever",
+    "author_playtime_last_two_weeks", "author_playtime_at_review",
+    "author_last_played", "sentiment",
+]
+
+_ALL_VARCHAR_SQL = (
+    "columns={" + ", ".join(f"'{c}': 'VARCHAR'" for c in _REVIEW_COLS) + "}"
+)
+
+
+@register(
+    "src_csv_dirty_rows",
+    f"""
+WITH raw AS (
+  SELECT * FROM read_csv('{{DIRTY_FIXTURE}}',
+    header=false, quote='"', escape='\\', sep=',', null_padding=true,
+    auto_detect=false, {_ALL_VARCHAR_SQL})
+),
+classified AS (
+  SELECT CASE
+           WHEN author_steamid IS NULL THEN 'short_row'
+           WHEN TRY_CAST(timestamp_created AS BIGINT) IS NULL
+             THEN 'bad_timestamp'
+           WHEN TRY_CAST(sentiment AS DOUBLE) IS NULL THEN 'bad_sentiment'
+           ELSE 'ok' END AS reason,
+         TRY_CAST(index AS BIGINT) AS idx
+  FROM raw
+)
+SELECT reason, count(*) AS n_rows, min(idx) AS first_index
+FROM classified GROUP BY reason
+""".replace("{DIRTY_FIXTURE}", DIRTY_FIXTURE),
+    ("S1", "P*"),
+    "Dirty-source triage: the review CSV read with an all-VARCHAR declared "
+    "schema (PERMISSIVE — a malformed record cannot abort the scan), then "
+    "per-field typing with permissive casts classifies every row into "
+    "short_row / bad_timestamp / bad_sentiment / ok with a fixed priority "
+    "— the quarantine-vs-ingest split a production loader branches on. "
+    "The oracle re-reads the same file with DuckDB's parser (null_padding) "
+    "and TRY_CAST, so the gate covers the lenient scan itself.",
+)
+def src_csv_dirty_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in _REVIEW_COLS]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .options(header=False, quote='"', escape="\\", sep=",", mode="PERMISSIVE")
+        .csv(DIRTY_FIXTURE)
+    )
+    reason = (
+        F.when(F.col("author_steamid").isNull(), F.lit("short_row"))
+        .when(F.col("timestamp_created").cast("bigint").isNull(), F.lit("bad_timestamp"))
+        .when(F.col("sentiment").cast("double").isNull(), F.lit("bad_sentiment"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        raw.select(reason.alias("reason"), F.col("index").cast("bigint").alias("idx"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.min("idx").alias("first_index"))
+    )

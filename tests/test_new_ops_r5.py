@@ -229,3 +229,20 @@ def test_interleave_order_rotates_sources(spark, tmp_path):
     # Positions are strictly increasing (a valid total order key).
     pos = [r.interleave_pos for r in out]
     assert pos == sorted(pos) and len(set(pos)) == 6
+
+
+def test_dirty_csv_triage_counts(spark):
+    import bigdatapipeline_steamreviews_spark.queries_reviews  # noqa: F401
+    from bigdatapipeline_steamreviews_spark.registry import REGISTRY
+
+    out = {
+        r.reason: (r.n_rows, r.first_index)
+        for r in REGISTRY["src_csv_dirty_rows"].fn(spark, "").collect()
+    }
+    # Fixture: the 31-row sample (which already carries two null-sentiment
+    # rows, 19 and 29) + 1 short row + 2 broken timestamps (text and empty)
+    # + 1 broken sentiment, with fixed classification priority.
+    assert out["ok"] == (29, 0)
+    assert out["short_row"] == (1, 33)
+    assert out["bad_timestamp"] == (2, 31)
+    assert out["bad_sentiment"] == (3, 19)
