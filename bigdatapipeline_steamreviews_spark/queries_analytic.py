@@ -955,7 +955,7 @@ FROM (
     USING (event_id)
   WHERE strpos(t.key, '"') = 0 AND strpos(t.key, '\\') = 0
 )
-WHERE val IS NOT NULL AND regexp_matches(val, '\A-?[0-9]{1,18}\z')
+WHERE val IS NOT NULL AND regexp_matches(val, '\\A-?[0-9]{1,18}\\z')
 GROUP BY key
 """,
     ("P2", "A*"),
