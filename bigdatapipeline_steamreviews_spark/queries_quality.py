@@ -1,0 +1,354 @@
+"""Registered data-quality / robust-statistics queries (builder
+extensions: the reference validates nothing between its CSV feed and its
+aggregates — ``summarizer.py:40-58`` — so this family is the ingest gate a
+production pipeline adds in front of the reference's processing).
+
+Families here:
+* ``dq_*``   — Deequ-style column profile + declarative constraint suite;
+* ``a13``    — winsorized (clamped-tail) robust mean;
+* ``p18``    — skew-resistant deterministic per-key reservoir sample;
+* ``w12``    — trailing-7-day distinct users (the metric window frames
+               can't express);
+* ``j5``     — eager-aggregation join pushdown (partial agg below the
+               join, a rewrite Catalyst does not perform itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import count_if
+from .operators.quality import (
+    column_profile,
+    constraint_report,
+    per_key_top_hash,
+    sliding_distinct_count,
+    winsorized_stats,
+)
+from .registry import _avg_exact_sql, register
+from .sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# DQ — column profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_column_profile",
+    """
+SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       min(o_orderkey)::DOUBLE AS min_num, max(o_orderkey)::DOUBLE AS max_num,
+       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_custkey),
+       min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE, NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_totalprice),
+       min(o_totalprice), max(o_totalprice), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*),
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderdate),
+       CAST(floor(epoch(min(o_orderdate))) AS BIGINT)::DOUBLE,
+       CAST(floor(epoch(max(o_orderdate))) AS BIGINT)::DOUBLE, NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderstatus),
+       NULL::DOUBLE, NULL::DOUBLE, min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderpriority),
+       NULL::DOUBLE, NULL::DOUBLE, min(o_orderpriority), max(o_orderpriority)
+FROM orders
+""",
+    ("A*", "P*"),
+    "Deequ-style one-pass column profile of the orders table: per column "
+    "row/null/distinct counts plus typed min/max (timestamps as epoch "
+    "seconds).  One scan, one Expand-based multi-distinct aggregate, then "
+    "an explode into the per-column report — the oracle's 6-way UNION ALL "
+    "rescans the table per column precisely because SQL has no one-pass "
+    "form, which is the point of the operator.",
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return column_profile(
+        load_table(spark, sf_dir, "orders"),
+        numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
+        timestamp_cols=("o_orderdate",),
+        string_cols=("o_orderstatus", "o_orderpriority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ — constraint suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_constraint_checks",
+    """
+SELECT rule, n_violations,
+       CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+FROM (
+  SELECT 'orders.o_orderkey is unique' AS rule,
+         count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+  UNION ALL
+  SELECT 'orders.o_custkey references customer.c_custkey',
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'orders.o_totalprice > 0',
+         CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderstatus in (O,F,P)',
+         CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'customer.c_acctbal >= 0',
+         CAST(sum(CASE WHEN c_acctbal >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'events.value is not null',
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+)
+""",
+    ("A*", "J*"),
+    "Declarative constraint suite over three tables: key uniqueness "
+    "(count minus distinct), referential integrity (anti-join count), "
+    "domain and range checks (conditional counts), null checks.  Every "
+    "rule is a partial-aggregatable count or an anti-join — no collect, "
+    "no full-table comparison — and the report is the pass/fail gate a "
+    "pipeline evaluates before promoting an ingest batch.  The "
+    "c_acctbal >= 0 rule genuinely fails on this data (negative balances "
+    "exist), so the suite exercises both verdicts.",
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    rules = [
+        (
+            "orders.o_orderkey is unique",
+            orders.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations")
+            ),
+        ),
+        (
+            "orders.o_custkey references customer.c_custkey",
+            orders.join(
+                customer,
+                orders.o_custkey == customer.c_custkey,
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n_violations")),
+        ),
+        (
+            "orders.o_totalprice > 0",
+            orders.agg(count_if(~(F.col("o_totalprice") > 0)).alias("n_violations")),
+        ),
+        (
+            "orders.o_orderstatus in (O,F,P)",
+            orders.agg(
+                count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+                    "n_violations"
+                )
+            ),
+        ),
+        (
+            "customer.c_acctbal >= 0",
+            customer.agg(count_if(~(F.col("c_acctbal") >= 0)).alias("n_violations")),
+        ),
+        (
+            "events.value is not null",
+            events.agg(count_if(F.isnull("value")).alias("n_violations")),
+        ),
+    ]
+    return constraint_report(rules)
+
+
+# ---------------------------------------------------------------------------
+# A13 — winsorized robust mean
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a13_winsorized_stats",
+    f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+pct AS (
+  SELECT o_orderpriority,
+         max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                  THEN o_totalprice END) AS p5,
+         max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                  THEN o_totalprice END) AS p95,
+         max(n) AS n_rows
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       max(p.p5) AS p5, max(p.p95) AS p95, max(p.n_rows) AS n_rows,
+       {_avg_exact_sql('greatest(p.p5, least(p.p95, o.o_totalprice))')}
+         AS winsorized_mean
+FROM orders o JOIN pct p USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+""",
+    ("A*", "O*"),
+    "Winsorized mean of order value per priority: tails clamped at the "
+    "exact nearest-rank p5/p95 (actual data values, bit-portable), then "
+    "the decimal-exact mean.  Percentile window + broadcast join of the "
+    "5-row percentile table back onto the fact + one partial-aggregatable "
+    "groupBy — the robust location estimate that shrugs off the garbage "
+    "rows a plain mean would absorb.",
+)
+def a13_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winsorized_stats(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        "o_orderkey",
+        0.05,
+        0.95,
+    )
+
+
+# ---------------------------------------------------------------------------
+# P18 — deterministic per-key reservoir sample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p18_reservoir_per_key",
+    """
+SELECT event_id, event_type, user_id, rank FROM (
+  SELECT event_id, event_type, user_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(event_id::VARCHAR), event_id) AS rank
+  FROM events
+) WHERE rank <= 100
+""",
+    ("P*", "O2"),
+    "Deterministic fixed-size (k=100) per-event-type sample: rank by "
+    "content hash within each key, keep the first k — a reproducible "
+    "reservoir (same rows on any engine / partitioning / rerun, unlike "
+    "rand()).  Implemented skew-resistant: phase 1 prunes to k within "
+    "(key, input-partition) so a heavy key never forms one giant sort "
+    "group, phase 2 ranks the <= k*P survivors.  The oracle's single "
+    "global window is the semantic spec; the two-phase plan is the scale "
+    "path.",
+)
+def p18_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    return per_key_top_hash(
+        e,
+        ["event_type"],
+        [F.md5(F.col("event_id").cast("string")), F.col("event_id")],
+        100,
+        rank_name="rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# W12 — trailing-7-day distinct users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w12_rolling_distinct_users",
+    """
+WITH p AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+d AS (SELECT DISTINCT day FROM p)
+SELECT d.day AS win_end, count(DISTINCT p.user_id) AS n_users_7d
+FROM d JOIN p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+""",
+    ("W*", "A8"),
+    "Rolling 7-day distinct active users per observed day — the metric a "
+    "COUNT(DISTINCT) window frame cannot express.  Scale shape: dedup to "
+    "(day, user) pairs (the only full-cardinality shuffle), explode each "
+    "pair to the <=7 window-ends it feeds (fixed fan-out, partial-"
+    "aggregatable), broadcast-clip to observed days, count distinct per "
+    "window end.  The oracle's day x pairs range join is the spec; the "
+    "explode form is what survives 100 M users/day.",
+)
+def w12_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_distinct_count(
+        load_table(spark, sf_dir, "events"),
+        "ts",
+        "user_id",
+        window_days=7,
+        out_count="n_users_7d",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — eager-aggregation join pushdown
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j5_eager_agg_join",
+    f"""
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(28,10))) AS cust_total
+  FROM orders GROUP BY o_custkey
+)
+SELECT n.n_name, CAST(sum(pc.n_orders) AS BIGINT) AS n_orders,
+       ((sum(pc.cust_total)::VARCHAR)::DOUBLE) AS total_price
+FROM per_cust pc
+JOIN customer c ON pc.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    ("J*", "A*"),
+    "Eager-aggregation pushdown: the fact is pre-aggregated to one row "
+    "per join key BEFORE joining the dimensions, shrinking the join input "
+    "from |orders| to |customers| — a rewrite Catalyst does not apply "
+    "itself, decisive at 100 TB when the fact-side shuffle dominates.  "
+    "The money accumulator stays DECIMAL through BOTH aggregate levels "
+    "(a double intermediate would need a double->decimal re-cast, which "
+    "is not correctly rounded in every engine) and is cast to double "
+    "exactly once at the end, so the result is bitwise identical to the "
+    "naive join-then-aggregate.",
+)
+def j5_eager_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.columns import _ACC_DECIMAL, _dec_to_double
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_ACC_DECIMAL)).alias("cust_total"),
+    )
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            _dec_to_double(F.sum("cust_total")).alias("total_price"),
+        )
+    )
