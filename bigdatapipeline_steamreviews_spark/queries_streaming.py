@@ -11,6 +11,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators.aggregations import segment_daily_summary
 from .queries_analytic import HLL_USERS_ORACLE
@@ -568,6 +569,127 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_table(
         joined, name, checkpoint, "append", shuffle_partitions=8
     )
+
+
+def _stage_events_with_flush_sentinels(spark: SparkSession, sf_dir: str) -> str:
+    """The replay stage plus one far-future sentinel row PER JOIN SIDE
+    (a click and a purchase, impossible negative user ids, ts = max + 7
+    days) written as the final file: the sentinels flow through both
+    sides' EventTimeWatermark operators and advance the global watermark
+    past every real event's join window, so an OUTER stream-stream join
+    can evict-and-emit all its unmatched rows before the replay drains.
+    This is the standard punctuation/heartbeat pattern for finite replays
+    of an outer join — a real Kafka deployment gets the same effect from
+    per-partition heartbeat messages.  Sentinels are excluded from the
+    result by their user ids, never by dropping them pre-watermark (a
+    pre-watermark filter would stop them advancing the watermark).
+    """
+    import shutil
+    import time
+
+    from .sources.staging import publish_dir
+    from .streaming.summarizer import _EVENTS_STAGED_SCHEMA
+
+    src = _stage_events_chunks(spark, sf_dir)
+    key = _source_fingerprint(sf_dir)
+    out = os.path.join(_STAGE_ROOT, f"events_flush_{key}_us")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        tmp = f"{out}.build{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        parts = sorted(
+            (f for f in os.listdir(src) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(os.path.join(src, f)),
+        )
+        for f in parts:
+            shutil.copy(os.path.join(src, f), os.path.join(tmp, f))
+            time.sleep(0.05)
+        max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+        flush_ts = int(max_ts) + 7 * 24 * 3600 * 1_000_000
+        scratch = tempfile.mkdtemp(prefix="spark_graft_sentinel_")
+        spark.createDataFrame(
+            [
+                (-1, flush_ts, -999, "click", 0.0, "{}"),
+                (-2, flush_ts, -998, "purchase", 0.0, "{}"),
+            ],
+            _EVENTS_STAGED_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        time.sleep(0.05)  # strictly later mtime => sentinel replays LAST
+        shutil.copy(os.path.join(scratch, part), os.path.join(tmp, "zz_flush.parquet"))
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        publish_dir(tmp, out, marker="_DONE")
+    return out
+
+
+@register(
+    "stream_click_abandonment",
+    """
+SELECT c.event_id AS click_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_unix,
+       p.event_id AS purchase_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_unix
+FROM events c
+LEFT JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+""",
+    ("J*", "T3", "S3"),
+    "LEFT OUTER stream-stream join: every click, with its conversion "
+    "purchase (within the following hour) or NULL — the abandonment "
+    "signal an inner join cannot produce, exercising Spark's watermark-"
+    "driven null-side emission (an unmatched click is emitted only when "
+    "the watermark proves no matching purchase can still arrive).  Far-"
+    "future sentinel rows on both sides advance the final watermark past "
+    "every real click's window, so the drained stream equals the batch "
+    "left join, which is exactly what the oracle checks.",
+)
+def stream_click_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_abandon_{_query_counter}"
+    stage = _stage_events_with_flush_sentinels(spark, sf_dir)
+
+    clicks = (
+        events_file_stream(spark, stage, max_files_per_trigger=2)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        events_file_stream(spark, stage, max_files_per_trigger=2)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_unix"),
+        F.unix_timestamp("purchase_ts").alias("purchase_unix"),
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    table = run_to_memory_table(
+        joined, name, checkpoint, "append", shuffle_partitions=8
+    )
+    # Sentinels carry impossible negative user ids; real users are >= 0.
+    return table.filter(F.col("user_id") >= 0)
 
 
 @register(

@@ -257,3 +257,48 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     # 2 windows; day-1 window counts f1+f2+f3 exactly once each.
     by_time = {r.time: r.T_events for r in resumed.collect()}
     assert sorted(by_time.values()) == [1, 3]
+
+
+def test_left_outer_stream_join_equals_batch_left_join(spark):
+    """stream_click_abandonment at sf0.001: the drained outer stream-stream
+    join must equal the batch LEFT JOIN (sentinels advance the watermark
+    past every real click's window), with no sentinel rows in the output
+    and both matched and null-matched clicks present."""
+    from bigdatapipeline_steamreviews_spark.queries_streaming import (
+        stream_click_abandonment,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_click_abandonment(spark, sf)
+
+    e = load_table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_unix"),
+        F.unix_timestamp("purchase_ts").alias("purchase_unix"),
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
+    assert all(r[2] >= 0 for r in got_rows)  # no sentinel users
+    n_null = sum(1 for r in got_rows if r[1] is None)
+    assert 0 < n_null < len(got_rows)  # both outcomes actually exercised
