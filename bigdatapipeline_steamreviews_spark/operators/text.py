@@ -514,21 +514,7 @@ def bigram_pmi(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
-    # Adjacent pairs via an indexed transform over the token array (pure
-    # Column API — no SQL-string interpolation of text_col): position i
-    # (0-based) in the size-1 slice pairs token i with token i+1, fetched
-    # 0-based with F.get.
-    pairs_col = F.transform(
-        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda t, i: F.struct(t.alias("w1"), F.get(toks, i + 1).alias("w2")),
-    )
-    bi_all = (
-        df.select(F.explode(pairs_col).alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .filter((F.col("w1") != "") & (F.col("w2") != ""))
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-    )
+    bi_all = bigram_counts(df, text_col)
     bi = bi_all.filter(F.col("n_pair") >= min_count)
     # n_pairs is the PRE-filter bigram total: p(w1,w2) = n_pair / all
     # observed bigrams, not / the surviving heavy ones.
@@ -564,3 +550,102 @@ def bigram_pmi(
     return scored.orderBy(
         F.col("pmi_ratio").desc(), "w1", "w2"
     ).limit(top_k)
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent-pair counts ``(w1, w2, n_pair)``.
+
+    Adjacent pairs via an indexed ``transform`` over the token array (pure
+    Column API — no SQL-string interpolation of text_col, no positional
+    self-join): position i (0-based) in the size-1 slice pairs token i
+    with token i+1, fetched 0-based with ``F.get``.  Shared by
+    :func:`bigram_pmi` (collocations) and :func:`textrank_keywords`
+    (the word-adjacency graph), so both score the identical edge set.
+    """
+    toks = tokens(text_col)
+    pairs_col = F.transform(
+        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.struct(t.alias("w1"), F.get(toks, i + 1).alias("w2")),
+    )
+    return (
+        df.select(F.explode(pairs_col).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 3,
+    top_k: int = 20,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """TextRank keyword extraction: PageRank (damping 0.85, ``iters``
+    fixed iterations) over the corpus word-adjacency graph, in **fixed-
+    point integer arithmetic** so every rank is an exact BIGINT and the
+    result hash-matches any engine (floating-point PageRank is order-of-
+    addition-dependent and ulp-divergent across engines; ``17/20`` IS
+    0.85 exactly).
+
+    Per iteration: r'(w) = (3·scale) div (20·N)  +  Σ over in-edges u→w
+    of (r(u)·17·weight(u,w)) div (20·out_weight(u)) — integral ``div``
+    truncation in both engines (all operands positive, so truncation ==
+    floor).  Dangling mass (last-token-only words have no out-edges) is
+    dropped, not redistributed — ranks are a keyword ORDERING, not a
+    probability distribution, and the simplification keeps the unrolled
+    SQL oracle one join shorter per iteration.
+
+    Scale shape: a fixed, small iteration count of vocabulary-sized
+    shuffle joins (edges ⋈ ranks on word) + one aggregate each — the
+    same iterative-dataflow pattern as ``connected_components`` but with
+    NO driver-side convergence probe (the trip count is static, the plan
+    is fully declarative).  Vocabulary grows ~sublinearly in corpus size
+    (Heaps' law), so at 100 TB the rank table stays millions of rows
+    while the one corpus-sized stage (the bigram explode+count) is a
+    single map-side-combined aggregation.
+    """
+    edges = bigram_counts(df, text_col)
+    outw = edges.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("ow"))
+    nodes = (
+        edges.select(F.col("w1").alias("w"))
+        .unionAll(edges.select(F.col("w2").alias("w")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # Teleport base and the initial uniform rank, both exact integer div.
+    tele = n_df.select(
+        F.expr(f"CAST({3 * scale} div (20 * n) AS BIGINT)").alias("base"),
+        F.expr(f"CAST({scale} div n AS BIGINT)").alias("r0"),
+    )
+    ranks = nodes.crossJoin(F.broadcast(tele)).select(
+        "w", F.col("r0").alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("w", "w1"), "w1")
+            .join(outw, "w1")
+            .groupBy("w2")
+            .agg(
+                F.sum(F.expr("(r * 17 * n_pair) div (20 * ow)"))
+                .cast("long")
+                .alias("contrib")
+            )
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(tele))
+            .join(contrib.withColumnRenamed("w2", "w"), "w", "left")
+            .select(
+                "w",
+                (F.col("base") + F.coalesce(F.col("contrib"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return (
+        ranks.select("w", F.col("r").alias("rank_fp"))
+        .orderBy(F.col("rank_fp").desc(), "w")
+        .limit(top_k)
+    )

@@ -1456,3 +1456,66 @@ def x4_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("interleave_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — TextRank keyword extraction (fixed-point integer PageRank)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_textrank_keywords",
+    """
+WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+edges AS (
+  SELECT w1, w2, count(*) AS n_pair FROM (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)
+  )
+  WHERE w1 <> '' AND w2 <> ''
+  GROUP BY w1, w2
+),
+outw AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS ow FROM edges GROUP BY w1),
+nodes AS (SELECT w1 AS w FROM edges UNION SELECT w2 AS w FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+tele AS (SELECT CAST(3000000000000 // (20 * n) AS BIGINT) AS base,
+                CAST(1000000000000 // n AS BIGINT) AS r0 FROM nn),
+ra AS (SELECT w, (SELECT r0 FROM tele) AS r FROM nodes),
+ca AS (SELECT e.w2 AS w,
+              CAST(sum((r.r * 17 * e.n_pair) // (20 * o.ow)) AS BIGINT) AS contrib
+       FROM edges e JOIN ra r ON e.w1 = r.w JOIN outw o ON e.w1 = o.w1
+       GROUP BY e.w2),
+rb AS (SELECT nd.w, (SELECT base FROM tele) + coalesce(c.contrib, 0) AS r
+       FROM nodes nd LEFT JOIN ca c ON c.w = nd.w),
+cb AS (SELECT e.w2 AS w,
+              CAST(sum((r.r * 17 * e.n_pair) // (20 * o.ow)) AS BIGINT) AS contrib
+       FROM edges e JOIN rb r ON e.w1 = r.w JOIN outw o ON e.w1 = o.w1
+       GROUP BY e.w2),
+rc AS (SELECT nd.w, (SELECT base FROM tele) + coalesce(c.contrib, 0) AS r
+       FROM nodes nd LEFT JOIN cb c ON c.w = nd.w),
+cc AS (SELECT e.w2 AS w,
+              CAST(sum((r.r * 17 * e.n_pair) // (20 * o.ow)) AS BIGINT) AS contrib
+       FROM edges e JOIN rc r ON e.w1 = r.w JOIN outw o ON e.w1 = o.w1
+       GROUP BY e.w2),
+rd AS (SELECT nd.w, (SELECT base FROM tele) + coalesce(c.contrib, 0) AS r
+       FROM nodes nd LEFT JOIN cc c ON c.w = nd.w)
+SELECT w, CAST(r AS BIGINT) AS rank_fp
+FROM rd ORDER BY rank_fp DESC, w LIMIT 20
+""",
+    ("X4",),
+    "TextRank keyword extraction: 3-iteration PageRank (damping 17/20 = "
+    "0.85 exactly) over the corpus word-adjacency graph in fixed-point "
+    "integer arithmetic — every rank is an exact BIGINT, so the iterative "
+    "algorithm itself is hash-gated across engines (floating-point "
+    "PageRank is order-of-addition-dependent and could never be).  The "
+    "oracle unrolls the three iterations as CTEs; the Spark plan is the "
+    "declarative loop in operators/text.py::textrank_keywords (static "
+    "trip count, no driver-side convergence probe).  Iterative-dataflow "
+    "showpiece #2 next to connected_components.",
+)
+def x4_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import textrank_keywords
+
+    return textrank_keywords(
+        load_table(spark, sf_dir, "documents"), iters=3, top_k=20
+    )

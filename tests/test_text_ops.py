@@ -143,3 +143,29 @@ def test_paced_event_stream_delivers_rows_live(spark):
         assert all(0 <= r.value < 200.0 and r.user_id < 1000 for r in rows)
     finally:
         q.stop()
+
+
+def test_textrank_fixed_point_hand_case(spark):
+    """Two documents, tiny graph: 'a b a b' and 'b c'.  Edges: a->b (x2),
+    b->a (x1), b->c (x1).  N=3, scale=10^12.  Hand-compute iteration 1:
+      base = 3e12 // 60 = 50_000_000_000; r0 = 10^12 // 3 = 333_333_333_333
+      ow: a=2, b=2
+      contrib(b) = (r0*17*2) // (20*2) = (333333333333*34) // 40
+      contrib(a) = (r0*17*1) // (20*2) = (333333333333*17) // 40
+      contrib(c) = same as a
+    and assert the operator's iteration-1 ranks match exactly.
+    """
+    from bigdatapipeline_steamreviews_spark.operators.text import textrank_keywords
+
+    df = spark.createDataFrame([("a b a b",), ("b c",)], "text string")
+    got = {r["w"]: r["rank_fp"] for r in textrank_keywords(df, iters=1, top_k=10).collect()}
+    r0 = 10**12 // 3
+    base = 3 * 10**12 // 60
+    want = {
+        "b": base + (r0 * 17 * 2) // 40,
+        "a": base + (r0 * 17 * 1) // 40,
+        "c": base + (r0 * 17 * 1) // 40,
+    }
+    assert got == want
+    # ranks are BIGINTs, never floats
+    assert all(isinstance(v, int) for v in got.values())
