@@ -158,3 +158,70 @@ def src_csv_dirty_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("reason")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.min("idx").alias("first_index"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dirty JSON-lines triage (the JSON twin of src_csv_dirty_rows)
+# ---------------------------------------------------------------------------
+
+DIRTY_JSONL_FIXTURE = os.path.join(
+    os.path.dirname(REVIEWS_FIXTURE), "events_dirty.jsonl"
+)
+
+
+@register(
+    "src_json_dirty_rows",
+    """
+WITH raw AS (
+  SELECT line FROM read_csv('{FIXTURE}',
+    header=false, sep='\\t', quote='', escape='',
+    auto_detect=false, columns={'line': 'VARCHAR'})
+),
+classified AS (
+  SELECT CASE
+           WHEN NOT json_valid(line) THEN 'corrupt'
+           WHEN json_extract_string(line::JSON, '$.event_id') IS NULL
+             THEN 'missing_id'
+           WHEN TRY_CAST(json_extract_string(line::JSON, '$.event_id')
+                         AS BIGINT) IS NULL THEN 'bad_id'
+           WHEN TRY_CAST(json_extract_string(line::JSON, '$.value')
+                         AS DOUBLE) IS NULL THEN 'bad_value'
+           ELSE 'ok' END AS reason
+  FROM raw
+)
+SELECT reason, count(*) AS n_rows FROM classified GROUP BY reason
+""".replace("{FIXTURE}", DIRTY_JSONL_FIXTURE),
+    ("S*", "P2"),
+    "Dirty JSON-lines triage: the feed read as RAW TEXT LINES (a corrupt "
+    "record cannot abort the scan or silently vanish, unlike DuckDB's "
+    "ignore_errors or a DROPMALFORMED json read), then classified corrupt "
+    "/ missing_id / bad_id / bad_value / ok with a fixed priority — the "
+    "quarantine split, with every malformed line still COUNTED.  Spark "
+    "validity = get_json_object(line, '$'); oracle validity = "
+    "json_valid(line) — both Jackson and yyjson reject the fixture's "
+    "malformations identically (trailing-garbage lines, where the two "
+    "parsers disagree, are kept out of the contract by construction).",
+)
+def src_json_dirty_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(DIRTY_JSONL_FIXTURE)
+    line = F.col("value")
+    reason = (
+        F.when(F.get_json_object(line, "$").isNull(), F.lit("corrupt"))
+        .when(F.get_json_object(line, "$.event_id").isNull(), F.lit("missing_id"))
+        .when(
+            F.get_json_object(line, "$.event_id").cast("bigint").isNull(),
+            F.lit("bad_id"),
+        )
+        .when(
+            F.get_json_object(line, "$.value").cast("double").isNull(),
+            F.lit("bad_value"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        raw.select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

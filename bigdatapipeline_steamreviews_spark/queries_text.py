@@ -1519,3 +1519,55 @@ def x4_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(
         load_table(spark, sf_dir, "documents"), iters=3, top_k=20
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — deterministic train/val/test split accounting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_train_val_test_split",
+    """
+SELECT source, split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT source, n_chars,
+         CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT source, n_chars,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+    FROM documents
+  )
+)
+GROUP BY source, split
+""",
+    ("X4", "P15"),
+    "Deterministic 80/10/10 train/val/test split by content hash of the "
+    "document id, with per-(source, split) document and character "
+    "accounting — the reproducible split a training pipeline can re-"
+    "derive months later on any engine and get the SAME membership "
+    "(rand()-based splits cannot, and a re-run would leak val into "
+    "train).  Same md5-bucket idiom as P15/P16; pure projection + one "
+    "partial-aggregatable groupBy, no shuffle beyond the final "
+    "aggregation exchange.",
+)
+def x4_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
