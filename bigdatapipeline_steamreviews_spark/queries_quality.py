@@ -352,3 +352,49 @@ def j5_eager_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_to_double(F.sum("cust_total")).alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W13 — cohort retention triangle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w13_retention_triangle",
+    """
+WITH pairs AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+first_day AS (
+  SELECT user_id, min(day) AS cohort_day FROM pairs GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, p.day) AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM pairs p JOIN first_day f USING (user_id)
+GROUP BY 1, 2
+""",
+    ("W*", "A*", "J*"),
+    "Cohort retention triangle: users grouped by first-seen day, counted "
+    "at every later day-offset they return — the classic growth-"
+    "analytics matrix.  Dedup to (day, user) pairs once, derive each "
+    "user's cohort day with a keyed aggregate, join back on user_id and "
+    "count per (cohort, offset); the pair table is already distinct so "
+    "the final count needs no second DISTINCT (no Expand).  Both heavy "
+    "stages shuffle on user_id and co-partition, and the output is at "
+    "most |days|^2/2 rows regardless of corpus size.",
+)
+def w13_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    first = pairs.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        pairs.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
