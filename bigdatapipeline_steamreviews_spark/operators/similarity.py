@@ -688,3 +688,102 @@ def cluster_inertia(
         inertia.alias("inertia"),
         (inertia / F.count(F.lit(1))).alias("mean_sqdist"),
     )
+
+
+def mmr_diversify(
+    embeddings: DataFrame,
+    query_pred: Column,
+    pool_k: int = 10,
+    select_k: int = 3,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    from each query's ``pool_k`` most-relevant candidates, greedily select
+    ``select_k`` results trading relevance against redundancy —
+    step 1 takes the most relevant candidate, every later step takes
+    argmax of ``lam·rel(c) − (1−lam)·max_{s∈selected} sim(c, s)``.
+
+    Returns (query_id, step, neighbor_id, rel).  Deterministic: every
+    cosine is the exact-decimal fold (bitwise identical across engines),
+    and each argmax tie-breaks on neighbor_id — so the greedy TRAJECTORY
+    itself is hash-gateable, not just the final set.
+
+    Scale shape: the corpus-sized work is the candidate generation
+    (``cosine_topk`` — one corpus scan); everything after operates on the
+    ``pool_k·|Q|`` pool and its ``pool_k²·|Q|`` pairwise-similarity
+    table, both ``localCheckpoint``-materialized so the ``select_k``
+    greedy rounds (small joins) re-read a cached kB-scale table instead
+    of re-triggering the corpus scan per round.  Swap ``cosine_topk`` for
+    the IVF/LSH variants when the pool generation itself needs the
+    approximate path.
+    """
+    pool = cosine_topk(
+        embeddings, query_pred, k=pool_k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("cosine").alias("rel"))
+    pool = pool.localCheckpoint()
+
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+    )
+    pvec = vecs.join(F.broadcast(pool), "neighbor_id")
+    a = pvec.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("v").alias("av"),
+    )
+    b = pvec.select(
+        "query_id", F.col("neighbor_id").alias("b_id"), F.col("v").alias("bv")
+    )
+    psim = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            cosine_similarity(F.col("av"), F.col("bv")).alias("s"),
+        )
+        .localCheckpoint()
+    )
+
+    def argmax(df: DataFrame, score_col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score_col).desc(), F.col("neighbor_id")
+        )
+        return df.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        ).drop("__rn")
+
+    selected = (
+        argmax(pool, "rel")
+        .select("query_id", "neighbor_id", "rel")
+        .withColumn("step", F.lit(1))
+    )
+    for step in range(2, select_k + 1):
+        sel_ids = selected.select("query_id", F.col("neighbor_id").alias("b_id"))
+        cand = pool.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        ms = (
+            cand.join(
+                psim.withColumnRenamed("a_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .join(sel_ids, ["query_id", "b_id"])
+            .groupBy("query_id", "neighbor_id", "rel")
+            .agg(F.max("s").alias("maxsim"))
+        )
+        scored = ms.withColumn(
+            "mmr",
+            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim"),
+        )
+        selected = selected.unionByName(
+            argmax(scored, "mmr")
+            .select("query_id", "neighbor_id", "rel")
+            .withColumn("step", F.lit(step))
+        )
+    return selected.select("query_id", "step", "neighbor_id", "rel")

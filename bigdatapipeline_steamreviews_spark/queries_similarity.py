@@ -606,3 +606,107 @@ def x3_cluster_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cluster_inertia
 
     return cluster_inertia(_clean_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# X3 — MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x3_mmr_rerank",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM {_CLEAN_EMB_SQL} WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM {_CLEAN_EMB_SQL}),
+pairs AS (SELECT query_id, neighbor_id, qe, ce FROM q, c
+          WHERE neighbor_id != query_id),
+{_COS_TERMS.format(extra_cols="")},
+pool AS (
+  SELECT query_id, neighbor_id, cosine AS rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM sims
+  ) WHERE rnk <= 10
+),
+pvec AS (
+  SELECT p.query_id, p.neighbor_id, p.rel, embeddings.embedding AS v
+  FROM pool p JOIN {_CLEAN_EMB_SQL} ON embeddings.vec_id = p.neighbor_id
+),
+ppairs AS (
+  SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+         a.v AS qe, b.v AS ce
+  FROM pvec a JOIN pvec b
+    ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+),
+psim AS (SELECT query_id, a_id, b_id, {_COS_EXPR} AS s FROM ppairs),
+sel1 AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rnk
+    FROM pool
+  ) WHERE rnk = 1
+),
+cand2 AS (
+  SELECT p.* FROM pool p LEFT JOIN sel1 s
+    ON p.query_id = s.query_id AND p.neighbor_id = s.neighbor_id
+  WHERE s.neighbor_id IS NULL
+),
+ms2 AS (
+  SELECT c2.query_id, c2.neighbor_id, c2.rel, max(ps.s) AS maxsim
+  FROM cand2 c2
+  JOIN psim ps ON ps.query_id = c2.query_id AND ps.a_id = c2.neighbor_id
+  JOIN sel1 s ON ps.query_id = s.query_id AND ps.b_id = s.neighbor_id
+  GROUP BY 1, 2, 3
+),
+sel2 AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY (0.5 * rel - 0.5 * maxsim) DESC, neighbor_id) AS rnk
+    FROM ms2
+  ) WHERE rnk = 1
+),
+selu AS (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2),
+cand3 AS (
+  SELECT p.* FROM pool p LEFT JOIN selu s
+    ON p.query_id = s.query_id AND p.neighbor_id = s.neighbor_id
+  WHERE s.neighbor_id IS NULL
+),
+ms3 AS (
+  SELECT c3.query_id, c3.neighbor_id, c3.rel, max(ps.s) AS maxsim
+  FROM cand3 c3
+  JOIN psim ps ON ps.query_id = c3.query_id AND ps.a_id = c3.neighbor_id
+  JOIN selu s ON ps.query_id = s.query_id AND ps.b_id = s.neighbor_id
+  GROUP BY 1, 2, 3
+),
+sel3 AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY (0.5 * rel - 0.5 * maxsim) DESC, neighbor_id) AS rnk
+    FROM ms3
+  ) WHERE rnk = 1
+)
+SELECT query_id, 1 AS step, neighbor_id, rel FROM sel1
+UNION ALL SELECT query_id, 2, neighbor_id, rel FROM sel2
+UNION ALL SELECT query_id, 3, neighbor_id, rel FROM sel3
+""",
+    ("X3",),
+    "MMR diversified re-ranking: per query, 3 greedy selections from the "
+    "top-10 relevance pool maximizing 0.5*rel - 0.5*max-sim-to-already-"
+    "selected — relevance-with-diversity retrieval (Carbonell & "
+    "Goldstein 1998).  The greedy trajectory is hash-gated step by step: "
+    "exact-decimal cosines + neighbor_id tie-breaks make the entire "
+    "iterative selection bitwise reproducible, with the 2 unrolled "
+    "selection rounds as SQL CTEs on the oracle side and a declarative "
+    "loop over localCheckpoint'd pool/psim tables (no per-round corpus "
+    "rescan) on the Spark side.",
+)
+def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import mmr_diversify
+
+    emb = _clean_emb(spark, sf_dir)
+    return mmr_diversify(
+        emb, F.col("vec_id") < 5, pool_k=10, select_k=3, lam=0.5
+    )

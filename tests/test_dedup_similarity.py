@@ -392,3 +392,29 @@ def test_fuzzy_dedup_survivors_complement(spark):
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert survivors == all_ids - dropped
     assert dropped, "fixture contains near-duplicates; none dropped"
+
+
+def test_mmr_trades_relevance_for_diversity(spark):
+    """Query q=(1,0,0).  a and b are PARALLEL vectors (sim(a,b)=1, equal
+    relevance ~0.9); c mirrors a below the axis: same relevance, but
+    sim(c,a) ~ 0.62.  Pure top-2 by relevance is {a, b} (b ties c on
+    relevance only approximately, but beats nothing after the dup
+    penalty); MMR with lam=0.5 must pick a first (tie-break on id), then
+    c — the parallel duplicate b scores rel-1 ~ -0.05 while c scores
+    rel-0.62 ~ +0.14."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import mmr_diversify
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # the query
+        (1, [0.9, 0.435, 0.0]),        # a: relevant
+        (2, [0.45, 0.2175, 0.0]),      # b: exactly parallel to a (dup)
+        (3, [0.9, -0.435, 0.0]),       # c: equally relevant, diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = (
+        mmr_diversify(df, F.col("vec_id") == 0, pool_k=3, select_k=2, lam=0.5)
+        .orderBy("step")
+        .collect()
+    )
+    assert [(r["step"], r["neighbor_id"]) for r in got] == [(1, 1), (2, 3)]
