@@ -552,15 +552,19 @@ def bigram_pmi(
     ).limit(top_k)
 
 
-def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Corpus-wide adjacent-pair counts ``(w1, w2, n_pair)``.
+def adjacent_pairs(
+    df: DataFrame, text_col: str = "text", carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """One row per adjacent token pair ``(w1, w2)``, optionally carrying
+    ``carry_cols`` (e.g. the document id) alongside.
 
     Adjacent pairs via an indexed ``transform`` over the token array (pure
     Column API — no SQL-string interpolation of text_col, no positional
     self-join): position i (0-based) in the size-1 slice pairs token i
     with token i+1, fetched 0-based with ``F.get``.  Shared by
-    :func:`bigram_pmi` (collocations) and :func:`textrank_keywords`
-    (the word-adjacency graph), so both score the identical edge set.
+    :func:`bigram_pmi` (collocations), :func:`textrank_keywords` (the
+    word-adjacency graph) and :func:`bigram_surprisal` (the LM-proxy
+    scorer), so all three score the identical pair extraction.
     """
     toks = tokens(text_col)
     pairs_col = F.transform(
@@ -568,11 +572,59 @@ def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda t, i: F.struct(t.alias("w1"), F.get(toks, i + 1).alias("w2")),
     )
     return (
-        df.select(F.explode(pairs_col).alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        df.select(*carry_cols, F.explode(pairs_col).alias("p"))
+        .select(*carry_cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .filter((F.col("w1") != "") & (F.col("w2") != ""))
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent-pair counts ``(w1, w2, n_pair)`` — the
+    aggregated view of :func:`adjacent_pairs`."""
+    return adjacent_pairs(df, text_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram surprisal — a language-model-proxy quality
+    score: how "surprising" each document's word transitions are under the
+    corpus's own bigram statistics.  High mean bits ≈ unnatural/garbled
+    text; low ≈ repetitive boilerplate — the same signal a perplexity
+    filter thresholds, without training an LM.
+
+    Surprisal of a bigram (w1, w2) is the INTEGER bit count
+    ``bit_length(ow(w1) div n_pair(w1,w2)) - 1`` = floor(log2) of the
+    inverse conditional frequency — computed via ``length(bin(q)) - 1``
+    on the integer quotient, NEVER a ``log()`` library call: libm/JVM
+    log implementations differ in the last ulp and a floor() on top
+    turns that into an off-by-one-bit that breaks cross-engine hash
+    parity.  String-length-of-binary is exact everywhere.
+
+    Returns (doc_id, n_bigrams, total_bits, mean_bits); documents with
+    no bigram (empty / single-token) have no defined score and are
+    absent.  Scale shape: one explode for pairs, one corpus-level count
+    aggregate (vocab²-bounded, Heaps' law), a join of doc pairs to the
+    stats table (shuffle on (w1, w2)), one per-doc aggregate.
+    """
+    pairs = adjacent_pairs(df, text_col, (id_col,))
+    corpus = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    outw = corpus.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("ow"))
+    stats = corpus.join(outw, "w1").select(
+        "w1",
+        "w2",
+        (F.length(F.bin(F.expr("ow div n_pair"))) - 1).cast("long").alias("bits"),
+    )
+    return (
+        pairs.join(stats, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("total_bits"),
+        )
+        .withColumn("mean_bits", F.col("total_bits") / F.col("n_bigrams"))
     )
 
 

@@ -1571,3 +1571,48 @@ def x4_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — bigram surprisal (LM-proxy quality score, libm-free)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_bigram_surprisal",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pairs AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+    FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+          FROM toks)
+  ) WHERE w1 <> '' AND w2 <> ''
+),
+corpus AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+outw AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS ow FROM corpus GROUP BY 1),
+stats AS (
+  SELECT c.w1, c.w2,
+         CAST(length(bin(o.ow // c.n_pair)) - 1 AS BIGINT) AS bits
+  FROM corpus c JOIN outw o USING (w1)
+)
+SELECT p.doc_id, count(*) AS n_bigrams,
+       CAST(sum(s.bits) AS BIGINT) AS total_bits,
+       (CAST(sum(s.bits) AS BIGINT)::DOUBLE / count(*)) AS mean_bits
+FROM pairs p JOIN stats s ON p.w1 = s.w1 AND p.w2 = s.w2
+GROUP BY p.doc_id
+""",
+    ("X4",),
+    "Per-document mean bigram surprisal under the corpus's own bigram "
+    "statistics — the perplexity-filter signal without training an LM.  "
+    "Surprisal is the integer floor(log2) of the inverse conditional "
+    "frequency, computed as length(bin(integer quotient)) - 1: pure "
+    "integer/string ops, no log() library call, so the score (and its "
+    "hash) is identical in every engine — JVM vs libm log() differ in "
+    "the last ulp, and floor() would amplify that into an off-by-one "
+    "bit.  mean_bits is one double division of two exact BIGINTs.",
+)
+def x4_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bigram_surprisal
+
+    return bigram_surprisal(load_table(spark, sf_dir, "documents"))

@@ -169,3 +169,17 @@ def test_textrank_fixed_point_hand_case(spark):
     assert got == want
     # ranks are BIGINTs, never floats
     assert all(isinstance(v, int) for v in got.values())
+
+
+def test_bigram_surprisal_hand_case(spark):
+    """Docs 'a b', 'a b', 'a c': ow(a)=3; bits(a,b)=len(bin(3//2))-1=0,
+    bits(a,c)=len(bin(3//1))-1=1.  Common transitions score 0 bits, the
+    rare one 1 bit — and all arithmetic is integer-exact."""
+    from bigdatapipeline_steamreviews_spark.operators.text import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert (got[1]["n_bigrams"], got[1]["total_bits"], got[1]["mean_bits"]) == (1, 0, 0.0)
+    assert (got[3]["n_bigrams"], got[3]["total_bits"], got[3]["mean_bits"]) == (1, 1, 1.0)
