@@ -841,3 +841,50 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(per_from).cast("double")
         ).alias("p_transition"),
     )
+
+
+@register(
+    "stream_user_ewma",
+    """
+SELECT user_id,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma,
+       count(*) AS n_events
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+""",
+    ("W*", "T*", "X*"),
+    "Custom stateful streaming operator #3 (applyInPandasWithState): per-"
+    "user running EWMA (alpha = 1/2, a power of two — each step is two "
+    "exact halvings + one rounded add), numeric state evolved across "
+    "micro-batch boundaries.  The materialized per-event trajectory's "
+    "last row per user must equal the batch list_reduce fold over the "
+    "identically-(ts, event_id)-ordered values BITWISE — same IEEE ops "
+    "in the same order — so the sequential recurrence itself is hash-"
+    "gated, which a closed-form sum (different rounding order) could "
+    "never be.",
+)
+def stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .streaming.ewma import streaming_ewma
+
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_ewma_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2).filter(
+        F.col("value").isNotNull()
+    )
+    result = streaming_ewma(stream)
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    trajectory = run_to_memory_table(
+        result, name, checkpoint, "append", shuffle_partitions=16
+    )
+    last = W.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        trajectory.withColumn("__rn", F.row_number().over(last))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ewma", F.col("n_seen").alias("n_events"))
+    )

@@ -302,3 +302,31 @@ def test_left_outer_stream_join_equals_batch_left_join(spark):
     assert all(r[2] >= 0 for r in got_rows)  # no sentinel users
     n_null = sum(1 for r in got_rows if r[1] is None)
     assert 0 < n_null < len(got_rows)  # both outcomes actually exercised
+
+
+def test_streaming_ewma_equals_sequential_fold(spark):
+    """stream_user_ewma at sf0.001: the streamed per-user final EWMA must
+    equal a driver-side sequential fold over the same (ts, event_id)-
+    ordered values — bitwise, across micro-batch boundaries."""
+    from bigdatapipeline_steamreviews_spark.queries_streaming import stream_user_ewma
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: (r["ewma"], r["n_events"]) for r in stream_user_ewma(spark, sf).collect()}
+
+    pdf = (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        acc, n = None, 0
+        for v in grp["value"]:
+            v = float(v)
+            acc = v if acc is None else 0.5 * v + 0.5 * acc
+            n += 1
+        want[int(uid)] = (acc, n)
+    assert got == want  # exact float equality, not approx
