@@ -1284,3 +1284,52 @@ FROM c
 )
 def w11_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# W14 — batch per-user EWMA via a pure-Catalyst sequential fold
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w14_user_ewma_batch",
+    """
+SELECT user_id,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma,
+       count(*) AS n_events
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+""",
+    ("W*", "A*"),
+    "Batch twin of stream_user_ewma: the same sequential EWMA recurrence "
+    "(alpha = 1/2) as a PURE CATALYST higher-order fold — collect_list "
+    "sorted by (ts, event_id) then F.aggregate seeded with the first "
+    "element — no UDF, no Python, and bitwise equal to both the DuckDB "
+    "list_reduce oracle and the streaming stateful operator (same IEEE "
+    "ops in the same order).  Sequential recurrences are the textbook "
+    "'SQL can't do this' case; array higher-order functions can, with "
+    "per-group memory bounded by that key's history (fine for per-user "
+    "histories; the streaming op is the path when a single key's history "
+    "outgrows a task).",
+)
+def w14_user_ewma_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    vals = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    grouped = e.groupBy("user_id").agg(
+        vals.alias("h"), F.count(F.lit(1)).alias("n_events")
+    )
+    rest = F.slice(F.col("h"), 2, F.greatest(F.size("h") - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest,
+        F.get(F.col("h"), 0)["value"],
+        lambda acc, x: F.lit(0.5) * x["value"] + F.lit(0.5) * acc,
+    )
+    return grouped.select("user_id", ewma.alias("ewma"), "n_events")
