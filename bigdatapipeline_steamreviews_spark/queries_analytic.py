@@ -1333,3 +1333,99 @@ def w14_user_ewma_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.lit(0.5) * x["value"] + F.lit(0.5) * acc,
     )
     return grouped.select("user_id", ewma.alias("ewma"), "n_events")
+
+
+# ---------------------------------------------------------------------------
+# A14 — OHLC downsampling bars
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a14_ohlc_bars",
+    """
+SELECT event_type, date_trunc('day', ts) AS day,
+       min(struct_pack(ts := ts, event_id := event_id, v := value)).v AS open,
+       max(value) AS high, min(value) AS low,
+       max(struct_pack(ts := ts, event_id := event_id, v := value)).v AS close,
+       count(*) AS n_events
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+    ("A*", "W*"),
+    "Time-series downsampling to daily OHLC bars per event type: open/"
+    "close are the first/last value under (ts, event_id) order, fetched "
+    "with the struct-min/max idiom (struct comparison is field-by-field, "
+    "so min(struct(ts, id, v)).v IS the first value) — one partial-"
+    "aggregatable pass, no window, no sort: the irregular-series "
+    "downsampling a metrics pipeline runs before charting or modeling.",
+)
+def a14_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value").alias("v"))
+    return (
+        e.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.min(s).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(s).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15 — exact weighted median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a15_weighted_median",
+    """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         sum(l_quantity) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag, min(v) AS weighted_median,
+       CAST(max(tot) AS BIGINT) AS total_weight
+FROM w WHERE cum >= tot / 2 GROUP BY l_returnflag
+""",
+    ("A*", "W*"),
+    "Exact quantity-weighted median price per return flag: the smallest "
+    "value whose running weight reaches half the total — a cumulative-"
+    "sum window + filter + min, the weighted generalization nearest-rank "
+    "percentiles can't express.  Weights are integral quantities, so "
+    "every double sum here is exact regardless of accumulation order "
+    "(integers < 2^53) — no decimal accumulator needed, and the oracle "
+    "is bitwise safe by construction.",
+)
+def a15_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cum_w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot_w = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(cum_w).alias("cum"),
+        F.sum("l_quantity").over(tot_w).alias("tot"),
+    )
+    return (
+        ranked.filter(F.col("cum") >= F.col("tot") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("tot").cast("long").alias("total_weight"),
+        )
+    )
