@@ -398,3 +398,81 @@ def w13_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A16 — MAD robust outlier detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a16_mad_outliers",
+    """
+WITH r1 AS (
+  SELECT o_orderpriority, o_totalprice, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+med AS (
+  SELECT o_orderpriority,
+         max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                  THEN o_totalprice END) AS median
+  FROM r1 GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice, m.median,
+         abs(o.o_totalprice - m.median) AS ad,
+         row_number() OVER (PARTITION BY o.o_orderpriority
+                            ORDER BY abs(o.o_totalprice - m.median),
+                                     o.o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o.o_orderpriority) AS n
+  FROM orders o JOIN med m USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority, max(median) AS median,
+         max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN ad END) AS mad
+  FROM dev GROUP BY o_orderpriority
+)
+SELECT d.o_orderpriority, max(d.median) AS median, max(t.mad) AS mad,
+       CAST(sum(CASE WHEN d.ad > 3 * t.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       count(*) AS n_rows
+FROM dev d JOIN mad t USING (o_orderpriority)
+GROUP BY d.o_orderpriority
+""",
+    ("A*", "W*"),
+    "Median-absolute-deviation outlier detection per priority: median "
+    "and MAD are both exact nearest-rank order statistics (actual data "
+    "values); a row is an outlier when |x - median| > 3*MAD.  Every "
+    "arithmetic step is a single rounded double op applied identically "
+    "on both engines (subtraction, abs, one multiply) — no accumulation "
+    "anywhere — so the robust-statistics pipeline is bitwise portable.  "
+    "The same percentile-window machinery as a9/a13, composed twice, "
+    "with the tiny per-group median/MAD tables broadcast back onto the "
+    "fact.",
+)
+def a16_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.analytic import nearest_rank_percentiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    med = nearest_rank_percentiles(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey", (0.5,)
+    ).select("o_orderpriority", F.col("p50").alias("median"))
+    dev = orders.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "ad", F.abs(F.col("o_totalprice") - F.col("median"))
+    )
+    mad = nearest_rank_percentiles(
+        dev, ["o_orderpriority"], "ad", "o_orderkey", (0.5,)
+    ).select("o_orderpriority", F.col("p50").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum((F.col("ad") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

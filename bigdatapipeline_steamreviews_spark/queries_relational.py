@@ -1316,3 +1316,83 @@ def j4_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_near_dups"),
         F.min("r_key").cast("bigint").alias("first_match_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J6 — entity resolution end-to-end (fuzzy block -> components -> canonical)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j6_entity_resolution",
+    f"""
+WITH RECURSIVE v AS (
+  SELECT c_custkey, c_name,
+         unnest(list_distinct(list_prepend(c_name,
+           [substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name))
+            for i in generate_series(1, length(c_name))]))) AS variant
+  FROM customer
+),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS lk, a.c_name AS ln,
+                  b.c_custkey AS rk, b.c_name AS rn
+  FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey
+),
+pairs AS (SELECT lk, rk FROM cand WHERE levenshtein(ln, rn) <= 1),
+edges AS (
+  SELECT lk AS src, rk AS dst FROM pairs
+  UNION SELECT rk, lk FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+cl AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT cl.cluster_id, count(*) AS n_members,
+       max(struct_pack(b := c.c_acctbal, nk := -c.c_custkey,
+                       k := c.c_custkey, n := c.c_name)).k
+         AS canonical_custkey,
+       max(struct_pack(b := c.c_acctbal, nk := -c.c_custkey,
+                       k := c.c_custkey, n := c.c_name)).n
+         AS canonical_name,
+       {{SUM_EXACT}} AS total_acctbal
+FROM cl JOIN customer c ON c.c_custkey = cl.node
+GROUP BY cl.cluster_id
+""".replace("{SUM_EXACT}", _sum_exact_sql("c.c_acctbal")),
+    ("J*", "X1", "X2"),
+    "Entity resolution end-to-end: deletion-variant fuzzy blocking (j4's "
+    "candidate generator) -> exact Levenshtein verification -> connected "
+    "components (the iterative min-label/pointer-jumping operator; "
+    "recursive-CTE transitive closure in the oracle) -> one canonical "
+    "record per entity cluster under an explicit SURVIVORSHIP POLICY "
+    "(highest account balance, ties to the smallest key, via the struct-"
+    "max idiom) plus merged totals (decimal-exact).  The full dedupe-"
+    "and-merge a master-data pipeline runs, as one declarative plan; "
+    "singleton customers (no fuzzy match) are not clusters and are "
+    "excluded by construction on both sides.",
+)
+def j6_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import sum_exact
+    from .operators.dedup import connected_components
+    from .operators.linkage import fuzzy_pairs_distance1
+
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs_distance1(cust, "c_custkey", "c_name")
+    cc = connected_components(pairs, "l_key", "r_key")
+    s = F.struct(
+        F.col("c_acctbal").alias("b"),
+        (-F.col("c_custkey")).alias("nk"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("n"),
+    )
+    return (
+        cc.join(cust, cc.doc_id == cust.c_custkey)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(s).getField("k").alias("canonical_custkey"),
+            F.max(s).getField("n").alias("canonical_name"),
+            sum_exact("c_acctbal").alias("total_acctbal"),
+        )
+    )

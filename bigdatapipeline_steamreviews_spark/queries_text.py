@@ -1616,3 +1616,72 @@ def x4_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bigram_surprisal
 
     return bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# G6 — triangle counting on the word-adjacency graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g6_graph_triangle_stats",
+    """
+WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+bi AS (
+  SELECT w1, w2 FROM (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)
+  ) WHERE w1 <> '' AND w2 <> ''
+),
+edges AS (
+  SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+  FROM bi WHERE w1 <> w2
+),
+verts AS (SELECT count(DISTINCT v) AS n_vertices FROM
+          (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT n_vertices FROM verts) AS n_vertices,
+       (SELECT n_triangles FROM tri) AS n_triangles
+""",
+    ("J*", "X4"),
+    "Distributed triangle counting on the corpus word-adjacency graph: "
+    "canonicalize edges to (min, max) vertex order, then the ordered "
+    "two-join wedge-close pattern (e1=(a,b) ⋈ e2=(b,c) ⋈ edge (a,c), "
+    "a<b<c) counts each triangle exactly once with no post-dedup — the "
+    "standard MapReduce/GraphX formulation whose shuffle volume is the "
+    "wedge count, not vertices².  Graph analytics primitive #2 next to "
+    "connected components / PageRank.",
+)
+def g6_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import adjacent_pairs
+
+    bi = adjacent_pairs(load_table(spark, sf_dir, "documents"))
+    edges = (
+        bi.filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()  # used 4x (wedge join x2, closing join, counts)
+    )
+    e1 = edges.select(F.col("a").alias("a"), F.col("b").alias("b"))
+    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_vertices = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .agg(F.countDistinct("v").alias("n_vertices"))
+    )
+    return n_edges.crossJoin(n_vertices).crossJoin(tri)
