@@ -476,3 +476,68 @@ def a16_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A17 — bitwise-exact Pearson correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a17_exact_correlation",
+    """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS HUGEINT) AS x,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, count(*) AS n,
+         ((sum(x)::VARCHAR)::DOUBLE) AS sx, ((sum(y)::VARCHAR)::DOUBLE) AS sy,
+         ((sum(x * y)::VARCHAR)::DOUBLE) AS sxy,
+         ((sum(x * x)::VARCHAR)::DOUBLE) AS sxx,
+         ((sum(y * y)::VARCHAR)::DOUBLE) AS syy
+  FROM q GROUP BY 1
+)
+SELECT l_returnflag, n,
+       ((n::DOUBLE * sxy - sx * sy)
+        / (sqrt(n::DOUBLE * sxx - sx * sx)
+           * sqrt(n::DOUBLE * syy - sy * sy))) AS corr_qty_price
+FROM s
+""",
+    ("A*",),
+    "Pearson correlation of quantity vs price per return flag, BITWISE "
+    "deterministic: inputs quantize to integer units (whole quantities, "
+    "cents), all five moment sums accumulate in exact integer/decimal "
+    "arithmetic (order-independent), and the final formula is a fixed "
+    "chain of IEEE correctly-rounded ops — *, -, /, and sqrt, which "
+    "unlike log/exp IS required correctly-rounded by IEEE 754 — so even "
+    "corr, the classic 'never compare floats across engines' statistic, "
+    "hash-gates exactly.  Built-in corr() accumulates doubles in "
+    "partition order and can NOT do this.",
+)
+def a17_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.columns import _dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("decimal(18,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+    s = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_to_double(F.sum("x")).alias("sx"),
+            _dec_to_double(F.sum("y")).alias("sy"),
+            _dec_to_double(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+            _dec_to_double(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+            _dec_to_double(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    corr = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))

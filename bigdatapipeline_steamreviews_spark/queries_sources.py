@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from .operators.aggregations import daily_summary
 from .queries_streaming import _source_fingerprint
-from .registry import FLAGSHIP_ORACLE, register
+from .registry import FLAGSHIP_ORACLE, _sum_exact_sql, register
 from .sources.tables import load_table
 
 _EVENTS_JSON_SCHEMA = T.StructType(
@@ -126,4 +126,57 @@ def src_union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruned directory source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_partitioned_pruned_scan",
+    f"""
+SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+       {_sum_exact_sql('value')} AS total_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    ("S*", "P7", "P9"),
+    "Directory-partitioned source with partition pruning: the events "
+    "table is staged once per corpus fingerprint as "
+    "partitionBy(event_type) parquet, and the query's equality filter "
+    "becomes a PartitionFilter — the scan lists ONLY the one "
+    "event_type=purchase directory, never opening the other partitions' "
+    "files (plan-asserted in tests/test_scale_layout.py for the layout "
+    "op; here the pruned read is oracle-gated end-to-end against the "
+    "unpartitioned table).  At 100 TB this is the difference between "
+    "reading 1/N of the lake and reading all of it.",
+)
+def src_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .functions import sum_exact
+    from .sources.staging import (
+        STAGE_ROOT,
+        STAGE_VERSION,
+        publish_dir,
+        source_fingerprint,
+    )
+    from .sources.tables import load_table
+
+    fp = source_fingerprint(sf_dir, "events")
+    path = os.path.join(STAGE_ROOT, f"events_bytype_{fp}_{STAGE_VERSION}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build{os.getpid()}"
+        load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(tmp)
+        publish_dir(tmp, path)
+    purchases = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return purchases.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        sum_exact("value").alias("total_value"),
     )

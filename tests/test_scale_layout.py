@@ -161,3 +161,17 @@ def test_compaction_bin_packs_by_bytes(spark, tmp_path_factory):
     assert len(out_files) == n
     assert 3 <= n <= 6
     assert spark.read.parquet(dest).count() == e.count()
+
+
+def test_src_partitioned_pruned_scan_has_partition_filter(spark):
+    """The registered partition-pruned source query must plan its
+    event_type equality as a PartitionFilter on the scan (directory
+    pruning), not a post-scan Filter over all partitions."""
+    from bigdatapipeline_steamreviews_spark.queries_sources import (
+        src_partitioned_pruned_scan,
+    )
+
+    df = src_partitioned_pruned_scan(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:400]
