@@ -136,3 +136,93 @@ def test_paragraph_dedup_invariants(spark, rows):
                 {s.h for s in spans if s.doc_id == doc_id}
             )
             assert r.n_kept == own_distinct
+
+
+# ---------------------------------------------------------------------------
+# per_key_top_hash: two-phase pruning must equal the single global window
+# for ANY data distribution, any k, any partitioning.
+# ---------------------------------------------------------------------------
+
+_keyed_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # few keys -> heavy groups
+        st.integers(min_value=0, max_value=10**6),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_keyed_rows, k=st.integers(min_value=1, max_value=5))
+def test_per_key_top_hash_equals_global_window(spark, rows, k):
+    from pyspark.sql import Window
+
+    from bigdatapipeline_steamreviews_spark.operators.quality import per_key_top_hash
+
+    # Duplicate ids across keys are fine; dedup within (key, id) keeps the
+    # reference's row_number deterministic.
+    rows = list({(key, i) for key, i in rows})
+    df = spark.createDataFrame(rows, "k int, id long").repartition(5)
+    order = [F.md5(F.col("id").cast("string")), F.col("id")]
+    got = sorted(
+        map(tuple, per_key_top_hash(df, ["k"], order, k, rank_name="rn").collect())
+    )
+    w = Window.partitionBy("k").orderBy(*order)
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sliding_distinct_count: explode-form must equal a brute-force reference
+# for ANY day/user pattern (gaps, duplicates, single-day spikes).
+# ---------------------------------------------------------------------------
+
+_day_user = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # day offset
+        st.integers(min_value=1, max_value=5),   # user
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_day_user, window_days=st.integers(min_value=1, max_value=8))
+def test_sliding_distinct_count_matches_bruteforce(spark, rows, window_days):
+    import datetime
+
+    from bigdatapipeline_steamreviews_spark.operators.quality import (
+        sliding_distinct_count,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (base + datetime.timedelta(days=d, hours=u), u) for d, u in rows
+    ]
+    df = spark.createDataFrame(data, "ts timestamp, user_id long")
+    got = {
+        r["win_end"].date(): r["n"]
+        for r in sliding_distinct_count(df, "ts", "user_id", window_days, "n").collect()
+    }
+    days = {base.date() + datetime.timedelta(days=d) for d, _ in rows}
+    want = {
+        day: len(
+            {
+                u
+                for d, u in rows
+                if 0 <= (day - (base.date() + datetime.timedelta(days=d))).days
+                < window_days
+            }
+        )
+        for day in days
+    }
+    assert got == want

@@ -175,3 +175,41 @@ def test_src_partitioned_pruned_scan_has_partition_filter(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path_factory):
+    """Backfill discipline: with partitionOverwriteMode=dynamic, re-running
+    one day's batch replaces ONLY that day's directory — static overwrite
+    would truncate the whole table first, the classic backfill footgun."""
+    path = str(tmp_path_factory.mktemp("backfill") / "daily")
+    e = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    ).select("day", "event_id", "value")
+    e.write.partitionBy("day").mode("overwrite").parquet(path)
+    days = [r["day"] for r in e.select("day").distinct().orderBy("day").collect()]
+    target, others = days[0], days[1:]
+    before_other = (
+        spark.read.parquet(path).filter(F.col("day") != target).count()
+    )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # The corrected backfill: same day, values doubled, half the rows.
+        fixed = (
+            e.filter(F.col("day") == target)
+            .filter(F.col("event_id") % 2 == 0)
+            .withColumn("value", F.col("value") * 2)
+        )
+        n_fixed = fixed.count()
+        fixed.write.partitionBy("day").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(path)
+    # Only the target day was replaced...
+    assert back.filter(F.col("day") == target).count() == n_fixed
+    # ...and every other partition survived untouched.
+    assert back.filter(F.col("day") != target).count() == before_other
+    # (the reader infers the partition value as DATE; compare as strings)
+    assert {str(r["day"]) for r in back.select("day").distinct().collect()} == set(days)
