@@ -888,3 +888,71 @@ def stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "ewma", F.col("n_seen").alias("n_events"))
     )
+
+
+@register(
+    "stream_click_purchase_full_outer",
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       coalesce(c.user_id, p.user_id) AS user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_unix,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_unix
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+""",
+    ("J*", "T3", "S3"),
+    "FULL OUTER stream-stream join: matched click/purchase pairs PLUS "
+    "unconverted clicks (null purchase) PLUS unattributed purchases "
+    "(null click) — both sides' state evicts-and-emits on watermark "
+    "passage, the most demanding of Spark's outer-join modes.  The same "
+    "flush-sentinel staging as the left-outer variant advances the final "
+    "watermark past every row's join window on BOTH sides, so the "
+    "drained output equals the batch FULL JOIN exactly.",
+)
+def stream_click_purchase_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_full_outer_{_query_counter}"
+    stage = _stage_events_with_flush_sentinels(spark, sf_dir)
+
+    clicks = (
+        events_file_stream(spark, stage, max_files_per_trigger=2)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        events_file_stream(spark, stage, max_files_per_trigger=2)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_unix"),
+        F.unix_timestamp("purchase_ts").alias("purchase_unix"),
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    table = run_to_memory_table(
+        joined, name, checkpoint, "append", shuffle_partitions=8
+    )
+    # Sentinels carry impossible negative user ids; real users are >= 0.
+    return table.filter(F.col("user_id") >= 0)
