@@ -1396,3 +1396,47 @@ def j6_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_exact("c_acctbal").alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end surface: the same engine through spark.sql() over views
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_q1_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       {_sum_exact_sql('l_quantity')} AS sum_qty,
+       {_sum_exact_sql('l_extendedprice')} AS sum_base_price,
+       {_avg_exact_sql('l_quantity')} AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    ("A*", "P*"),
+    "The pricing summary through the SQL FRONT-END: tables registered as "
+    "temp views, the query submitted as a spark.sql() string (Spark "
+    "dialect of the same decimal-exact recipe) — proving a SQL-only user "
+    "of the engine gets the identical plan and the identical bitwise "
+    "result as the Column-API surface.  Catalyst compiles both to the "
+    "same scan -> partial agg -> exchange -> final agg shape.",
+)
+def sql_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS STRING) AS DOUBLE)
+         AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS STRING)
+            AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS STRING) AS DOUBLE)
+         / count(l_quantity) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem_v
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+    )
