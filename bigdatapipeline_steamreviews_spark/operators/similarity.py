@@ -787,3 +787,82 @@ def mmr_diversify(
             .withColumn("step", F.lit(step))
         )
     return selected.select("query_id", "step", "neighbor_id", "rel")
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Native Lloyd's k-means on the DataFrame engine — no MLlib — with a
+    statically-unrolled iteration count so the whole algorithm is one
+    declarative plan, and every arithmetic step bit-portable so even the
+    ITERATIVE TRAJECTORY hash-gates against a SQL oracle (the same
+    discipline as the fixed-point PageRank).
+
+    Per round: assignment is a broadcast of the k centroids onto an
+    unshuffled corpus scan (distance = the deterministic sequential
+    squared-diff fold; argmin via min(struct(dist, cid))), and the
+    M-step recomputes centroids with the ``label_centroids`` recipe
+    (1e-8 quantized components, exact-decimal means).  Deterministic
+    seeding: the first ``k`` vector ids are the initial centroids — a
+    k-means++ seeder would add a random stream the oracle can't mirror.
+
+    Returns per-centroid (centroid_id, n_assigned, inertia) after the
+    final assignment.  Scale: each round is one corpus scan + one
+    (k·dim)-row shuffle; ``iters`` is a static trip count (production
+    runs pick it by elbow offline — convergence probing would add a
+    driver action per round like connected_components').
+    """
+    from ..functions import avg_exact
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = e.filter(F.col("vid") < k).select(
+        F.col("vid").cast("long").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        pairs = e.crossJoin(F.broadcast(cents))
+        diffsq = F.zip_with(
+            F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)
+        )
+        dist = F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x)
+        scored = pairs.select("vid", "cid", dist.alias("dist"))
+        best = (
+            scored.groupBy("vid")
+            .agg(F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"))
+            .select(
+                "vid",
+                F.col("m.cid").alias("cid"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+        return best
+
+    asg = assign(cents)
+    for _ in range(iters - 1):
+        memb = asg.join(e, "vid").select(
+            "cid", F.posexplode(F.col("v")).alias("pos", "val")
+        )
+        val_q = F.floor(F.col("val") * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+        per = memb.groupBy("cid", "pos").agg(avg_exact(val_q).alias("m"))
+        cents = per.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+        asg = assign(cents)
+
+    dq = F.floor(F.col("dist") * F.lit(1e8) + F.lit(0.5)).cast("long")
+    inertia = (
+        F.sum(dq.cast("decimal(38,0)")).cast("string").cast("double") / F.lit(1e8)
+    )
+    return asg.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n_assigned"), inertia.alias("inertia")
+    )

@@ -710,3 +710,82 @@ def x3_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_diversify(
         emb, F.col("vec_id") < 5, pool_k=10, select_k=3, lam=0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# X3 — native Lloyd's k-means (2 unrolled iterations, hash-gated)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x3_kmeans_lloyd",
+    f"""
+WITH c0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid,
+         [x::DOUBLE for x in embedding] AS c
+  FROM {_CLEAN_EMB_SQL} WHERE vec_id < 8
+),
+d1 AS (
+  SELECT e.vec_id, c.cid,
+         list_sum([(e.embedding[i]::DOUBLE - c.c[i])
+                   * (e.embedding[i]::DOUBLE - c.c[i])
+                   for i in range(1, len(e.embedding)+1)]) AS dist
+  FROM {_CLEAN_EMB_SQL.removesuffix(' embeddings')} e, c0 c
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+pos1 AS (
+  SELECT a.cid, u['pos'] AS pos, u['val'] AS val FROM (
+    SELECT a1.cid, unnest([{{'pos': i-1, 'val': embedding[i]::DOUBLE}}
+                           for i in range(1, len(embedding)+1)]) AS u
+    FROM a1 JOIN {_CLEAN_EMB_SQL.removesuffix(' embeddings')} e
+      ON e.vec_id = a1.vec_id
+  ) a
+),
+per1 AS (
+  SELECT cid, pos,
+         ((sum(CAST(floor(val * 100000000.0 + 0.5) / 100000000.0
+                    AS DECIMAL(28,10)))::VARCHAR)::DOUBLE)
+           / count(val) AS m
+  FROM pos1 GROUP BY 1, 2
+),
+c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM per1 GROUP BY cid),
+d2 AS (
+  SELECT e.vec_id, c.cid,
+         list_sum([(e.embedding[i]::DOUBLE - c.c[i])
+                   * (e.embedding[i]::DOUBLE - c.c[i])
+                   for i in range(1, len(e.embedding)+1)]) AS dist
+  FROM {_CLEAN_EMB_SQL.removesuffix(' embeddings')} e, c1 c
+),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+SELECT cid AS centroid_id, count(*) AS n_assigned,
+       ((sum(CAST(CAST(floor(dist * 100000000.0 + 0.5) AS BIGINT)
+                  AS DECIMAL(38,0)))::VARCHAR)::DOUBLE / 100000000.0)
+         AS inertia
+FROM a2 GROUP BY cid
+""",
+    ("X3", "A*"),
+    "Native Lloyd's k-means (k=8, 2 statically-unrolled iterations, "
+    "deterministic first-k seeding) entirely in DataFrame operators — no "
+    "MLlib: assignment broadcasts the centroids onto an unshuffled "
+    "corpus scan, the M-step is the exact-decimal per-dimension mean "
+    "(label_centroids recipe), and the whole iterative trajectory hash-"
+    "gates against the unrolled SQL oracle — assignments, recomputed "
+    "centroids, and final inertia all bitwise.  Iterative-ML showpiece "
+    "next to PageRank/connected-components.",
+)
+def x3_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(_clean_emb(spark, sf_dir), k=8, iters=2)

@@ -418,3 +418,16 @@ def test_mmr_trades_relevance_for_diversity(spark):
         .collect()
     )
     assert [(r["step"], r["neighbor_id"]) for r in got] == [(1, 1), (2, 3)]
+
+
+def test_kmeans_lloyd_inertia_monotone(spark):
+    """Lloyd's algorithm invariant: total inertia after (assign, M-step,
+    assign) is <= inertia of the first assignment — each step minimizes
+    the objective. Checked on sf0.001 embeddings."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import kmeans_lloyd
+    from bigdatapipeline_steamreviews_spark.queries_similarity import _clean_emb
+
+    emb = _clean_emb(spark, "/root/testdata/sf0.001")
+    one = sum(r["inertia"] for r in kmeans_lloyd(emb, k=8, iters=1).collect())
+    two = sum(r["inertia"] for r in kmeans_lloyd(emb, k=8, iters=2).collect())
+    assert two <= one
