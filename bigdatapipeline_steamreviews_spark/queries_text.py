@@ -1685,3 +1685,71 @@ def g6_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("v").alias("n_vertices"))
     )
     return n_edges.crossJoin(n_vertices).crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# X2 — pairwise cross-source overlap matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x2_cross_source_overlap",
+    f"""
+WITH {_SHINGLES3_SQL},
+ss AS (
+  SELECT DISTINCT d.source, s.sh
+  FROM shingles s JOIN documents d USING (doc_id)
+),
+tot AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, p.n_shared,
+       (p.n_shared::DOUBLE / (ta.n + tb.n - p.n_shared)) AS jaccard
+FROM pairs p JOIN tot ta ON ta.source = p.source_a
+             JOIN tot tb ON tb.source = p.source_b
+""",
+    ("X2", "X4"),
+    "Pairwise source-overlap matrix: distinct 3-gram shingle sets per "
+    "source, joined on shingle to count sharing and score set Jaccard "
+    "per source pair — the corpus-level contamination/provenance view "
+    "(which sources plagiarize which) above the per-document dedup "
+    "family.  The shingle table is the SAME persisted index the LSH "
+    "queries read (one derivation, many consumers); the per-source "
+    "dedup collapses the join inputs to |sources|·|vocab| before the "
+    "posting join, and jaccard is one double division of exact counts.",
+)
+def x2_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    ss = (
+        _staged_shingles(spark, sf_dir)  # columns (sid, sh)
+        .join(docs, F.col("sid") == F.col("doc_id"))
+        .select("source", "sh")
+        .distinct()
+    )
+    tot = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ss.select(F.col("source").alias("source_a"), "sh")
+    b = ss.select(F.col("source").alias("source_b"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
