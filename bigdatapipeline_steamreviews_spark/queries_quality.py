@@ -541,3 +541,117 @@ def a17_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+# ---------------------------------------------------------------------------
+# A18 — bitwise-exact least-squares fit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a18_exact_linear_fit",
+    """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS HUGEINT) AS x,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, count(*) AS n,
+         ((sum(x)::VARCHAR)::DOUBLE) AS sx, ((sum(y)::VARCHAR)::DOUBLE) AS sy,
+         ((sum(x * y)::VARCHAR)::DOUBLE) AS sxy,
+         ((sum(x * x)::VARCHAR)::DOUBLE) AS sxx
+  FROM q GROUP BY 1
+)
+SELECT l_returnflag, n,
+       ((n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx))
+         AS slope_cents_per_unit,
+       ((sy - ((n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx)) * sx)
+        / n::DOUBLE) AS intercept_cents
+FROM s
+""",
+    ("A*",),
+    "Ordinary least squares (price-cents vs quantity) per return flag "
+    "with the same bitwise discipline as a17: exact integer moment sums, "
+    "one correctly-rounded conversion each, then a fixed chain of IEEE "
+    "ops — slope and intercept hash-gate exactly.  Together with a17 "
+    "this is the feature-statistics pass an ML platform runs before "
+    "training, reproducible across engines and re-runs.",
+)
+def a18_exact_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.columns import _dec_to_double
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("decimal(18,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+    s = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_to_double(F.sum("x")).alias("sx"),
+            _dec_to_double(F.sum("y")).alias("sy"),
+            _dec_to_double(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+            _dec_to_double(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope_cents_per_unit"),
+        intercept.alias("intercept_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W15 — cumulative distinct users (expanding window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w15_cumulative_distinct_users",
+    """
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY 1
+),
+new_per_day AS (SELECT day, count(*) AS n_new FROM first_seen GROUP BY day),
+days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+SELECT d.day,
+       coalesce(n.n_new, 0) AS n_new_users,
+       CAST(sum(coalesce(n.n_new, 0)) OVER (
+         ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_cumulative_users
+FROM days d LEFT JOIN new_per_day n USING (day)
+""",
+    ("W*", "A8"),
+    "Cumulative distinct users per day — the EXPANDING-window companion "
+    "to w12's sliding window, and the case where the explode trick would "
+    "blow up (unbounded fan-out): instead, first-seen day per user (one "
+    "keyed aggregate — a user counts exactly once, on their first day), "
+    "daily new-user counts, then a running sum over the tiny day "
+    "dimension.  Corpus-sized work is one groupBy(user); the window "
+    "runs on |days| rows.",
+)
+def w15_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first_seen = e.groupBy("user_id").agg(F.min(day).alias("day"))
+    new_per_day = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    days = e.select(day.alias("day")).distinct()
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        days.join(new_per_day, "day", "left")
+        .select("day", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new_users"))
+        .withColumn(
+            "n_cumulative_users",
+            F.sum("n_new_users").over(w).cast("long"),
+        )
+    )
