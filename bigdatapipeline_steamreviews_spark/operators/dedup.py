@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import word_shingles
@@ -635,3 +635,75 @@ def simhash_signatures(
         term = (vote(j) > 0).cast("long") * F.lit(2**j)
         sig = term if sig is None else sig + term
     return hashed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def prefix_filtered_jaccard_pairs(
+    shingles: DataFrame, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (PPJoin-family, Bayardo
+    et al. WWW'07 / Xiao et al. "Efficient Similarity Joins"): the same
+    (a_id, b_id, jaccard >= t) output as the plain posting self-join,
+    from far fewer candidates.
+
+    Every document's shingle set is ordered by GLOBAL document frequency
+    (rarest first, ties on the shingle string); for Jaccard >= t two sets
+    must overlap in o = ceil(t/(1+t)·(|a|+|b|)) elements, so each set's
+    first |s| - ceil(t·|s|) + 1 shingles (its PREFIX) must share at least
+    one element with the other's — joining on prefix shingles alone is
+    therefore COMPLETE, and because prefixes hold each document's rarest
+    shingles, the join keys are exactly the ones with the shortest
+    posting lists.  A length filter (t·|a| <= |b| and t·|b| <= |a|)
+    prunes further before the candidate pairs are verified with an exact
+    intersection count restricted to the candidate set.
+
+    Scale contrast with ``ngram_jaccard_pairs``: the plain join's hot-key
+    cost is the square of the LONGEST posting list (df-pruning mitigates
+    by dropping hot shingles — changing the semantics); prefix filtering
+    keeps exact semantics while joining only on rare shingles.  The
+    candidate count is asserted strictly smaller in
+    ``test_dedup_similarity.py``.
+    """
+    s = shingles  # (sid, sh)
+    sizes = s.groupBy("sid").agg(F.count(F.lit(1)).alias("nsh"))
+    dfreq = s.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("sid").orderBy("df", "sh")
+    prefix_len = (
+        F.col("nsh") - F.ceil(F.lit(min_jaccard) * F.col("nsh")) + 1
+    )
+    prefix = (
+        s.join(dfreq, "sh")
+        .join(sizes, "sid")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select("sid", "sh", "nsh")
+    )
+    a = prefix.select(
+        F.col("sid").alias("a_id"), "sh", F.col("nsh").alias("na")
+    )
+    b = prefix.select(
+        F.col("sid").alias("b_id"),
+        F.col("sh").alias("shb"),
+        F.col("nsh").alias("nb"),
+    )
+    cands = (
+        a.join(b, (F.col("sh") == F.col("shb")) & (F.col("a_id") < F.col("b_id")))
+        .filter(
+            (F.col("nb") >= F.lit(min_jaccard) * F.col("na"))
+            & (F.col("na") >= F.lit(min_jaccard) * F.col("nb"))
+        )
+        .select("a_id", "b_id", "na", "nb")
+        .distinct()
+    )
+    pa = s.select(F.col("sid").alias("a_id"), "sh")
+    pb = s.select(F.col("sid").alias("b_id"), "sh")
+    inter = (
+        cands.join(pa, "a_id")
+        .join(pb, ["b_id", "sh"])
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -456,6 +456,42 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x2_jaccard_prefix_filter",
+    f"""
+WITH {_SHINGLES3_SQL},
+sizes AS (SELECT doc_id, count(*) AS nsh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       inter / (na.nsh + nb.nsh - inter) AS jaccard
+FROM inter
+JOIN sizes na ON a_id = na.doc_id
+JOIN sizes nb ON b_id = nb.doc_id
+WHERE inter / (na.nsh + nb.nsh - inter) >= 0.5
+""",
+    ("X2",),
+    "PPJoin-style prefix-filtered exact Jaccard join: documents' shingle "
+    "sets ordered by global rarity; only each set's provably-sufficient "
+    "prefix joins, with a length filter, before exact verification of "
+    "the surviving candidates.  The oracle is DELIBERATELY the plain "
+    "all-pairs posting join — the gate proves the pruned algorithm "
+    "returns the identical pair set and values, which is the whole "
+    "point: exact semantics, a fraction of the candidates (the plain "
+    "join's cost is quadratic in the hottest posting list; the prefix "
+    "join only ever keys on each document's rarest shingles).",
+)
+def x2_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import prefix_filtered_jaccard_pairs
+
+    return prefix_filtered_jaccard_pairs(
+        _staged_shingles(spark, sf_dir), min_jaccard=0.5
+    )
+
+
+@register(
     "x2_ngram_jaccard_pruned",
     f"""
 WITH {_SHINGLES3_SQL},

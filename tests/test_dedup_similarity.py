@@ -431,3 +431,58 @@ def test_kmeans_lloyd_inertia_monotone(spark):
     one = sum(r["inertia"] for r in kmeans_lloyd(emb, k=8, iters=1).collect())
     two = sum(r["inertia"] for r in kmeans_lloyd(emb, k=8, iters=2).collect())
     assert two <= one
+
+
+def test_prefix_filter_prunes_and_matches_plain_join(spark):
+    """The prefix-filtered Jaccard join must (a) produce exactly the plain
+    posting-join's result and (b) generate strictly fewer candidate pairs
+    than share-any-shingle — the pruning must actually prune."""
+    from bigdatapipeline_steamreviews_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+        shingle_table,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    s = shingle_table(docs).localCheckpoint()
+
+    got = sorted(
+        map(tuple, prefix_filtered_jaccard_pairs(s, 0.5).collect())
+    )
+    want = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, min_jaccard=0.5, shingles=s).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # candidate counts: share-a-prefix-shingle vs share-ANY-shingle
+    a = s.selectExpr("sid AS a_id", "sh")
+    b = s.selectExpr("sid AS b_id", "sh")
+    all_pairs = (
+        a.join(b, "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+        .count()
+    )
+    # Reproduce the operator's candidate set size via its prefix logic.
+    from pyspark.sql import Window
+
+    sizes = s.groupBy("sid").agg(F.count(F.lit(1)).alias("nsh"))
+    dfreq = s.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("sid").orderBy("df", "sh")
+    prefix = (
+        s.join(dfreq, "sh").join(sizes, "sid")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("nsh") - F.ceil(0.5 * F.col("nsh")) + 1)
+    )
+    pa = prefix.selectExpr("sid AS a_id", "sh", "nsh AS na")
+    pb = prefix.selectExpr("sid AS b_id", "sh AS shb", "nsh AS nb")
+    cand = (
+        pa.join(pb, (F.col("sh") == F.col("shb")) & (F.col("a_id") < F.col("b_id")))
+        .filter((F.col("nb") >= 0.5 * F.col("na")) & (F.col("na") >= 0.5 * F.col("nb")))
+        .select("a_id", "b_id")
+        .distinct()
+        .count()
+    )
+    assert cand < all_pairs
