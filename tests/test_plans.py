@@ -114,6 +114,9 @@ def test_registry_wide_plan_lint(spark):
         # source-index window runs over DISTINCT sources (a handful of
         # rows), never the corpus — see the x4_interleave_order docstring.
         "x4_interleave_order",
+        # running sum over the |days| spine (corpus work is the groupBy
+        # per user upstream) — see w15_cumulative_distinct_users docstring.
+        "w15_cumulative_distinct_users",
     }
 
     offenders = {}
