@@ -41,6 +41,7 @@ __all__ = [
     "rolling_zscore",
     "event_transitions",
     "equi_width_histogram",
+    "pareto_frontier_2d",
 ]
 
 _ACC_DECIMAL = "decimal(28,10)"
@@ -416,3 +417,73 @@ def range_join_count(
         & (F.col(ts_right) < ts_left_hi)
     )
     return left.join(right, cond, "left")
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+    key_col: str,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Two-phase 2-D skyline: rows not dominated on (minimize ``cost_col``,
+    maximize ``gain_col``).  ``q`` dominates ``p`` iff ``q.cost <= p.cost``
+    and ``q.gain >= p.gain`` with at least one strict.
+
+    The naive formulation is an O(n^2) theta-self-join — a CartesianProduct
+    at any scale.  This is the distributed two-phase plan instead:
+
+    1. **Bucket prune** (corpus-sized work, all map-side + one small agg):
+       bucket rows by ``floor(cost / width)``, take per-bucket max gain
+       (bucket table: ~|range/width| rows), and the running max over
+       *strictly cheaper* buckets.  Any row whose gain does not exceed that
+       running max is dominated by a strictly-cheaper row and is dropped.
+       Every true frontier row provably survives.  The bucket table joins
+       back broadcast — the corpus is scanned once, never shuffled.
+    2. **Exact phase** (candidate-sized, tiny): among survivors, ``p`` is
+       dominated iff max gain at strictly-lower cost >= ``p.gain``, or max
+       gain at equal cost > ``p.gain``.  Both maxima come from a per-cost
+       group table (|distinct candidate costs| rows) with a running-max
+       window — single-task by design, over a table the prune phase has
+       already shrunk to ~frontier size (the documented
+       single-partition-window allowance).
+
+    At 100 TB only phase 1 touches the corpus: a map-side bucket projection,
+    a partial-aggregated groupBy on a ~100-key space, and one broadcast
+    join.  Shuffle volume is O(buckets), not O(rows).
+    """
+    cost, gain = F.col(cost_col), F.col(gain_col)
+    bucket = F.floor(cost / F.lit(bucket_width)).cast("bigint").alias("bucket")
+
+    bucket_max = df.select(bucket, gain.alias("g")).groupBy("bucket").agg(
+        F.max("g").alias("bucket_max_gain")
+    )
+    w_cheaper = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_run = bucket_max.select(
+        "bucket", F.max("bucket_max_gain").over(w_cheaper).alias("cheaper_max")
+    )
+
+    candidates = (
+        df.withColumn("bucket", bucket)
+        .join(F.broadcast(bucket_run), "bucket")
+        .filter(F.col("cheaper_max").isNull() | (gain > F.col("cheaper_max")))
+        .drop("bucket", "cheaper_max")
+    )
+
+    grp = candidates.groupBy(cost.alias("c")).agg(F.max(gain).alias("eq_max"))
+    w_lower = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    grp = grp.select(
+        "c", "eq_max", F.max("eq_max").over(w_lower).alias("lower_max")
+    )
+
+    return (
+        candidates.join(F.broadcast(grp), cost == F.col("c"))
+        .filter(
+            (F.col("lower_max").isNull() | (gain > F.col("lower_max")))
+            & (gain >= F.col("eq_max"))
+        )
+        .select(key_col, cost_col, gain_col)
+        .orderBy(cost_col, key_col)
+    )

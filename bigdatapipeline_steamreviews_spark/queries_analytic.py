@@ -22,6 +22,7 @@ from .operators.analytic import (
     event_transitions,
     gap_fill_forward,
     nearest_rank_percentiles,
+    pareto_frontier_2d,
     range_join_count,
     rolling_frame_avg,
     rolling_zscore,
@@ -1428,4 +1429,101 @@ def a15_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("v").alias("weighted_median"),
             F.max("tot").cast("long").alias("total_weight"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A19 — Pareto frontier (2-D skyline) via bucket-pruned two-phase plan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a19_pareto_frontier",
+    """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p_retailprice, p_partkey
+""",
+    ("W*", "J*"),
+    "2-D skyline: parts not dominated on (cheaper price, larger size). "
+    "The oracle is the O(n^2) NOT EXISTS definition; the Spark plan is "
+    "the two-phase bucket-pruned algorithm (operators/analytic.py::"
+    "pareto_frontier_2d): a ~100-key bucket aggregate prunes everything "
+    "dominated by a strictly-cheaper bucket's max, then the exact "
+    "dominance test runs over the surviving ~frontier-sized candidate "
+    "set.  Corpus work is one scan + one broadcast join; the only "
+    "single-task windows run over the bucket table and the candidate "
+    "cost-group table (both tiny, the documented allowance).",
+)
+def a19_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return pareto_frontier_2d(
+        part,
+        cost_col="p_retailprice",
+        gain_col="p_size",
+        key_col="p_partkey",
+        bucket_width=1.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# W16 — last-touch attribution (purchase value -> latest preceding touch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w16_last_touch_attribution",
+    f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type
+  FROM events
+)
+SELECT coalesce(touch_type, 'none') AS touch_type,
+       count(*) AS n_purchases,
+       {_sum_exact_sql('value')} AS attributed_value
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY touch_type
+ORDER BY touch_type
+""",
+    ("W*", "A*"),
+    "Last-touch attribution: every purchase's value is credited to the "
+    "user's most recent preceding marketing touch (view or click), or "
+    "'none' if the purchase had no prior touch.  last_value(IGNORE "
+    "NULLS) over a ROWS ... 1 PRECEDING frame per user — one shuffle on "
+    "user_id, per-partition sort, then a partial-aggregatable groupBy "
+    "on a 3-key space.  Exact-decimal value accumulation.",
+)
+def w16_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("view", "click"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("touch_type", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            sum_exact("value").alias("attributed_value"),
+        )
+        .orderBy("touch_type")
     )

@@ -655,3 +655,108 @@ def w15_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("n_new_users").over(w).cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ — table checksum (cross-cluster reconciliation fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_table_checksum",
+    """
+SELECT event_type,
+       count(*) AS n_rows,
+       bit_xor(('0x' || substr(md5(
+           event_id::VARCHAR || '|' || user_id::VARCHAR || '|'
+           || CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR || '|'
+           || CAST(floor(value * 1000) AS BIGINT)::VARCHAR
+       ), 1, 15))::BIGINT) AS checksum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    ("A*", "P*"),
+    "Order-independent table fingerprint: per-row md5-derived 60-bit hash "
+    "over the stable column serialization, XOR-folded per group.  XOR is "
+    "commutative/associative, so the checksum is identical under ANY "
+    "partitioning or row order — the cheap way to audit that two replicas "
+    "of a 100 TB table agree (compare one row per group, move zero data). "
+    "Map-side partial bit_xor, one exchange of |groups| rows.  Doubles "
+    "enter the serialization through floor(value*1000) (bitwise-identical "
+    "double arithmetic in every engine), never through engine-specific "
+    "float-to-string formatting.",
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    serial = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.floor(F.unix_timestamp(F.col("ts"))).cast("long").cast("string"),
+        F.floor(F.col("value") * 1000).cast("long").cast("string"),
+    )
+    row_hash = F.conv(F.substring(F.md5(serial), 1, 15), 16, 10).cast("long")
+    return (
+        events.select("event_type", row_hash.alias("__rh"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(__rh)").alias("checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ — join-key skew report (heavy-hitter diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_key_skew_report",
+    """
+WITH counts AS (
+  SELECT l_partkey AS key, count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_keys
+  FROM lineitem
+)
+SELECT c.key, c.cnt,
+       (1000000 * c.cnt) // t.n_rows AS share_ppm,
+       CAST(c.cnt * t.n_keys AS BIGINT) AS skew_x_keys
+FROM counts c, tot t
+ORDER BY c.cnt DESC, c.key
+LIMIT 20
+""",
+    ("A*", "O2"),
+    "Join-key skew diagnostics: the 20 heaviest l_partkey values with "
+    "row count, parts-per-million share, and cnt*n_keys (the skew ratio "
+    "cnt/avg scaled to stay in exact integer arithmetic).  This is the "
+    "query you run BEFORE a big join to decide between plain shuffle, "
+    "salting, and AQE skew split.  Partial-agg groupBy on the key, a "
+    "broadcast of the single global-totals row, TakeOrderedAndProject "
+    "for the top-20 — no full sort.",
+)
+def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_keys"),
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.expr("1000000 * cnt DIV n_rows").alias("share_ppm"),
+            (F.col("cnt") * F.col("n_keys")).cast("long").alias("skew_x_keys"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(20)
+    )

@@ -1440,3 +1440,83 @@ WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# M1 — market-basket pair affinity (support + lift, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m1_basket_lift",
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+item_cnt AS (
+  SELECT l_partkey, count(*) AS cnt FROM items GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS pair_cnt
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
+SELECT p.part_a, p.part_b, p.pair_cnt,
+       (1000000 * p.pair_cnt * t.n_orders) // (ca.cnt * cb.cnt) AS lift_ppm
+FROM pairs p
+JOIN item_cnt ca ON ca.l_partkey = p.part_a
+JOIN item_cnt cb ON cb.l_partkey = p.part_b
+CROSS JOIN tot t
+ORDER BY p.pair_cnt DESC, p.part_a, p.part_b
+LIMIT 200
+""",
+    ("J*", "A*", "O2"),
+    "Market-basket affinity: the 200 most co-ordered part pairs with "
+    "support count and lift (P(a,b)/(P(a)P(b)), scaled to exact integer "
+    "ppm — no float division on either side).  Pair generation is a "
+    "self-equi-join on l_orderkey after per-order item dedup, so the "
+    "blow-up is bounded by max-basket-size^2 per order (~13^2 here), "
+    "never corpus^2; item counts and the single-row order total join "
+    "back broadcast.  At 100 TB add a min-support pre-filter on "
+    "item_cnt (frequent-itemset pruning) before the pair join.",
+)
+def m1_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    item_cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ca = item_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = item_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .join(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            F.expr("1000000 * pair_cnt * n_orders DIV (cnt_a * cnt_b)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("pair_cnt"), "part_a", "part_b")
+        .limit(200)
+    )

@@ -117,6 +117,10 @@ def test_registry_wide_plan_lint(spark):
         # running sum over the |days| spine (corpus work is the groupBy
         # per user upstream) — see w15_cumulative_distinct_users docstring.
         "w15_cumulative_distinct_users",
+        # skyline windows run over the ~100-row price-bucket table and the
+        # pruned candidate cost-group table, never the part corpus — see
+        # operators/analytic.py::pareto_frontier_2d.
+        "a19_pareto_frontier",
     }
 
     offenders = {}
