@@ -1009,3 +1009,146 @@ def stream_orphan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_table(
         result, name, checkpoint, "complete", shuffle_partitions=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows — the one event-time window shape the daily
+# summary family doesn't cover: overlapping 1-day windows every 12 hours.
+# ---------------------------------------------------------------------------
+
+SLIDING_ORACLE = f"""
+WITH contrib AS (
+  SELECT event_type, value,
+         make_timestamp((
+           (CAST(floor(epoch(ts)) AS BIGINT) // 43200) * 43200 + 86400
+         ) * 1000000) AS time
+  FROM events
+  UNION ALL
+  SELECT event_type, value,
+         make_timestamp((
+           (CAST(floor(epoch(ts)) AS BIGINT) // 43200) * 43200 + 43200
+         ) * 1000000) AS time
+  FROM events
+)
+SELECT event_type, time,
+       count(*) AS n_events,
+       {_sum_exact_sql('value')} AS total_value
+FROM contrib
+GROUP BY event_type, time
+"""
+
+
+@register(
+    "stream_sliding_summary",
+    SLIDING_ORACLE,
+    ("T1", "T2", "A1", "T5"),
+    "Hopping-window streaming aggregate: 1-day windows sliding every 12 "
+    "hours (each event lands in exactly 2 overlapping windows), per "
+    "event type, count + exact-decimal value sum, keyed by window END. "
+    "Complete-mode replay: the final compacted state must equal the "
+    "batch hopping aggregate — the oracle materializes each event's two "
+    "window memberships with epoch integer arithmetic (window starts "
+    "are epoch-aligned 12 h multiples, exactly Spark's alignment).  "
+    "State cardinality is |12 h buckets| x |event types| — watermarking "
+    "is a knob, not a necessity, at any scale.",
+)
+def stream_sliding_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_sliding_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    result = (
+        stream.groupBy(
+            F.window("ts", "1 day", "12 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("__tv"),
+        )
+        .select(
+            "event_type",
+            F.col("w.end").alias("time"),
+            "n_events",
+            F.col("__tv").cast("string").cast("double").alias("total_value"),
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        result, name, checkpoint, "complete", shuffle_partitions=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chained stateful aggregation: daily windows re-aggregated to weekly
+# windows INSIDE one streaming query (two stateful operators in a row).
+# ---------------------------------------------------------------------------
+
+CHAINED_WEEKLY_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS s,
+         count(*) AS n, sum(CAST(value AS DECIMAL(28,10))) AS tv
+  FROM events GROUP BY 1, 2
+),
+weekly AS (
+  SELECT event_type,
+         make_timestamp((((s + 86399) // 604800) * 604800 + 604800)
+                        * 1000000) AS time,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         ((sum(tv)::VARCHAR)::DOUBLE) AS total_value
+  FROM daily GROUP BY 1, 2
+)
+SELECT event_type, time, n_events, total_value FROM weekly
+WHERE epoch_ms(time) <= (SELECT epoch_ms(max(ts)) FROM events) - 86400000
+"""
+
+
+@register(
+    "stream_weekly_from_daily",
+    CHAINED_WEEKLY_ORACLE,
+    ("T1", "T2", "T3", "A1", "A5"),
+    "Two chained stateful operators in ONE streaming query (Spark 3.4+ "
+    "multi-stateful support): a watermarked 1-day window aggregate whose "
+    "closed windows feed a second 7-day window aggregate keyed on "
+    "window_time(day) — the streaming form of the serving layer's "
+    "day->month rollup, incrementalized end to end.  Append mode emits "
+    "each week once, closed and final; a week closes iff week_end <= "
+    "final watermark (= floor-ms max event time - 1 day), and every "
+    "daily window of a closed week has then provably closed and "
+    "propagated (day_end <= week_end).  The oracle computes the weekly "
+    "rollup with pure epoch integer arithmetic — week starts are "
+    "epoch-aligned 7-day multiples, exactly Spark's alignment — and "
+    "DECIMAL sums summed again at the second level stay exact.",
+)
+def stream_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_weekly_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    daily = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("tv"),
+        )
+    )
+    weekly = (
+        daily.groupBy(
+            F.window(F.window_time("day"), "7 days").alias("week"),
+            "event_type",
+        )
+        .agg(F.sum("n").alias("n_events"), F.sum("tv").alias("__tv"))
+        .select(
+            "event_type",
+            F.col("week.end").alias("time"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("__tv").cast("string").cast("double").alias("total_value"),
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        weekly, name, checkpoint, "append", shuffle_partitions=8
+    )
