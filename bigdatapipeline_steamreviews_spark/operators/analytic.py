@@ -191,21 +191,27 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     carry_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: each left row picks up ``carry_cols`` from the right row
     with the greatest ``right_ts <= left_ts`` for the same key (point-in-
-    time enrichment; Spark has no builtin for this).
+    time enrichment; Spark has no builtin for this).  With
+    ``direction="forward"``, the SMALLEST ``right_ts >= left_ts`` instead
+    (next-event lookup: first shipment after an order, next price tick).
 
     Union-tag algorithm: tag right rows 0 and left rows 1, sort each key's
-    timeline by (ts, tag), and carry the latest non-null right values
-    forward with ``last(ignorenulls=True)``.  Right rows sort before left
-    rows at equal timestamps, so an exactly-simultaneous right row IS
-    visible to the left row (<= semantics).  One shuffle on the key, one
-    sort — never the O(|L|·|R|) product of a naive range join.
+    timeline by (ts, tag) — descending for forward — and carry the latest
+    non-null right values forward with ``last(ignorenulls=True)``.  Right
+    rows sort before left rows at equal timestamps in either direction, so
+    an exactly-simultaneous right row IS visible to the left row (<= / >=
+    semantics).  One shuffle on the key, one sort — never the O(|L|·|R|)
+    product of a naive range join.
 
     The right side must be unique per (key, right_ts) — pre-compact it
     (e.g. keyed max-struct) or the carried values are nondeterministic.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     r_tagged = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
@@ -223,9 +229,14 @@ def as_of_join(
     unioned = l_tagged.select(r_tagged.columns + left.columns).unionByName(
         r_tagged.select("*", *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns])
     )
+    order = (
+        [F.col("__ts").asc(), F.col("__tag").asc()]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__tag").asc()]
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__tag")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -1527,3 +1527,129 @@ def w16_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T4 — forward as-of join (next-event lookup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t4_next_shipment_asof",
+    """
+WITH lcompact AS (
+  SELECT l_orderkey, l_shipdate, min(l_linenumber) AS first_linenumber
+  FROM lineitem GROUP BY l_orderkey, l_shipdate
+)
+SELECT o.o_orderkey,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_unix,
+       CAST(floor(epoch(l.l_shipdate)) AS BIGINT) AS first_ship_unix,
+       (CAST(floor(epoch(l.l_shipdate)) AS BIGINT)
+        - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) // 86400 AS lag_days,
+       l.first_linenumber
+FROM orders o
+ASOF LEFT JOIN lcompact l
+  ON o.o_orderkey = l.l_orderkey AND o.o_orderdate <= l.l_shipdate
+""",
+    ("T*", "J*"),
+    "FORWARD as-of join: each order picks up its first shipment at-or-"
+    "after the order date (next-event lookup — the mirror of t1's "
+    "point-in-time enrichment).  Same union-tag single-shuffle algorithm "
+    "with the per-key sort reversed (operators/analytic.py::as_of_join "
+    "direction='forward'); right side pre-compacted to one row per "
+    "(orderkey, shipdate) for determinism.  The oracle is DuckDB's "
+    "native ASOF JOIN with the inequality flipped.",
+)
+def t4_next_shipment_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    lcompact = (
+        li.groupBy("l_orderkey", "l_shipdate")
+        .agg(F.min("l_linenumber").alias("first_linenumber"))
+        .withColumn("first_ship_unix", F.unix_timestamp("l_shipdate"))
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_shipdate",
+            "first_ship_unix",
+            "first_linenumber",
+        )
+    )
+    joined = as_of_join(
+        o,
+        lcompact,
+        key="o_orderkey",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        carry_cols=["first_ship_unix", "first_linenumber"],
+        direction="forward",
+    )
+    order_unix = F.unix_timestamp("o_orderdate")
+    return joined.select(
+        "o_orderkey",
+        order_unix.alias("order_unix"),
+        "first_ship_unix",
+        F.expr("(first_ship_unix - unix_timestamp(o_orderdate)) DIV 86400").alias(
+            "lag_days"
+        ),
+        "first_linenumber",
+    )
+
+
+# ---------------------------------------------------------------------------
+# W17 — ratio-to-report (share of parent total, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w17_nation_revenue_share",
+    """
+WITH nat AS (
+  SELECT r.r_name AS region_name, n.n_name AS nation_name,
+         CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region_name, nation_name, rev_cents,
+       (1000000 * rev_cents)
+         // sum(rev_cents) OVER (PARTITION BY region_name) AS share_ppm
+FROM nat
+ORDER BY region_name, nation_name
+""",
+    ("W*", "A*", "J*"),
+    "Ratio-to-report: each nation's order revenue as an integer-exact ppm "
+    "share of its region's total.  Revenue enters as floor(price*100) "
+    "cents so every sum and the share division stay in exact integer "
+    "arithmetic.  One fact shuffle (orders->customer), two broadcast dim "
+    "joins, then a window partitioned by region over the 25-row nation "
+    "rollup — partitioned, never single-task.",
+)
+def w17_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    nat = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("region_name")
+    return nat.select(
+        "region_name",
+        "nation_name",
+        "rev_cents",
+        F.expr(
+            "1000000 * rev_cents DIV sum(rev_cents)"
+            " OVER (PARTITION BY region_name)"
+        ).alias("share_ppm"),
+    ).orderBy("region_name", "nation_name")

@@ -9,7 +9,7 @@ gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.multimodal import (
@@ -185,4 +185,76 @@ def x5_modality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_blobs"),
         F.sum("n_bytes").alias("total_bytes"),
         F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — training-shard manifest (WebDataset-style fixed-byte packing)
+# ---------------------------------------------------------------------------
+
+_SHARD_BYTES = 32768
+
+
+@register(
+    "x5_shard_manifest",
+    f"""
+WITH sized AS (
+  SELECT source, doc_id, octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents
+),
+placed AS (
+  SELECT source, doc_id, n_bytes,
+         (sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes)
+           // {_SHARD_BYTES} AS shard_id
+  FROM sized
+)
+SELECT source, shard_id,
+       count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id
+FROM placed
+GROUP BY source, shard_id
+ORDER BY source, shard_id
+""",
+    ("X5", "W*"),
+    "Training-shard manifest: blobs are packed into ~32 KiB shards per "
+    "source in deterministic doc_id order — a blob opens the shard its "
+    "cumulative byte offset falls in (WebDataset/tar-shard layout; the "
+    "manifest is what a 1000-GPU loader round-robins).  Pure metadata "
+    "plan: byte sizes come from the typed n_bytes column, payload bytes "
+    "are never read (column pruning), and the only shuffle is the "
+    "per-source running-sum window + the shard groupBy.  Integer byte "
+    "arithmetic end to end.",
+)
+def x5_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias(
+            "n_bytes"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn(
+        "shard_id",
+        F.expr(f"(sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id"
+               f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+               f" - n_bytes) DIV {_SHARD_BYTES}"),
+    )
+    return (
+        placed.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .orderBy("source", "shard_id")
     )

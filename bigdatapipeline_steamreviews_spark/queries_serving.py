@@ -474,3 +474,57 @@ def serving_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("low"))
     )
     return scd2_history(events, "user_id", tier, "tier")
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (mergeable partial aggregates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "serving_incremental_mv",
+    f"""
+SELECT event_type,
+       date_trunc('day', ts) AS day,
+       count(*) AS n_events,
+       {_sum_exact_sql('value')} AS total_value
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+""",
+    ("A1", "A5", "A7"),
+    "Incremental materialized-view maintenance: the events table is split "
+    "into a 'base' (~90%) and a 'delta' (~10%) by content hash — the "
+    "standing MV and a new ingest batch — each aggregated to PARTIAL "
+    "state (count + DECIMAL sum per key), then merged by re-aggregating "
+    "the union of partials.  The oracle is the full recompute: the gate "
+    "proves merge(partial(base), partial(delta)) == aggregate(base u "
+    "delta) BITWISE, the algebraic property that lets a 100 TB daily "
+    "rollup absorb an ingest batch by touching only |keys| rows of MV "
+    "state instead of rescanning the corpus.  (Count and DECIMAL sum "
+    "are the mergeable forms; avg is derived at read time — never "
+    "stored, since mean-of-means is not mergeable.)",
+)
+def serving_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10
+    )
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("event_type"), day).agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("pv"),
+        )
+
+    base = partial(events.filter(bucket < 9))
+    delta = partial(events.filter(bucket >= 9))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("pn").cast("long").alias("n_events"),
+            F.sum("pv").cast("string").cast("double").alias("total_value"),
+        )
+    )

@@ -121,3 +121,23 @@ def test_basket_pair_counts_by_hand(spark):
     )
     got = {(r.pa, r.pb): r["count"] for r in pairs.collect()}
     assert got == {("A", "B"): 2, ("B", "C"): 2, ("A", "C"): 1}
+
+
+def test_as_of_join_forward_hand_case(spark):
+    """Forward as-of: each left row picks the SMALLEST right_ts >= left_ts;
+    a right row at exactly left_ts must match (>= semantics)."""
+    from bigdatapipeline_steamreviews_spark.operators.analytic import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 5), (1, 9), (1, 20), (2, 1)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b"), (1, 12, "c"), (2, 100, "z")],
+        "k long, rts long, v string",
+    )
+    out = as_of_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        carry_cols=["v"], direction="forward",
+    )
+    got = {(r.k, r.lts): r.v for r in out.collect()}
+    assert got == {(1, 5): "a", (1, 9): "b", (1, 20): None, (2, 1): "z"}
