@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["exact_quantile_threshold", "temperature_mixture_weights"]
+__all__ = [
+    "exact_quantile_threshold",
+    "equi_depth_boundaries",
+    "temperature_mixture_weights",
+]
 
 
 def exact_quantile_threshold(
@@ -147,3 +151,92 @@ def temperature_mixture_weights(
             ),
         )
     )
+
+
+def equi_depth_boundaries(
+    df: DataFrame,
+    col: str | Column,
+    n_out: int = 10,
+    n_cells: int = 1024,
+) -> DataFrame:
+    """All ``n_out - 1`` nearest-rank quantile boundaries of ``col`` in ONE
+    two-phase pass: rows ``(i, boundary)`` for ``i = 1..n_out-1``, where
+    ``boundary_i`` is the value at rank ``ceil(i * n / n_out)`` ascending.
+
+    The multi-rank generalization of :func:`exact_quantile_threshold`
+    (same cell grid, same running-sum location), with two scale upgrades:
+    ranks are computed in exact integer arithmetic ``(i*n + D-1) div D``
+    (no float ceil at 10^12 rows), and the per-cell selection window is
+    PARTITIONED by (rank, cell) — every ordered window in the plan runs
+    over either the <= ``n_cells``-row cell table or one cell's rows,
+    never the corpus, even when several ranks land in distinct cells.
+
+    Degenerate input (all values equal) returns that constant at every
+    rank; empty input returns no rows.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    vals = df.select(c.cast("double").alias("__v")).filter(F.col("__v").isNotNull())
+    stats = vals.agg(
+        F.min("__v").alias("__mn"),
+        F.max("__v").alias("__mx"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    ranks = (
+        stats.select(
+            F.explode(F.sequence(F.lit(1), F.lit(n_out - 1))).alias("i"),
+            "__mn",
+            "__mx",
+            "__n",
+        )
+        .withColumn(
+            "__r",
+            F.expr(f"(i * __n + {n_out - 1}) DIV {n_out}"),
+        )
+        .filter(F.col("__n") > 0)
+    )
+
+    degenerate = ranks.filter(F.col("__mn") == F.col("__mx")).select(
+        "i", F.col("__mn").alias("boundary")
+    )
+
+    spread = stats.filter(F.col("__mn") != F.col("__mx"))
+    with_b = vals.crossJoin(F.broadcast(spread)).withColumn(
+        "__b",
+        F.least(
+            F.lit(n_cells - 1),
+            F.floor(
+                (F.col("__v") - F.col("__mn"))
+                / (F.col("__mx") - F.col("__mn"))
+                * n_cells
+            ),
+        ).cast("int"),
+    )
+    cell_counts = with_b.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    wb = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cell_counts.withColumn("__cum", F.sum("__cnt").over(wb)).withColumn(
+        "__before", F.col("__cum") - F.col("__cnt")
+    )
+    targets = (
+        ranks.filter(F.col("__mn") != F.col("__mx"))
+        .join(
+            F.broadcast(cum),
+            (F.col("__cum") >= F.col("__r")) & (F.col("__before") < F.col("__r")),
+        )
+        .select(
+            "i",
+            F.col("__b").alias("__tb"),
+            (F.col("__r") - F.col("__before")).alias("__k"),
+        )
+    )
+    cands = with_b.select("__v", "__b").join(
+        F.broadcast(targets), F.col("__b") == F.col("__tb")
+    )
+    wk = Window.partitionBy("i", "__tb").orderBy("__v")
+    picked = (
+        cands.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") == F.col("__k"))
+        .select("i", F.col("__v").alias("boundary"))
+    )
+    return degenerate.unionAll(picked)

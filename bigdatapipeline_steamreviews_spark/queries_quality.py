@@ -760,3 +760,74 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# A20 — equi-depth histogram without a global sort
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a20_equidepth_histogram",
+    """
+WITH ranked AS (
+  SELECT o_totalprice AS v, row_number() OVER (ORDER BY o_totalprice) AS rn
+  FROM orders
+),
+tot AS (SELECT count(*) AS n FROM orders),
+bounds AS (
+  SELECT gs.i AS i, r.v AS b
+  FROM generate_series(1, 9) gs(i)
+  CROSS JOIN tot t
+  JOIN ranked r ON r.rn = (gs.i * t.n + 9) // 10
+),
+assigned AS (
+  SELECT o.o_totalprice AS v,
+         1 + (SELECT count(*) FROM bounds WHERE bounds.b < o.o_totalprice)
+           AS bucket
+  FROM orders o
+)
+SELECT bucket, count(*) AS n_rows, min(v) AS lo, max(v) AS hi
+FROM assigned GROUP BY bucket ORDER BY bucket
+""",
+    ("A*", "W*"),
+    "Equi-depth (decile) histogram of order totals WITHOUT a global sort: "
+    "all 9 nearest-rank boundaries come from one two-phase bucketed "
+    "selection (operators/selection.py::equi_depth_boundaries — exact "
+    "integer rank arithmetic, every ordered window over the cell table "
+    "or one cell, the per-cell window partitioned by rank), then rows "
+    "are assigned by value against the broadcast sorted boundary array "
+    "with a map-side array expression.  The oracle is the textbook "
+    "row_number() global-sort formulation — the gate proves the "
+    "distributed plan selects the IDENTICAL boundary values.  Buckets "
+    "are value-defined (b_{i-1} < v <= b_i), so ties are deterministic "
+    "on both sides.",
+)
+def a20_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.selection import equi_depth_boundaries
+
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = equi_depth_boundaries(orders, "o_totalprice", n_out=10)
+    barr = bounds.agg(
+        F.sort_array(F.collect_list("boundary")).alias("__bs")
+    )
+    assigned = (
+        orders.select(F.col("o_totalprice").alias("v"))
+        .join(F.broadcast(barr))
+        .select(
+            "v",
+            (
+                F.lit(1)
+                + F.expr("size(filter(__bs, x -> x < v))")
+            ).cast("long").alias("bucket"),
+        )
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -1152,3 +1152,64 @@ def stream_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_table(
         weekly, name, checkpoint, "append", shuffle_partitions=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming table checksum — the reconciliation fingerprint, maintained
+# incrementally (bit_xor is commutative/associative, so it is a mergeable
+# streaming aggregate like count/sum).
+# ---------------------------------------------------------------------------
+
+STREAM_CHECKSUM_ORACLE = """
+SELECT event_type,
+       count(*) AS n_rows,
+       bit_xor(('0x' || substr(md5(
+           event_id::VARCHAR || '|' || user_id::VARCHAR || '|'
+           || CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR || '|'
+           || CAST(floor(value * 1000) AS BIGINT)::VARCHAR
+       ), 1, 15))::BIGINT) AS checksum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "stream_table_checksum",
+    STREAM_CHECKSUM_ORACLE,
+    ("T*", "A*", "S3"),
+    "The dq_table_checksum fingerprint maintained INCREMENTALLY by a "
+    "streaming aggregate: bit_xor is commutative + associative, so each "
+    "micro-batch folds into |groups| longs of state and the final state "
+    "equals the batch checksum over the full table — continuous "
+    "cross-replica reconciliation (compare one row per group against "
+    "the other cluster, move zero data) instead of a periodic rescan.  "
+    "Same oracle as the batch query.",
+)
+def stream_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_checksum_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    serial = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.floor(F.unix_timestamp(F.col("ts"))).cast("long").cast("string"),
+        F.floor(F.col("value") * 1000).cast("long").cast("string"),
+    )
+    row_hash = F.conv(F.substring(F.md5(serial), 1, 15), 16, 10).cast("long")
+    result = (
+        stream.select("event_type", row_hash.alias("__rh"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(__rh)").alias("checksum"),
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    out = run_to_memory_table(
+        result, name, checkpoint, "complete", shuffle_partitions=8
+    )
+    return out.orderBy("event_type")

@@ -141,3 +141,31 @@ def test_as_of_join_forward_hand_case(spark):
     )
     got = {(r.k, r.lts): r.v for r in out.collect()}
     assert got == {(1, 5): "a", (1, 9): "b", (1, 20): None, (2, 1): "z"}
+
+
+def test_equi_depth_boundaries_match_global_sort(spark):
+    """Multi-rank two-phase selection must equal row_number() global-sort
+    nearest-rank boundaries — including several ranks landing in the SAME
+    cell, duplicates straddling a boundary, and the degenerate
+    all-equal-values branch."""
+    from bigdatapipeline_steamreviews_spark.operators.selection import (
+        equi_depth_boundaries,
+    )
+
+    vals = [float(v) for v in [5, 5, 5, 7, 8, 8, 9, 12, 50, 50, 50, 51]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r.i: r.boundary
+        for r in equi_depth_boundaries(df, "x", n_out=4, n_cells=4).collect()
+    }
+    n = len(vals)
+    s = sorted(vals)
+    want = {i: s[(i * n + 3) // 4 - 1] for i in (1, 2, 3)}
+    assert got == want
+
+    const = spark.createDataFrame([(3.0,)] * 7, "x double")
+    got_c = {
+        r.i: r.boundary
+        for r in equi_depth_boundaries(const, "x", n_out=4).collect()
+    }
+    assert got_c == {1: 3.0, 2: 3.0, 3: 3.0}

@@ -121,6 +121,10 @@ def test_registry_wide_plan_lint(spark):
         # pruned candidate cost-group table, never the part corpus — see
         # operators/analytic.py::pareto_frontier_2d.
         "a19_pareto_frontier",
+        # running sum over the <=1024-row cell table (the per-cell
+        # selection window is partitioned by rank) — see
+        # operators/selection.py::equi_depth_boundaries.
+        "a20_equidepth_histogram",
     }
 
     offenders = {}
