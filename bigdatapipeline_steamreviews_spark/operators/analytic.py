@@ -42,6 +42,7 @@ __all__ = [
     "event_transitions",
     "equi_width_histogram",
     "pareto_frontier_2d",
+    "interval_peak_concurrency",
 ]
 
 _ACC_DECIMAL = "decimal(28,10)"
@@ -497,4 +498,56 @@ def pareto_frontier_2d(
         )
         .select(key_col, cost_col, gain_col)
         .orderBy(cost_col, key_col)
+    )
+
+
+def interval_peak_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    tiebreak_cols: tuple[str, ...],
+) -> DataFrame:
+    """Per-day peak number of simultaneously-active intervals — the
+    sweep-line algorithm, distributed via two-level prefix-sum
+    decomposition.
+
+    Starts become +1 deltas, ends -1; the global running sum (the naive
+    single-sort sweep) decomposes into a per-day carry-in (running sum
+    over the ~|days| spine — tiny, single task by design) plus a
+    within-day running sum PARTITIONED by day, so no corpus-sized ordered
+    window exists anywhere in the plan.  Start/end columns are epoch
+    seconds (bigint).  Ties: starts sort before ends at equal timestamps
+    (``d DESC``), so back-to-back intervals overlap at the boundary
+    instant; the reported peak is over post-delta values.
+    """
+    starts = intervals.select(
+        F.col(start_col).alias("t"), F.lit(1).alias("d"), *tiebreak_cols
+    )
+    ends = intervals.select(
+        F.col(end_col).alias("t"), F.lit(-1).alias("d"), *tiebreak_cols
+    )
+    deltas = starts.unionByName(ends).withColumn(
+        "day", F.expr("(t DIV 86400) * 86400")
+    )
+    day_sums = deltas.groupBy("day").agg(F.sum("d").alias("day_delta"))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = day_sums.select(
+        "day",
+        F.coalesce(F.sum("day_delta").over(w_days), F.lit(0)).alias("carry_in"),
+    )
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("d").desc(), *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_c = deltas.join(F.broadcast(carry), "day").withColumn(
+        "c", (F.col("carry_in") + F.sum("d").over(w_in)).cast("long")
+    )
+    return (
+        with_c.groupBy(F.col("day").alias("day_unix"))
+        .agg(
+            F.max("c").alias("peak_concurrency"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+        .orderBy("day_unix")
     )

@@ -21,6 +21,7 @@ from .operators.analytic import (
     event_deltas,
     event_transitions,
     gap_fill_forward,
+    interval_peak_concurrency,
     nearest_rank_percentiles,
     pareto_frontier_2d,
     range_join_count,
@@ -1653,3 +1654,73 @@ def w17_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             " OVER (PARTITION BY region_name)"
         ).alias("share_ppm"),
     ).orderBy("region_name", "nation_name")
+
+
+# ---------------------------------------------------------------------------
+# W18 — peak concurrent sessions (distributed sweep-line / prefix sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w18_peak_concurrency",
+    """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, session_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS s,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) AS e
+  FROM (
+    SELECT user_id, ts,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+    FROM marked
+  ) GROUP BY user_id, session_id
+),
+deltas AS (
+  SELECT s AS t, 1 AS d, user_id, session_id FROM sess
+  UNION ALL
+  SELECT e AS t, -1 AS d, user_id, session_id FROM sess
+),
+run AS (
+  SELECT t, d,
+         CAST(sum(d) OVER (ORDER BY t, d DESC, user_id, session_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c
+  FROM deltas
+)
+SELECT (t // 86400) * 86400 AS day_unix,
+       max(c) AS peak_concurrency,
+       count(*) AS n_changes
+FROM run GROUP BY (t // 86400) * 86400
+ORDER BY day_unix
+""",
+    ("W*", "A*"),
+    "Peak concurrent sessions per day — the sweep-line algorithm, "
+    "DISTRIBUTED: session starts are +1 deltas and ends are -1, and the "
+    "global running sum decomposes into (a) per-day delta totals with a "
+    "running carry-in over the ~|days| spine (tiny single-task window, "
+    "the documented allowance) plus (b) a within-day running sum "
+    "PARTITIONED by day — the textbook two-level prefix-sum "
+    "decomposition, so no corpus-sized ordered window exists anywhere "
+    "in the plan.  The oracle is the single global running sum the "
+    "naive formulation would use.  Ties: starts sort before ends at "
+    "equal timestamps (d DESC), so back-to-back sessions overlap at "
+    "the boundary instant; peak is over post-delta values.",
+)
+def w18_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = session_stats(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+    return interval_peak_concurrency(
+        sessions,
+        start_col="session_start_unix",
+        end_col="session_end_unix",
+        tiebreak_cols=("user_id", "session_id"),
+    )

@@ -169,3 +169,43 @@ def test_equi_depth_boundaries_match_global_sort(spark):
         for r in equi_depth_boundaries(const, "x", n_out=4).collect()
     }
     assert got_c == {1: 3.0, 2: 3.0, 3: 3.0}
+
+
+def test_interval_peak_concurrency_hand_case(spark):
+    """Sweep-line decomposition: intervals spanning the day boundary must
+    carry into the next day's base (carry-in), starts beat ends at equal
+    timestamps, and the brute-force global running sum is the truth."""
+    from bigdatapipeline_steamreviews_spark.operators.analytic import (
+        interval_peak_concurrency,
+    )
+
+    D = 86400
+    # (key, start, end): two overlapping on day 0, one spanning midnight,
+    # one starting exactly when another ends (must overlap at the instant),
+    # one entirely inside day 1 while the spanner is still open.
+    iv = [
+        (1, 100, 200),
+        (2, 150, 300),          # overlaps 1 -> peak 2 on day 0
+        (3, D - 50, D + 500),   # spans midnight (carry-in 1 into day 1)
+        (4, 300, 400),          # starts exactly at 2's end -> overlap
+        (5, D + 100, D + 200),  # inside day 1 while 3 open -> peak 2
+    ]
+    df = spark.createDataFrame(iv, "k long, s long, e long")
+    got = {
+        r.day_unix: (r.peak_concurrency, r.n_changes)
+        for r in interval_peak_concurrency(
+            df, "s", "e", tiebreak_cols=("k",)
+        ).collect()
+    }
+    # Brute force: global sweep.
+    deltas = sorted(
+        [(s, -1 * -1, k) for k, s, e in iv] + [(e, -1, k) for k, s, e in iv],
+        key=lambda x: (x[0], -x[1], x[2]),
+    )
+    c, best, changes = 0, {}, {}
+    for t, d, _ in deltas:
+        c += d
+        day = (t // D) * D
+        best[day] = max(best.get(day, -10**9), c)
+        changes[day] = changes.get(day, 0) + 1
+    assert got == {day: (best[day], changes[day]) for day in best}

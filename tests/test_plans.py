@@ -125,6 +125,11 @@ def test_registry_wide_plan_lint(spark):
         # selection window is partitioned by rank) — see
         # operators/selection.py::equi_depth_boundaries.
         "a20_equidepth_histogram",
+        # carry-in running sum over the ~|days| spine; the corpus-sized
+        # sweep runs in the day-PARTITIONED within-day window — see
+        # w18_peak_concurrency docstring (two-level prefix-sum
+        # decomposition).
+        "w18_peak_concurrency",
     }
 
     offenders = {}
