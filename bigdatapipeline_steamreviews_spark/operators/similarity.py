@@ -42,6 +42,7 @@ __all__ = [
     "scalar_quantize",
     "assign_to_centroids",
     "semantic_dedup_pairs",
+    "pq_adc_topk",
 ]
 
 
@@ -865,4 +866,128 @@ def kmeans_lloyd(
     )
     return asg.groupBy(F.col("cid").alias("centroid_id")).agg(
         F.count(F.lit(1)).alias("n_assigned"), inertia.alias("inertia")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    n_sub: int = 2,
+    codebook_k: int = 4,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation (ADC)
+    — the memory-compression half of the IVF+PQ recipe behind
+    billion-vector indexes.
+
+    The vector space splits into ``n_sub`` subspaces; each subspace gets a
+    ``codebook_k``-entry codebook (deterministic seeding: the first
+    ``codebook_k`` vectors' slices — codebook *training* is k-means,
+    covered by :func:`kmeans_lloyd`; PQ's own contribution is the encode +
+    ADC machinery).  Every corpus vector is encoded as ``n_sub`` small
+    codes (here 2 x 2 bits — a 512-byte float64 vector becomes 1 byte),
+    and query-to-vector distance is approximated as the SUM of
+    query-to-centroid distances looked up per code — queries never touch
+    the corpus floats.
+
+    Plan shape: ONE corpus scan computes all subspace codes (the 8-row
+    codebook joins broadcast, argmin per (vector, subspace) via
+    min(struct)); the per-query lookup table (|queries| x n_sub x
+    codebook_k rows) joins broadcast onto the code table; top-k per query
+    is a partitioned window.  The corpus is never shuffled and its floats
+    are read exactly once — at 100 TB the code table (bytes per vector)
+    is what persists, the float corpus is cold storage.
+
+    Distances are deterministic sequential squared-diff folds, so the
+    whole pipeline (codes, ADC values, ranking) hash-gates bitwise.
+    """
+    sub_dim = dim // n_sub
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        query_pred.alias("is_q"),
+    )
+
+    # Codebook: n_sub x codebook_k centroids from the first vectors' slices.
+    subs = [(s, F.slice(F.col("v"), 1 + s * sub_dim, sub_dim)) for s in range(n_sub)]
+    cb = None
+    for s, sl in subs:
+        part = e.filter(F.col("vid") < codebook_k).select(
+            F.lit(s).alias("s"),
+            F.col("vid").cast("long").alias("cid"),
+            sl.alias("c"),
+        )
+        cb = part if cb is None else cb.unionByName(part)
+
+    def subdist(vec_slice: Column, cent: Column) -> Column:
+        diffsq = F.zip_with(vec_slice, cent, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x)
+
+    # Encode: one corpus scan, argmin per (vid, subspace) over the
+    # broadcast codebook, pivoted to one code column per subspace.
+    sliced = e.select(
+        "vid", *[sl.alias(f"sl{s}") for s, sl in subs]
+    )
+    scored = sliced.join(F.broadcast(cb)).select(
+        "vid",
+        "s",
+        "cid",
+        F.when(F.col("s") == 0, subdist(F.col("sl0"), F.col("c")))
+        .otherwise(subdist(F.col("sl1"), F.col("c")))
+        .alias("dist"),
+    )
+    codes = (
+        scored.groupBy("vid", "s")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .groupBy("vid")
+        .pivot("s", list(range(n_sub)))
+        .agg(F.first("m.cid"))
+        .select(
+            "vid", *[F.col(str(s)).alias(f"code{s}") for s in range(n_sub)]
+        )
+    )
+
+    # Per-query lookup table: distance from each query slice to each
+    # codebook centroid (|queries| x n_sub x codebook_k rows).
+    q = e.filter(F.col("is_q")).select(
+        F.col("vid").alias("query_id"),
+        *[sl.alias(f"qs{s}") for s, sl in subs],
+    )
+    lut = q.join(F.broadcast(cb)).select(
+        "query_id",
+        "s",
+        "cid",
+        F.when(F.col("s") == 0, subdist(F.col("qs0"), F.col("c")))
+        .otherwise(subdist(F.col("qs1"), F.col("c")))
+        .alias("ld"),
+    )
+    lut0 = lut.filter(F.col("s") == 0).select(
+        "query_id", F.col("cid").alias("code0"), F.col("ld").alias("d0")
+    )
+    lut1 = lut.filter(F.col("s") == 1).select(
+        F.col("query_id").alias("q1"), F.col("cid").alias("c1"),
+        F.col("ld").alias("d1"),
+    )
+
+    adc = (
+        codes.join(F.broadcast(lut0), "code0")
+        .join(
+            F.broadcast(lut1),
+            (F.col("query_id") == F.col("q1")) & (F.col("code1") == F.col("c1")),
+        )
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            (F.col("d0") + F.col("d1")).alias("adc_dist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
     )

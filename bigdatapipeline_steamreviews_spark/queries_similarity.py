@@ -789,3 +789,89 @@ def x3_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import kmeans_lloyd
 
     return kmeans_lloyd(_clean_emb(spark, sf_dir), k=8, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# X3 — product quantization + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x3_pq_adc_topk",
+    f"""
+WITH e AS (
+  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM {_CLEAN_EMB_SQL}
+),
+sliced AS (SELECT vec_id, v[1:32] AS sl0, v[33:64] AS sl1 FROM e),
+cb AS (
+  SELECT 0 AS s, vec_id AS cid, sl0 AS c FROM sliced WHERE vec_id < 4
+  UNION ALL
+  SELECT 1, vec_id, sl1 FROM sliced WHERE vec_id < 4
+),
+scored AS (
+  SELECT t.vec_id, 0 AS s, cb.cid,
+         list_sum([(t.sl0[i] - cb.c[i]) * (t.sl0[i] - cb.c[i])
+                   for i in range(1, 33)]) AS dist
+  FROM sliced t JOIN cb ON cb.s = 0
+  UNION ALL
+  SELECT t.vec_id, 1, cb.cid,
+         list_sum([(t.sl1[i] - cb.c[i]) * (t.sl1[i] - cb.c[i])
+                   for i in range(1, 33)])
+  FROM sliced t JOIN cb ON cb.s = 1
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dist, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+wide AS (
+  SELECT vec_id,
+         max(CASE WHEN s = 0 THEN cid END) AS code0,
+         max(CASE WHEN s = 1 THEN cid END) AS code1
+  FROM codes GROUP BY vec_id
+),
+lut AS (
+  SELECT q.vec_id AS query_id, 0 AS s, cb.cid,
+         list_sum([(q.sl0[i] - cb.c[i]) * (q.sl0[i] - cb.c[i])
+                   for i in range(1, 33)]) AS ld
+  FROM sliced q JOIN cb ON cb.s = 0 WHERE q.vec_id < 10
+  UNION ALL
+  SELECT q.vec_id, 1, cb.cid,
+         list_sum([(q.sl1[i] - cb.c[i]) * (q.sl1[i] - cb.c[i])
+                   for i in range(1, 33)])
+  FROM sliced q JOIN cb ON cb.s = 1 WHERE q.vec_id < 10
+),
+adc AS (
+  SELECT l0.query_id, w.vec_id AS neighbor_id, l0.ld + l1.ld AS adc_dist
+  FROM wide w
+  JOIN lut l0 ON l0.s = 0 AND l0.cid = w.code0
+  JOIN lut l1 ON l1.s = 1 AND l1.cid = w.code1
+              AND l1.query_id = l0.query_id
+  WHERE w.vec_id != l0.query_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= 5
+""",
+    ("X3",),
+    "Product quantization + ADC top-5 for 10 queries: the vector space "
+    "splits into 2 subspaces with 4-entry codebooks (deterministic "
+    "first-4 seeding — codebook TRAINING is k-means, x3_kmeans_lloyd; "
+    "this query gates the encode + asymmetric-distance machinery).  One "
+    "corpus scan computes all codes (broadcast codebook, min-struct "
+    "argmin), the per-query centroid-distance lookup table joins "
+    "broadcast onto the code table, and queries never touch corpus "
+    "floats — the memory-compression half of the billion-scale IVF+PQ "
+    "recipe (a float64 vector becomes n_sub codes).  Codes, ADC values "
+    "and ranking all hash-gate bitwise.",
+)
+def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(
+        _clean_emb(spark, sf_dir), F.col("vec_id") < 10, k=5
+    )

@@ -486,3 +486,58 @@ def test_prefix_filter_prunes_and_matches_plain_join(spark):
         .count()
     )
     assert cand < all_pairs
+
+
+def test_pq_adc_equals_reconstruction_distance(spark):
+    """The defining PQ/ADC identity: ADC(q, x) is EXACTLY the squared
+    euclidean distance from q to x's codebook reconstruction (the
+    concatenation of x's per-subspace centroids).  So the distributed
+    ADC ranking must equal a brute-force ranking over reconstructions,
+    ties broken by neighbor id — not approximately, bitwise."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        (F.size("embedding") == 64)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    approx = pq_adc_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    assert len(approx) > 0
+    assert {r["rank"] for r in approx} <= {1, 2, 3, 4, 5}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def subdist(a, b):  # left-fold sum, same order as the Spark aggregate
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    cb = {s: {c: vecs[c][s * 32 : (s + 1) * 32] for c in range(4)} for s in (0, 1)}
+    codes = {
+        v: tuple(
+            min(range(4), key=lambda c: (subdist(vec[s * 32 : (s + 1) * 32], cb[s][c]), c))
+            for s in (0, 1)
+        )
+        for v, vec in vecs.items()
+    }
+    expected = set()
+    for q in [v for v in vecs if v < 10]:
+        ds = sorted(
+            (
+                (
+                    subdist(vecs[q][:32], cb[0][codes[n][0]])
+                    + subdist(vecs[q][32:], cb[1][codes[n][1]]),
+                    n,
+                )
+                for n in vecs
+                if n != q
+            )
+        )[:5]
+        expected |= {(q, n) for _, n in ds}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert got == expected
