@@ -41,6 +41,8 @@ __all__ = [
     "incremental_exact_dedup",
     "simhash_signatures",
     "connected_components",
+    "bloom_filter_table",
+    "bloom_probe",
 ]
 
 
@@ -707,3 +709,106 @@ def prefix_filtered_jaccard_pairs(
         inter.select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (approximate incremental dedup at corpus scale)
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 62  # bits per packed long; 62 dodges sign-bit overflow
+#                        semantics that differ across engines at 1<<63
+
+
+def _bloom_positions(key: Column, m_bits: int, k_hashes: int) -> Column:
+    """Array of ``k_hashes`` bit positions in ``[0, m_bits)`` for a key —
+    independent md5 draws (salted by hash index), bit-identical in every
+    engine, so the filter AND its false positives are deterministic."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k_hashes - 1)),
+        lambda j: F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", key.cast("string"), j.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits,
+    )
+
+
+def bloom_filter_table(
+    keys: DataFrame, key_col: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """Build a Bloom filter over ``keys`` as a PACKED TABLE
+    ``(word_idx, bits)`` — ``m_bits / 62`` longs, OR-folded distributively.
+
+    bit_or is commutative/associative, so the build is one map-side
+    explode (k positions per key) + a partial-aggregatable groupBy on
+    ``word_idx`` — the filter for a 10^10-key corpus is ~m/62 rows built
+    in one scan, and it BROADCASTS to probers (the point: membership
+    tests against the historical corpus without joining the corpus).
+    """
+    pos = keys.select(
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k_hashes)).alias(
+            "__p"
+        )
+    )
+    return (
+        pos.select(
+            (F.col("__p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+            # shiftleft's numBits parameter is literal-only in the Python
+            # API; the SQL form takes a column.
+            F.expr(
+                f"shiftleft(1L, CAST(__p % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(__bit)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    k_hashes: int,
+) -> DataFrame:
+    """Test each row's key against a packed Bloom filter: adds
+    ``maybe_member`` (true iff ALL k bits are set — no false negatives;
+    false positives at the standard (1 - e^{-kn/m})^k rate, and
+    deterministic here because the hashes are).
+
+    The probe explodes each key into its k (word, bit) lookups, joins the
+    ~m/62-row filter BROADCAST, and counts hits per key — the corpus
+    being probed is scanned once, never shuffled (the groupBy key is the
+    probe row id, which rides the scan partitioning through a map-side
+    partial).
+    """
+    probes = df.select(
+        F.col(key_col).alias("__key"),
+        F.explode(
+            _bloom_positions(F.col(key_col), m_bits, k_hashes)
+        ).alias("__p"),
+    ).select(
+        "__key",
+        (F.col("__p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(
+            f"shiftleft(1L, CAST(__p % {_BLOOM_WORD_BITS} AS INT))"
+        ).alias("__bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "__key",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("__bit"))
+                == F.col("__bit")
+            ).cast("int").alias("__hit"),
+        )
+        .groupBy("__key")
+        .agg((F.sum("__hit") == k_hashes).alias("maybe_member"))
+    )
+    return df.join(hits, df[key_col] == hits["__key"]).drop("__key")

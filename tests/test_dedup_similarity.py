@@ -541,3 +541,31 @@ def test_pq_adc_equals_reconstruction_distance(spark):
         expected |= {(q, n) for _, n in ds}
     got = {(r["query_id"], r["neighbor_id"]) for r in approx}
     assert got == expected
+
+
+def test_bloom_probe_no_false_negatives_and_bounded_fp(spark):
+    """Bloom membership: every inserted key MUST test positive (no false
+    negatives, the structural guarantee), and the false-positive rate on
+    disjoint keys stays within ~3x the analytic (1-e^{-kn/m})^k bound."""
+    import math
+
+    from bigdatapipeline_steamreviews_spark.operators.dedup import (
+        bloom_filter_table,
+        bloom_probe,
+    )
+
+    m, k, n = 1 << 14, 4, 600
+    inserted = spark.range(0, n).select(F.col("id").alias("key"))
+    disjoint = spark.range(10_000, 10_000 + 2_000).select(
+        F.col("id").alias("key")
+    )
+    bloom = bloom_filter_table(inserted, "key", m, k)
+
+    members = bloom_probe(inserted, "key", bloom, m, k)
+    assert members.filter(~F.col("maybe_member")).count() == 0
+
+    fp = bloom_probe(disjoint, "key", bloom, m, k).filter(
+        F.col("maybe_member")
+    ).count()
+    bound = (1 - math.exp(-k * n / m)) ** k
+    assert fp / 2_000 <= 3 * bound + 0.01, (fp, bound)
