@@ -1724,3 +1724,122 @@ def w18_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_col="session_end_unix",
         tiebreak_cols=("user_id", "session_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A21 — per-group mode / argmax (deterministic tie-breaks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a21_modal_order_month",
+    """
+WITH m AS (
+  SELECT o_orderpriority,
+         date_trunc('month', o_orderdate) AS month,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month AS modal_month, n_orders FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY n_orders DESC, month) AS rn
+  FROM m
+) WHERE rn = 1
+ORDER BY o_orderpriority
+""",
+    ("A*", "W*"),
+    "Per-group mode (argmax): the busiest order month per priority, ties "
+    "broken toward the earliest month.  Expressed as max(struct(n, "
+    "-epoch, month)) — a pure partial-aggregatable aggregate, NO window "
+    "over the detail rows: the shuffle carries one struct per (priority, "
+    "month), and the mode falls out of the final max.  The oracle uses "
+    "the textbook row_number formulation to prove the struct-max trick "
+    "picks the identical row.",
+)
+def a21_modal_order_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    # argmax via struct ordering: (n_orders asc, neg_epoch asc) maxed ==
+    # (n_orders desc, month asc) first — earliest month wins ties.
+    s = F.struct(
+        F.col("n_orders"),
+        (-F.unix_timestamp("month")).alias("neg"),
+        F.col("month"),
+    )
+    return (
+        m.groupBy("o_orderpriority")
+        .agg(F.max(s).alias("m"))
+        .select(
+            "o_orderpriority",
+            F.col("m.month").alias("modal_month"),
+            F.col("m.n_orders").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W19 — gaps and islands (longest consecutive-active-day streak)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w19_activity_streaks",
+    """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400 AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS len,
+         min(d) * 86400 AS start_unix
+  FROM islands GROUP BY user_id, grp
+)
+SELECT user_id,
+       max(len) AS longest_streak,
+       count(*) AS n_streaks,
+       min(start_unix) AS first_active_unix
+FROM streaks GROUP BY user_id
+ORDER BY user_id
+""",
+    ("W*", "A*"),
+    "Gaps-and-islands: per user, the longest run of CONSECUTIVE active "
+    "days, the number of distinct runs, and first activity.  The classic "
+    "day_number - row_number() island key — constant within a "
+    "consecutive run, breaks at every gap — over the (user, day) dedup. "
+    "One shuffle for the dedup, one user-partitioned window, two "
+    "partial-aggregatable groupBys; nothing corpus-ordered.",
+)
+def w19_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id",
+        F.expr(
+            "CAST(floor(unix_timestamp(date_trunc('day', ts))) AS BIGINT)"
+            " DIV 86400"
+        ).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        (F.min("d") * 86400).alias("start_unix"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.min("start_unix").alias("first_active_unix"),
+        )
+        .orderBy("user_id")
+    )
