@@ -1882,3 +1882,58 @@ def x1_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("class", "maybe_member")
     )
+
+
+# ---------------------------------------------------------------------------
+# X2 — LSH cost report (predict the candidate-join bill BEFORE paying it)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x2_lsh_cost_report",
+    f"""
+WITH {_SHINGLES3_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs
+),
+buckets AS (
+  SELECT band, key, count(*) AS c FROM bands GROUP BY band, key
+)
+SELECT band,
+       count(*) AS n_buckets,
+       max(c) AS max_bucket,
+       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS est_candidate_pairs
+FROM buckets GROUP BY band ORDER BY band
+""",
+    ("X2", "A*"),
+    "LSH self-join cost estimator: per band, the bucket count, the "
+    "heaviest bucket, and the exact candidate-pair bill sum C(c,2) the "
+    "bucket join WILL generate — computed from the staged band index "
+    "for the price of one groupBy, before the join is paid for.  This "
+    "is the query a 100 TB dedup run executes first: a skewed "
+    "max_bucket (a boilerplate band key) means salting or df-pruning "
+    "BEFORE launching the pair join, and est_candidate_pairs sizes the "
+    "shuffle.  Integer arithmetic end to end.",
+)
+def x2_lsh_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bandt = _staged_bands(spark, sf_dir, k=8, bands=4)
+    buckets = bandt.groupBy("band", "key").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("c").alias("max_bucket"),
+            F.expr("CAST(sum(c * (c - 1) DIV 2) AS BIGINT)").alias(
+                "est_candidate_pairs"
+            ),
+        )
+        .orderBy("band")
+    )
