@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "x1_paragraph_dedup",          # explode-heavy sub-document dedup
     "j4_fuzzy_name_match",         # deletion-variant fuzzy join (r5-born)
     "x4_bigram_pmi",               # double-explode collocations (r5-born)
+    # r5 third-session algorithmic families (25 above stay comparable):
+    "a19_pareto_frontier",         # two-phase bucket-pruned skyline
+    "a20_equidepth_histogram",     # multi-rank two-phase selection
+    "w18_peak_concurrency",        # distributed sweep-line prefix sum
+    "x3_pq_adc_topk",              # product quantization + ADC
 ]
 
 
