@@ -904,6 +904,12 @@ def pq_adc_topk(
     Distances are deterministic sequential squared-diff folds, so the
     whole pipeline (codes, ADC values, ranking) hash-gates bitwise.
     """
+    if n_sub != 2:
+        # The encode/LUT CASE dispatch below is written for 2 subspaces
+        # (which is also what the oracle unrolls); generalizing is a
+        # mechanical loop, but an n_sub the code silently ignores would
+        # be a lie in the API.
+        raise NotImplementedError("pq_adc_topk currently supports n_sub=2")
     sub_dim = dim // n_sub
     e = embeddings.select(
         F.col(id_col).alias("vid"),

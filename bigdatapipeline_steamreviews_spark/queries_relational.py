@@ -1480,7 +1480,10 @@ LIMIT 200
     "blow-up is bounded by max-basket-size^2 per order (~13^2 here), "
     "never corpus^2; item counts and the single-row order total join "
     "back broadcast.  At 100 TB add a min-support pre-filter on "
-    "item_cnt (frequent-itemset pruning) before the pair join.",
+    "item_cnt (frequent-itemset pruning) before the pair join, and move "
+    "the lift numerator (1e6 * pair_cnt * n_orders) into DECIMAL(38,0) "
+    "— at ~10^10 orders the BIGINT product can overflow, silently in "
+    "Spark and loudly in the oracle.",
 )
 def m1_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
