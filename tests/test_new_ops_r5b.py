@@ -209,3 +209,81 @@ def test_interval_peak_concurrency_hand_case(spark):
         best[day] = max(best.get(day, -10**9), c)
         changes[day] = changes.get(day, 0) + 1
     assert got == {day: (best[day], changes[day]) for day in best}
+
+
+def test_last_touch_attribution_semantics(spark):
+    """A purchase credits the latest PRECEDING view/click (strictly before
+    it in (ts, event_id) order); purchases with no prior touch fall into
+    'none'; a touch AFTER the purchase must not count."""
+    import datetime as dt
+
+    from bigdatapipeline_steamreviews_spark.registry import REGISTRY
+    from bigdatapipeline_steamreviews_spark import queries
+
+    queries()
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    rows = [
+        # user 1: view -> purchase (view wins), then click -> purchase
+        (1, ts("2024-01-01 10:00:00"), 1, "view", 0.0, "{}"),
+        (2, ts("2024-01-01 10:05:00"), 1, "purchase", 10.0, "{}"),
+        (3, ts("2024-01-01 10:10:00"), 1, "click", 0.0, "{}"),
+        (4, ts("2024-01-01 10:15:00"), 1, "purchase", 20.0, "{}"),
+        # user 2: purchase with NO prior touch; later view is irrelevant
+        (5, ts("2024-01-01 09:00:00"), 2, "purchase", 5.0, "{}"),
+        (6, ts("2024-01-01 09:30:00"), 2, "view", 0.0, "{}"),
+        # user 3: error events are not touches
+        (7, ts("2024-01-01 08:00:00"), 3, "error", 0.0, "{}"),
+        (8, ts("2024-01-01 08:10:00"), 3, "purchase", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="attr_events_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = REGISTRY["w16_last_touch_attribution"].fn(spark, d)
+    got = {
+        r.touch_type: (r.n_purchases, r.attributed_value)
+        for r in out.collect()
+    }
+    assert got == {
+        "view": (1, 10.0),
+        "click": (1, 20.0),
+        "none": (2, 12.0),  # user 2 (no prior touch) + user 3 (error only)
+    }
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    """The heavy key tops the report with the right ppm share and
+    skew_x_keys = cnt * n_distinct_keys (exact integers)."""
+    from bigdatapipeline_steamreviews_spark.registry import REGISTRY
+    from bigdatapipeline_steamreviews_spark import queries
+
+    queries()
+    import tempfile, os, datetime as dt
+
+    rows = [(1, 100, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1))] * 60 + [
+        (2, 200, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1))
+    ] * 30 + [
+        (3, 300, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1))
+    ] * 10
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    d = tempfile.mkdtemp(prefix="skew_li_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    out = REGISTRY["dq_key_skew_report"].fn(spark, d).collect()
+    assert [r.key for r in out] == [100, 200, 300]
+    top = out[0]
+    assert (top.cnt, top.share_ppm, top.skew_x_keys) == (60, 600000, 180)
