@@ -10,7 +10,6 @@ synthetic data may never exercise.
 
 from __future__ import annotations
 
-import itertools
 
 from pyspark.sql import functions as F
 
