@@ -190,6 +190,7 @@ def _ensure_all_registered() -> None:
     from . import queries_reviews  # noqa: F401
     from . import queries_sources  # noqa: F401
     from . import queries_quality  # noqa: F401
+    from . import queries_spark4  # noqa: F401
 
     last_green = _last_green_rounds()
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
