@@ -180,3 +180,157 @@ def src_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         sum_exact("value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source: blob-per-file ingest (the multimodal lake layout)
+# ---------------------------------------------------------------------------
+
+
+def _stage_doc_files(spark: SparkSession, sf_dir: str) -> str:
+    """One file per document under /tmp, fingerprint-keyed.
+
+    Test scaffolding only: a real multimodal lake already IS files-on-
+    storage (images/audio dropped by upstream collectors); the measured
+    operator is the ``binaryFile`` read below, not this writer.  The
+    writer uses pyarrow directly (driver-side, 500 files at test scale)
+    rather than a Spark job because Spark has no one-file-per-row sink —
+    and should not: at scale the files pre-exist.
+    """
+    from .sources.staging import STAGE_ROOT, STAGE_VERSION, publish_dir, source_fingerprint
+
+    fp = source_fingerprint(sf_dir, "documents")
+    out = os.path.join(STAGE_ROOT, f"doc_files_{fp}_{STAGE_VERSION}")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        import pyarrow.parquet as pq
+
+        tmp = f"{out}.build{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            with open(os.path.join(tmp, f"doc_{doc_id:08d}.bin"), "wb") as f:
+                f.write((text or "").encode("utf-8"))
+        with open(os.path.join(tmp, "_DONE"), "w") as f:
+            f.write("ok")
+        publish_dir(tmp, out)
+    return out
+
+
+@register(
+    "src_binaryfile_manifest",
+    """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+ORDER BY doc_id
+""",
+    ("S*", "X5"),
+    "Blob-per-file ingest through Spark's binaryFile source — the layout "
+    "a multimodal lake actually has (one image/audio file per object). "
+    "The read parallelizes by FILE (each a split; maxPartitionBytes packs "
+    "small ones), `length` comes free from the directory listing (no "
+    "content read needed for size-based filtering), and `pathGlobFilter` "
+    "prunes non-payload files at listing time.  The manifest (id from the "
+    "file name, size, content digest) is hash-gated against the documents "
+    "table the files were derived from: any corruption in the file "
+    "round-trip — encoding, truncation, name/id mapping — fails the gate.",
+)
+def src_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_doc_files(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return (
+        blobs.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),  # from the listing, not content
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text source: line-oriented corpus ingest (one document per line)
+# ---------------------------------------------------------------------------
+
+# Bijective line-escape: backslash first, then the delimiters.  The synthetic
+# corpus contains neither, but the staging must be correct for real text —
+# a doc with embedded newlines/tabs still round-trips to exactly one line.
+def _esc(col):  # Spark Column -> Column; literal (non-regex) replaces
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    return F.replace(c, F.lit("\t"), F.lit("\\t"))
+
+
+# DuckDB strings are escape-free, so spell the backslash as chr(92).
+_ESC_SQL = (
+    "replace(replace(replace(text, chr(92), chr(92)||chr(92)), "
+    "chr(10), chr(92)||'n'), chr(9), chr(92)||'t')"
+)
+
+
+def _stage_doc_lines(spark: SparkSession, sf_dir: str) -> str:
+    """documents as one-doc-per-line UTF-8 text (`id<TAB>escaped_text`),
+    written BY Spark (distributed, one part-file per partition) once per
+    corpus fingerprint."""
+    from .sources.staging import STAGE_ROOT, STAGE_VERSION, publish_dir, source_fingerprint
+
+    fp = source_fingerprint(sf_dir, "documents")
+    out = os.path.join(STAGE_ROOT, f"doc_lines_{fp}_{STAGE_VERSION}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tmp = f"{out}.build{os.getpid()}"
+        docs = load_table(spark, sf_dir, "documents")
+        lines = docs.select(
+            F.concat_ws(
+                "\t", F.col("doc_id").cast("string"), _esc(F.col("text"))
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(tmp)
+        publish_dir(tmp, out)
+    return out
+
+
+@register(
+    "src_text_lines",
+    f"""
+SELECT doc_id,
+       length({_ESC_SQL})::BIGINT AS line_chars,
+       len(string_split({_ESC_SQL}, ' '))::BIGINT AS n_tokens,
+       md5({_ESC_SQL}) AS line_md5
+FROM documents
+ORDER BY doc_id
+""",
+    ("S*", "X4"),
+    "Line-oriented corpus ingest through spark.read.text — the layout of "
+    "most raw LLM training dumps (one JSON/doc per line; here "
+    "id<TAB>escaped-text with a bijective backslash escape, so embedded "
+    "newlines/tabs in real text still round-trip to one line).  Splitting "
+    "is substring_index on the first tab (the body is escape-clean), and "
+    "the per-line stats (chars, whitespace tokens, digest) hash-gate the "
+    "whole stage-write/read-back loop against the source table.  The "
+    "text source splits large files by line boundaries, so a 100 TB dump "
+    "parallelizes without a pre-split step.",
+)
+def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _stage_doc_lines(spark, sf_dir)
+    lines = spark.read.text(path)
+    body = F.substring_index(F.col("value"), "\t", -1)
+    # a doc whose text is empty yields "id\t" -> substring_index returns ""
+    body = F.when(F.instr(F.col("value"), "\t") > 0, body).otherwise(F.lit(""))
+    return (
+        lines.select(
+            F.substring_index(F.col("value"), "\t", 1).cast("bigint").alias("doc_id"),
+            F.length(body).cast("bigint").alias("line_chars"),
+            F.size(F.split(body, " ")).cast("bigint").alias("n_tokens"),
+            F.md5(body).alias("line_md5"),
+        )
+        .orderBy("doc_id")
+    )
