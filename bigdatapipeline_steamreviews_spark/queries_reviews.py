@@ -48,9 +48,10 @@ _CSV_COLUMNS_SQL = """
 """
 
 
-@register(
-    "review_daily_summary_csv",
-    f"""
+# Shared by the CSV scan query and the two Python-DataSource front-ends:
+# all three read the SAME fixture through different source machinery and
+# must hash-match the same DuckDB re-read.
+REVIEW_SUMMARY_ORACLE = f"""
 SELECT app_id, app_name,
        date_trunc('day', make_timestamp(timestamp_created * 1000000))
          + INTERVAL 1 DAY AS time,
@@ -64,7 +65,12 @@ FROM read_csv('{REVIEWS_FIXTURE}',
   header=false, quote='"', escape='\\', sep=',',
   {_CSV_COLUMNS_SQL})
 GROUP BY 1, 2, 3
-""",
+"""
+
+
+@register(
+    "review_daily_summary_csv",
+    REVIEW_SUMMARY_ORACLE,
     ("S1", "A1", "A2", "A3", "A4", "P3", "P5", "P6", "P8"),
     "The reference summarizer on its native 24-column review schema: "
     "quoted/escaped positional CSV scan (stream_generator.py:49-50) -> "
@@ -224,4 +230,67 @@ def src_json_dirty_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.select(reason.alias("reason"))
         .groupBy("reason")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource front-ends (batch + streaming) for the review
+# wire format — sources/pyds.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_pyds_review_summary",
+    REVIEW_SUMMARY_ORACLE,
+    ("S1", "S2", "A1"),
+    "The review summary through a CUSTOM Spark 4 Python DataSource "
+    "(format 'steamreviews'): Catalyst plans one input partition per CSV "
+    "file, each parsed by pyarrow's C++ reader in the reference dialect "
+    "and handed over as Arrow RecordBatches (no Python-per-row work). "
+    "Same fixture, same oracle as review_daily_summary_csv — the gate "
+    "proves the pluggable source is byte-equivalent to the built-in scan.",
+)
+def src_pyds_review_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregations import review_daily_summary as _summary
+    from .sources.pyds import register_steamreviews_source
+
+    register_steamreviews_source(spark)
+    reviews = spark.read.format("steamreviews").load(REVIEWS_FIXTURE)
+    return _summary(reviews)
+
+
+@register(
+    "stream_pyds_review_summary",
+    REVIEW_SUMMARY_ORACLE,
+    ("S2", "S3", "T1", "T5"),
+    "The review summary as a STREAM from the custom Python DataSource's "
+    "DataSourceStreamReader: row-range offsets over the static file "
+    "(rows_per_batch per partition), drained availableNow into the "
+    "windowed aggregate and materialized complete-mode — the reference's "
+    "generator-feeds-summarizer loop (stream_generator.py:45-55 -> "
+    "summarizer.py:103-111) with the custom source replacing the broker. "
+    "Must hash-match the batch oracle exactly: the incremental plan and "
+    "the batch plan are the same logical query.",
+)
+def stream_pyds_review_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.aggregations import review_daily_summary as _summary
+    from .sources.pyds import register_steamreviews_source
+    from .streaming.summarizer import run_to_memory_table
+
+    register_steamreviews_source(spark)
+    stream = (
+        spark.readStream.format("steamreviews")
+        .option("rows_per_batch", "8")
+        .load(REVIEWS_FIXTURE)
+    )
+    result = _summary(stream)
+    ckpt = tempfile.mkdtemp(prefix="pyds_review_ckpt_")
+    return run_to_memory_table(
+        result,
+        "pyds_review_summary",
+        ckpt,
+        output_mode="complete",
+        shuffle_partitions=4,
     )
