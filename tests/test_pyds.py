@@ -25,7 +25,7 @@ def test_batch_source_matches_builtin_csv_scan(spark):
     assert [(f.name, f.dataType) for f in pyds.schema.fields] == [
         (f.name, f.dataType) for f in builtin.schema.fields
     ]
-    key = lambda r: r.index  # noqa: E731
+    key = lambda r: r["index"]  # noqa: E731 — .index collides with Row method
     assert sorted(pyds.collect(), key=key) == sorted(builtin.collect(), key=key)
 
 
