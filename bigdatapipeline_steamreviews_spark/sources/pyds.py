@@ -75,6 +75,10 @@ def _read_file(path: str) -> pa.Table:
             newlines_in_values=True,
         ),
         convert_options=pacsv.ConvertOptions(
+            # Spark's CSV reader maps empty fields to NULL (its default
+            # nullValue is the empty string); match it so the pluggable
+            # source is row-identical to the built-in scan.
+            strings_can_be_null=True,
             column_types={
                 name: typ for name, typ in zip(
                     ARROW_REVIEW_SCHEMA.names, ARROW_REVIEW_SCHEMA.types
