@@ -1213,3 +1213,54 @@ def stream_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         result, name, checkpoint, "complete", shuffle_partitions=8
     )
     return out.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# State-store observability: Spark 4's state data source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_state_inspection",
+    f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {_sum_exact_sql('value')} AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    ("T6", "T8", "S*"),
+    "Streaming-state OBSERVABILITY via Spark 4's state data source: a "
+    "keyed streaming aggregate runs to completion, then the checkpoint's "
+    "state store itself is read back as a batch DataFrame "
+    "(format 'statestore') and hash-gated against the batch oracle — the "
+    "state a 100 TB pipeline would inspect for debugging (skewed keys, "
+    "runaway cardinality, corrupt accumulators) without stopping the "
+    "stream.  The aggregate's state IS the answer: per-key count + exact "
+    "DECIMAL sum, so the gate proves checkpointed state bitwise-equals "
+    "the batch computation, not merely that the sink output did.",
+)
+def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.columns import _ACC_DECIMAL, _dec_to_double
+
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_state_inspect_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_ACC_DECIMAL)).alias("total_value"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_state_inspect_")
+    run_to_memory_table(agg, name, ckpt, "complete", shuffle_partitions=8)
+    state = spark.read.format("statestore").load(ckpt)
+    # The state row exposes the aggregation BUFFER fields by their internal
+    # names: `count` for the count, and `sum` + `isEmpty` for the decimal
+    # sum (Spark's overflow-safe decimal sum carries an emptiness flag).
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+        _dec_to_double(F.col("value.sum")).alias("total_value"),
+    ).orderBy("event_type")
