@@ -54,8 +54,11 @@ def test_state_metadata_lists_the_aggregation_operator(spark):
     assert row.numPartitions == 4  # frozen from shuffle_partitions at start
 
     # and the state itself equals the batch aggregate
+    # state exposes the BUFFER field name (`count`), not the output alias
     state = spark.read.format("statestore").load(ckpt)
-    got = {(r["user_id"], r["n"]) for r in state.select("key.*", "value.*").collect()}
+    got = {
+        (r["user_id"], r["count"]) for r in state.select("key.*", "value.*").collect()
+    }
     want = {
         (r["user_id"], r["n"])
         for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
