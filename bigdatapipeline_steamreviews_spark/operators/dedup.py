@@ -812,3 +812,82 @@ def bloom_probe(
         .agg((F.sum("__hit") == k_hashes).alias("maybe_member"))
     )
     return df.join(hits, df[key_col] == hits["__key"]).drop("__key")
+
+
+def token_window_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
+    """X1 — exact duplicated-SPAN detection: fixed-k token windows.
+
+    The suffix-array ExactSubstr dedup of Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better") removes any repeated
+    substring of >= N tokens; its standard distributed relaxation hashes
+    every k-token window, keeps the lexicographically-first occurrence
+    of each window, and marks every token covered by a *non-keeper*
+    occurrence as duplicated.  Per doc, the duplicated-token count is the
+    measure a curation pipeline thresholds on (trim or drop).
+
+    Scale shape: the window table is ~|corpus tokens| rows of
+    (16-byte digest, doc_id, position) — constant width, never the text
+    itself.  Keeper election is one groupBy(digest) with a map-side
+    partial min(struct); the only corpus-wide shuffle pair is that
+    groupBy plus the digest equi-join back.  Interval-union coverage is
+    a per-doc window (partitioned by doc_id, bounded by doc length).
+    No corpus-wide ordering anywhere.
+
+    Returns (doc_id, n_tokens, n_dup_tokens, dup_bp) with dup_bp the
+    duplicated fraction in integer basis points (exact arithmetic, no
+    float round-trip in the gate).
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).select(
+        "doc_id", "t", F.size("t").alias("n_tokens")
+    )
+    starts = F.when(
+        F.col("n_tokens") >= k,
+        F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toks.select(
+        "doc_id",
+        F.explode(starts).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("i"), k))).alias("h"),
+    )
+    keeper = wins.groupBy("h").agg(
+        F.min(F.struct("doc_id", "i")).alias("kp")
+    ).select(F.col("h").alias("kh"), "kp")
+    dups = (
+        wins.join(keeper, wins.h == keeper.kh)
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("kp.doc_id"))
+                & (F.col("i") == F.col("kp.i"))
+            )
+        )
+        .select("doc_id", F.col("i").alias("s"), (F.col("i") + (k - 1)).alias("e"))
+    )
+    prev = W.partitionBy("doc_id").orderBy("s").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    cov = dups.withColumn("pe", F.max("e").over(prev)).select(
+        "doc_id",
+        F.greatest(
+            F.lit(0),
+            F.col("e") - F.greatest(F.col("s") - 1, F.coalesce(F.col("pe"), F.lit(0))),
+        ).alias("covered"),
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.sum("covered").cast("long").alias("n_dup")
+    )
+    return (
+        toks.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.expr("(coalesce(n_dup, 0) * 10000) div n_tokens").alias("dup_bp"),
+        )
+    )

@@ -1937,3 +1937,51 @@ def x2_lsh_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "x1_span_dedup",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+),
+keeper AS (SELECT h, min({'d': doc_id, 'i': i}) AS kp FROM wins GROUP BY h),
+dups AS (
+  SELECT w.doc_id, w.i AS s, w.i + 7 AS e
+  FROM wins w JOIN keeper k ON w.h = k.h
+  WHERE NOT (w.doc_id = k.kp.d AND w.i = k.kp.i)
+),
+cov AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM dups
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(greatest(0, e - greatest(s - 1, coalesce(pe, 0))))::BIGINT AS n_dup
+  FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+       coalesce(p.n_dup, 0)::BIGINT AS n_dup_tokens,
+       (coalesce(p.n_dup, 0) * 10000) // len(string_split(d.text, ' ')) AS dup_bp
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+""",
+    ("X1", "X4"),
+    "Exact duplicated-SPAN detection (the fixed-k relaxation of Lee et "
+    "al.'s suffix-array ExactSubstr dedup): every 8-token window hashed, "
+    "lexicographically-first occurrence elected keeper via one "
+    "groupBy(digest) min(struct), every token covered by a non-keeper "
+    "occurrence counted through a per-doc interval union (overlapping "
+    "spans merged by a doc-partitioned running-max sweep).  Output is "
+    "the per-doc duplicated-token count + basis points a curation "
+    "pipeline thresholds on — integer-exact end to end.",
+)
+def x1_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import token_window_dedup
+
+    return token_window_dedup(load_table(spark, sf_dir, "documents"), k=8)
