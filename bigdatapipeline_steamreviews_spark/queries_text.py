@@ -945,9 +945,8 @@ def x4_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lid.filter(bucket < rate).select("doc_id", "predicted_lang")
 
 
-@register(
-    "x4_chunk_documents",
-    """
+# Shared by the Catalyst chunker and its Python-UDTF twin below.
+CHUNK_ORACLE = """
 SELECT doc_id,
        (c['s'] // 48)::BIGINT AS chunk_id,
        c['s']::BIGINT AS start_token,
@@ -960,7 +959,12 @@ FROM (
                  for s in range(0, len(toks), 48)]) AS c
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 )
-""",
+"""
+
+
+@register(
+    "x4_chunk_documents",
+    CHUNK_ORACLE,
     ("X4", "P*"),
     "Overlapping token-window chunking (64-token windows, 16-token "
     "overlap) — the pass before embedding in retrieval pipelines.  "
@@ -1985,3 +1989,40 @@ def x1_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import token_window_dedup
 
     return token_window_dedup(load_table(spark, sf_dir, "documents"), k=8)
+
+
+@register(
+    "x4_chunk_documents_udtf",
+    CHUNK_ORACLE,
+    ("X4", "P*"),
+    "The same overlapping chunker through Spark 4's Python UDTF surface: "
+    "a @udtf class registered and invoked as a SQL LATERAL table "
+    "function, hash-gated against the identical oracle as the pure-"
+    "Catalyst x4_chunk_documents.  Proves the engine's extension seam — "
+    "a user's custom table function plugs into the same planned, "
+    "parallel scan — while the Catalyst twin remains the hot path "
+    "(UDTFs cross the Python boundary per row group; SURVEY.md §2.7).",
+)
+def x4_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, chunk_id bigint, start_token bigint, "
+        "n_chunk_tokens bigint, chunk_text string"
+    )
+    class ChunkUDTF:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            toks = (text or "").split(" ")
+            n = len(toks)
+            for ci, s in enumerate(range(0, n, 48)):
+                yield doc_id, ci, s, min(64, n - s), " ".join(toks[s : s + 64])
+
+    spark.udtf.register("spark_graft_chunk_udtf", ChunkUDTF)
+    _docs(spark, sf_dir).createOrReplaceTempView("documents_udtf_v")
+    return spark.sql(
+        """
+SELECT c.doc_id, c.chunk_id, c.start_token, c.n_chunk_tokens, c.chunk_text
+FROM documents_udtf_v d,
+     LATERAL spark_graft_chunk_udtf(d.doc_id, d.text) c
+"""
+    )
