@@ -1843,3 +1843,87 @@ def w19_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "a22_kmv_distinct_users",
+    """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+kept AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+per_type AS (
+  SELECT event_type, count(*)::BIGINT AS n_kept, max(hv) AS hk
+  FROM kept GROUP BY event_type
+),
+pool AS (SELECT DISTINCT hv FROM kept),
+pr AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM pool),
+merged AS (
+  SELECT '__all__' AS event_type, count(*)::BIGINT AS n_kept, max(hv) AS hk
+  FROM pr WHERE rn <= 64
+),
+sketches AS (SELECT * FROM per_type UNION ALL SELECT * FROM merged)
+SELECT event_type, n_kept, hk,
+       CASE WHEN n_kept < 64 THEN n_kept
+            ELSE floor(63.0 * (1152921504606846976.0 / hk))::BIGINT
+       END AS kmv_est
+FROM sketches
+ORDER BY event_type
+""",
+    ("A8", "X*"),
+    "KMV (k-minimum-values) distinct sketch, k=64: hash user_id to a "
+    "uniform 60-bit value, keep each group's 64 smallest distinct "
+    "hashes, estimate |distinct| = (k-1)/h_k (exact count when the "
+    "group holds fewer than k).  The '__all__' row is MERGED from the "
+    "per-group sketches alone — the global k smallest of the union of "
+    "group k-min sets, never re-reading raw data — the property that "
+    "lets 10,000 partition sketches roll up to any grouping at 100 TB. "
+    "The rank<=k pruning is map-side (WindowGroupLimit: each exchange "
+    "carries at most k rows per group per partition), and the merge "
+    "window runs over the <= |groups|*k pooled rows, never the corpus. "
+    "Estimate arithmetic is ratio-first double (identical IEEE op "
+    "sequence in both engines), floored to a hash-stable integer.",
+)
+def a22_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("event_type", hv.alias("hv"))
+        .distinct()
+    )
+    by_type = Window.partitionBy("event_type").orderBy("hv")
+    kept = (
+        h.withColumn("rn", F.row_number().over(by_type))
+        .filter(F.col("rn") <= 64)
+        .select("event_type", "hv")
+    )
+    per_type = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("hk")
+    )
+    pool = kept.select("hv").distinct()
+    merged = (
+        pool.withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+        .filter(F.col("rn") <= 64)
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("hk"))
+        .select(F.lit("__all__").alias("event_type"), "n_kept", "hk")
+    )
+    sketches = per_type.unionByName(merged)
+    est = F.when(F.col("n_kept") < 64, F.col("n_kept")).otherwise(
+        F.floor(F.lit(63.0) * (F.lit(1152921504606846976.0) / F.col("hk")))
+    )
+    return sketches.select(
+        "event_type",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "hk",
+        est.cast("long").alias("kmv_est"),
+    ).orderBy("event_type")

@@ -132,6 +132,11 @@ def test_registry_wide_plan_lint(spark):
         "w18_peak_concurrency",
     }
 
+    # The UDTF twin EXISTS to exercise the Python table-function seam —
+    # crossing the Python boundary is its documented point; the Catalyst
+    # x4_chunk_documents remains the hot path (same oracle gates both).
+    allowed_python_eval = {"x4_chunk_documents_udtf"}
+
     offenders = {}
     for name, fn in sorted(queries().items()):
         if name.startswith("stream_"):
@@ -141,6 +146,8 @@ def test_registry_wide_plan_lint(spark):
             if name in allowed_single_partition
             else ()
         )
+        if name in allowed_python_eval:
+            allow = allow + ("python-row-eval",)
         findings = audit(fn(spark, SF_DIR), allow=allow)
         if findings:
             offenders[name] = [f.rule for f in findings]
