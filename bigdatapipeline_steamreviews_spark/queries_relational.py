@@ -1523,3 +1523,95 @@ def m1_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_cnt"), "part_a", "part_b")
         .limit(200)
     )
+
+
+@register(
+    "sql_recursive_user_ewma",
+    """
+SELECT user_id,
+       list_reduce((list(value ORDER BY ts, event_id))[1:32],
+                   (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma,
+       least(count(*), 32)::BIGINT AS n_events
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+""",
+    ("W*", "SQL"),
+    "Spark 4 RECURSIVE CTE front-end: the per-user EWMA recurrence "
+    "f(n) = 0.5*value_n + 0.5*f(n-1) expressed as WITH RECURSIVE over "
+    "each user's (ts, event_id)-ordered first 32 events — a LINEAR "
+    "recursion (one successor per step, no branching), so each "
+    "iteration carries exactly |users| rows and terminates at the "
+    "32-event cap.  Must match DuckDB's list_reduce fold BITWISE (same "
+    "IEEE ops in the same order, the w14/stream_user_ewma contract).  "
+    "The higher-order-fold formulation (w14_user_ewma_batch) remains "
+    "the scale path; this query exists for SQL-surface parity — a "
+    "recursive-SQL user migrating to the engine keeps their query.  "
+    "Graph-shaped recursion (transitive closure) is deliberately NOT "
+    "offered through this surface: recursive UNION dedup is unsupported "
+    "(UNION ALL walks explode on LSH band cliques) — dedup clustering "
+    "routes through the pointer-jumping operator (x2_dedup_clusters).",
+)
+def sql_recursive_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_recursive_v"
+    )
+    return spark.sql(
+        """
+WITH RECURSIVE capped AS (
+  SELECT user_id, value, rn FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS rn
+    FROM events_recursive_v WHERE value IS NOT NULL
+  ) WHERE rn <= 32
+),
+fold(user_id, rn, acc) AS (
+  SELECT user_id, rn, value AS acc FROM capped WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.rn, 0.5D * c.value + 0.5D * f.acc
+  FROM fold f JOIN capped c ON c.user_id = f.user_id AND c.rn = f.rn + 1
+)
+SELECT user_id, max_by(acc, rn) AS ewma, CAST(max(rn) AS BIGINT) AS n_events
+FROM fold GROUP BY user_id
+"""
+    )
+
+
+@register(
+    "j7_lateral_topk_orders",
+    """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) l
+""",
+    ("J*", "O2", "SQL"),
+    "Correlated LATERAL subquery with ORDER BY ... LIMIT: each "
+    "customer's top-2 orders by price, the lateral-join formulation of "
+    "the per-group top-k that w4_topk_orders_per_customer expresses as "
+    "a ranking window.  Catalyst DECORRELATES it into a partitioned "
+    "rank-limit — the physical plan is WindowGroupLimit(partial) -> "
+    "exchange -> WindowGroupLimit(final) -> broadcast join, so the "
+    "shuffle carries at most k rows per (custkey, partition), never "
+    "|orders| per customer (plan-asserted in tests/test_spark4.py).  "
+    "The hash gate proves the two formulations agree including the "
+    "deterministic o_orderkey tie-break.",
+)
+def j7_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lat_v"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_v")
+    return spark.sql(
+        """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer_lat_v c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders_lat_v o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) l
+"""
+    )
