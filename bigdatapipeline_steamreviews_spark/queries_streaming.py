@@ -1264,3 +1264,100 @@ def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n_events"),
         _dec_to_double(F.col("value.sum")).alias("total_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "stream_session_window_dynamic_gap",
+    """
+WITH e AS (
+  SELECT user_id, event_id, value, ts, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'purchase' THEN 1800000000
+              ELSE 900000000 END AS gap_us
+  FROM events
+),
+marked AS (
+  SELECT user_id, us, gap_us, value,
+         CASE WHEN max(us + gap_us) OVER w IS NULL
+                OR us > max(us + gap_us) OVER w
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+sessions AS (
+  SELECT user_id, us, gap_us, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sid
+  FROM marked
+),
+stats AS (
+  SELECT user_id, sid,
+         min(us) AS start_us,
+         max(us + gap_us) AS end_us,
+         count(*) AS n_events,
+         sum(CAST(floor(coalesce(value, 0.0) * 100000000.0 + 0.5) AS BIGINT))
+           AS total_q
+  FROM sessions GROUP BY user_id, sid
+),
+wm AS (SELECT (SELECT epoch_ms(max(ts)) FROM events) - 1800000 AS wm_ms)
+SELECT user_id,
+       start_us // 1000000 AS session_start_unix,
+       end_us // 1000000 AS session_close_unix,
+       n_events,
+       (CAST(total_q AS DOUBLE) / 100000000.0) AS total_value
+FROM stats, wm
+WHERE end_us <= wm.wm_ms * 1000
+""",
+    ("W*", "T1", "T2", "T3"),
+    "Session windows with a DYNAMIC per-event gap (purchases hold the "
+    "session open 30 minutes, everything else 15): session_window(ts, "
+    "CASE ...) — the per-row gap means a session's close time is the "
+    "running max of (event + its own gap), which the oracle reproduces "
+    "as a 1-PRECEDING running-max split marker (session ends are "
+    "monotone across sessions, so the global running max IS the current "
+    "session's horizon; see docstring proof).  Merge-at-exactly-gap and "
+    "the micros-precision append-emission boundary follow the probed "
+    "fixed-gap contract (stream_session_window_builtin); total_value "
+    "accumulates in exact integer 1e-8 units on both sides.",
+)
+def stream_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Why the global running max is sound: suppose session S ended at
+    # end_S and the next session opened with event k (us_k > end_S).
+    # Every event of the next session has us >= us_k > end_S, so its end
+    # (a max of us+gap >= us_k) also exceeds end_S — session ends are
+    # strictly increasing, hence "us_i > max of ALL previous (us+gap)"
+    # is exactly "starts after the current session's horizon".
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_sw_dyngap_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+
+    vq = F.floor(
+        F.coalesce(F.col("value"), F.lit(0.0)) * F.lit(1e8) + F.lit(0.5)
+    ).cast("long")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    result = (
+        stream.withColumn("vq", vq)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("vq").alias("total_q"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(session_window.start) div 1000000").alias(
+                "session_start_unix"
+            ),
+            F.expr("unix_micros(session_window.end) div 1000000").alias(
+                "session_close_unix"
+            ),
+            "n_events",
+            (F.col("total_q").cast("double") / F.lit(1e8)).alias("total_value"),
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        result, name, checkpoint, "append", shuffle_partitions=16
+    )
