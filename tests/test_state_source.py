@@ -150,3 +150,34 @@ def test_transform_with_state_running_topk(spark):
     got = {(r.user_id, r.n_events, r.top1) for r in last.collect()}
     want = {(r.user_id, r.n_events, r.top1) for r in batch.collect()}
     assert got == want
+
+
+def test_observe_metrics_match_computed_aggregate(spark):
+    """df.observe(): in-flight metrics collected as a side effect of the
+    action — the 100 TB way to count rows/nulls/sums WITHOUT a second
+    scan over the input.  The observed values must equal a dedicated
+    aggregation exactly (exact DECIMAL sum both ways)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    obs = Observation("ingest_metrics")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_values"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("total_value"),
+    )
+    sunk = observed.filter(F.col("event_type") == "purchase").count()
+
+    row = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_values"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("total_value"),
+    ).collect()[0]
+    assert obs.get["n_rows"] == row.n_rows
+    assert obs.get["n_values"] == row.n_values
+    assert obs.get["total_value"] == row.total_value
+    assert 0 < sunk < row.n_rows
