@@ -528,3 +528,57 @@ def serving_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pv").cast("string").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "serving_incremental_join_mv",
+    f"""
+SELECT c.c_nationkey, count(*) AS n_orders,
+       {_sum_exact_sql('o.o_totalprice')} AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+""",
+    ("A7", "J*"),
+    "Incremental maintenance of a JOIN view (delta-join algebra): both "
+    "sides split into standing base (~90%) and ingest delta (~10%) by "
+    "content hash, and the enriched-orders view is maintained as "
+    "base><base (the standing MV, untouched in production) + the three "
+    "delta terms base><dC + dO><base + dO><dC — each bounded by a "
+    "delta-sized side that BROADCASTS, so absorbing an ingest batch "
+    "costs O(|delta|) not O(|base|).  The gate proves the union of the "
+    "four disjoint terms aggregates bitwise-identically to the full "
+    "recompute (count + DECIMAL-exact sum).",
+)
+def serving_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import sum_exact
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def bucket(col: str):
+        return (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10)
+            .cast("long") % 10
+        )
+
+    o_base = orders.filter(bucket("o_orderkey") < 9)
+    o_delta = orders.filter(bucket("o_orderkey") >= 9)
+    c_base = cust.filter(bucket("c_custkey") < 9)
+    c_delta = cust.filter(bucket("c_custkey") >= 9)
+
+    cols = [
+        F.col("c_nationkey"),
+        F.col("o_totalprice"),
+    ]
+    on = F.col("o_custkey") == F.col("c_custkey")
+    standing = o_base.join(c_base, on).select(*cols)
+    # The three maintenance terms: each joins against a DELTA side small
+    # enough to broadcast — the O(|delta|) property the docstring claims.
+    t1 = o_base.join(F.broadcast(c_delta), on).select(*cols)
+    t2 = o_delta.join(c_base, on).select(*cols)
+    t3 = o_delta.join(F.broadcast(c_delta), on).select(*cols)
+    enriched = standing.unionByName(t1).unionByName(t2).unionByName(t3)
+    return enriched.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        sum_exact("o_totalprice").alias("total_price"),
+    )
