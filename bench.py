@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "a20_equidepth_histogram",     # multi-rank two-phase selection
     "w18_peak_concurrency",        # distributed sweep-line prefix sum
     "x3_pq_adc_topk",              # product quantization + ADC
+    # r5 fourth-session additions (29 above stay comparable):
+    "x1_span_dedup",               # token-window span dedup (interval union)
+    "a22_kmv_distinct_users",      # KMV sketch + mergeable rollup
 ]
 
 
