@@ -1,0 +1,122 @@
+"""Property tests for the round-5 fourth-session operators: token-window
+span dedup (interval-union coverage vs a brute-force position-set
+reference) and the KMV sketch's merge property (the global sketch derived
+from per-group sketches must equal the sketch of the raw union)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+K = 3  # window length for the property tests (operator default is 8)
+
+# Documents drawn from a 4-token vocabulary so k-token windows collide
+# constantly — keeper election, overlap merging, and cross-doc coverage
+# all get exercised in tiny examples.
+_docs = st.lists(
+    st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _span_dedup_reference(token_lists, k):
+    """Brute-force: enumerate windows, elect (doc, pos)-lexicographic
+    keepers per window text, union covered positions of non-keepers."""
+    wins = {}  # text -> keeper (doc, pos)
+    occs = []
+    for d, toks in enumerate(token_lists):
+        for i in range(len(toks) - k + 1):
+            text = " ".join(toks[i : i + k])
+            occs.append((d, i, text))
+            if text not in wins or (d, i) < wins[text]:
+                wins[text] = (d, i)
+    covered = {d: set() for d in range(len(token_lists))}
+    for d, i, text in occs:
+        if wins[text] != (d, i):
+            covered[d].update(range(i, i + k))
+    return {
+        d: (len(toks), len(covered[d]))
+        for d, toks in enumerate(token_lists)
+    }
+
+
+@given(_docs)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_span_dedup_matches_bruteforce(spark, token_lists):
+    from bigdatapipeline_steamreviews_spark.operators.dedup import (
+        token_window_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens)
+        for r in token_window_dedup(docs, k=K).collect()
+    }
+    want = _span_dedup_reference(token_lists, K)
+    # split("") yields [""] -> n_tokens 1 for the empty doc; mirror that.
+    want = {
+        d: (max(n, 1), dup) for d, (n, dup) in want.items()
+    }
+    assert got == want
+
+
+_users = st.lists(
+    st.tuples(
+        st.sampled_from(["click", "view"]),
+        st.integers(min_value=0, max_value=40),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _hash60(uid: int) -> int:
+    return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+
+
+@given(_users, st.integers(min_value=1, max_value=6))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kmv_merge_equals_sketch_of_union(spark, rows, k):
+    """k smallest of (union of per-group k-smallest sets) == k smallest
+    of the raw union — the mergeability the a22 '__all__' row relies on."""
+    per_group: dict[str, set] = {}
+    for g, uid in rows:
+        per_group.setdefault(g, set()).add(_hash60(uid))
+    union_raw = sorted(set().union(*per_group.values()))[:k]
+    pooled = sorted(
+        set().union(*(set(sorted(s)[:k]) for s in per_group.values()))
+    )[:k]
+    assert pooled == union_raw
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups under k distinct users report the exact count as estimate."""
+    from bigdatapipeline_steamreviews_spark.queries_analytic import (
+        a22_kmv_distinct_users,
+    )
+
+    out = {
+        r.event_type: (r.n_kept, r.kmv_est)
+        for r in a22_kmv_distinct_users(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for etype, (n_kept, est) in out.items():
+        if n_kept < 64:
+            assert est == n_kept, f"{etype}: small-group estimate not exact"
