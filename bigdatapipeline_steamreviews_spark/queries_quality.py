@@ -831,3 +831,98 @@ def a20_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dq_daily_drift",
+    """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT day, sum(n)::BIGINT AS total FROM daily GROUP BY day),
+paired AS (
+  SELECT c.day, c.event_type,
+         CAST(c.n AS DOUBLE) AS o,
+         (CAST(p.n AS DOUBLE) * tc.total) / tp.total AS e
+  FROM daily c
+  JOIN daily p ON p.event_type = c.event_type
+              AND p.day = c.day - INTERVAL 1 DAY
+  JOIN tot tc ON tc.day = c.day
+  JOIN tot tp ON tp.day = p.day
+  WHERE p.n > 0
+),
+terms AS (
+  SELECT day, event_type, ((o - e) * (o - e)) / e AS term FROM paired
+)
+SELECT day,
+       count(*)::BIGINT AS n_types,
+       list_reduce(list(term ORDER BY event_type), (acc, x) -> acc + x)
+         AS chi2
+FROM terms
+GROUP BY day
+ORDER BY day
+""",
+    ("DQ", "A*"),
+    "Day-over-day distribution drift: Pearson chi-square of each day's "
+    "event-type mix against the previous day's (expected = yesterday's "
+    "count scaled to today's volume).  The monitoring gate a 100 TB "
+    "ingest runs per batch — one groupBy plus a |days x types|-row "
+    "self-join, nothing corpus-sized after the first aggregate.  "
+    "Deliberately transcendental-free (no ln, unlike PSI/KL) so the "
+    "statistic is an exact IEEE chain: integer counts -> one division "
+    "per expected value -> squared-residual terms summed in event_type "
+    "order by an identical left fold on both sides (seed 0.0 is an "
+    "IEEE identity, so Spark's aggregate == DuckDB's seedless "
+    "list_reduce bitwise).  Types absent on either day are excluded "
+    "(e would be 0/undefined); the synthetic grid is complete, and at "
+    "scale an absent type is its own alert before any statistic.",
+)
+def dq_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("day").agg(F.sum("n").cast("long").alias("total"))
+    cur = daily.alias("c").join(tot.alias("tc"), "day")
+    prev = (
+        daily.alias("p")
+        .join(tot.alias("tp"), "day")
+        .select(
+            (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("pday"),
+            F.col("event_type").alias("petype"),
+            F.col("n").alias("pn"),
+            F.col("total").alias("ptotal"),
+        )
+        .filter(F.col("pn") > 0)
+    )
+    paired = cur.join(
+        prev,
+        (F.col("pday") == F.col("day")) & (F.col("petype") == F.col("event_type")),
+    ).select(
+        "day",
+        "event_type",
+        F.col("n").cast("double").alias("o"),
+        ((F.col("pn").cast("double") * F.col("total")) / F.col("ptotal")).alias("e"),
+    )
+    terms = paired.select(
+        "day",
+        "event_type",
+        (((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))) / F.col("e")).alias(
+            "term"
+        ),
+    )
+    return (
+        terms.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct("event_type", "term"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("chi2"),
+        )
+        .orderBy("day")
+    )
