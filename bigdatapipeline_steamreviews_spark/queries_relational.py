@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from .functions import avg_exact, sum_exact
 from .operators.serving import top_n
-from .registry import _avg_exact_sql, _sum_exact_sql, register
+from .registry import _avg_exact_sql, _min_label_sql, _sum_exact_sql, register
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1343,12 +1343,7 @@ edges AS (
   SELECT lk AS src, rk AS dst FROM pairs
   UNION SELECT rk, lk FROM pairs
 ),
-reach(node, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-),
-cl AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+{_min_label_sql(12)}
 SELECT cl.cluster_id, count(*) AS n_members,
        max(struct_pack(b := c.c_acctbal, nk := -c.c_custkey,
                        k := c.c_custkey, n := c.c_name)).k
@@ -1364,7 +1359,9 @@ GROUP BY cl.cluster_id
     "Entity resolution end-to-end: deletion-variant fuzzy blocking (j4's "
     "candidate generator) -> exact Levenshtein verification -> connected "
     "components (the iterative min-label/pointer-jumping operator; "
-    "recursive-CTE transitive closure in the oracle) -> one canonical "
+    "unrolled min-label propagation in the oracle — the transitive-"
+    "closure recursion carried O(n^2) label pairs on one big component "
+    "and could not finish at sf0.1) -> one canonical "
     "record per entity cluster under an explicit SURVIVORSHIP POLICY "
     "(highest account balance, ties to the smallest key, via the struct-"
     "max idiom) plus merged totals (decimal-exact).  The full dedupe-"

@@ -21,7 +21,7 @@ from .operators.similarity import (
     rp_hyperplanes,
     train_ivf,
 )
-from .registry import register
+from .registry import _min_label_sql, register
 from .sources.tables import load_table
 
 # DuckDB fragment: cosine between lists qe and ce.  list_sum folds the list
@@ -351,12 +351,8 @@ edges AS (
   SELECT a_id AS src, b_id AS dst FROM dup
   UNION SELECT b_id, a_id FROM dup
 ),
-reach(node, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e2.dst, r.lbl FROM reach r JOIN edges e2 ON e2.src = r.node
-)
-SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+{_min_label_sql(12)}
+SELECT node AS doc_id, cluster_id FROM cl
 """,
     ("X2", "X3"),
     "Vector-space dedup clusters: embedding-cosine near-dup pairs "
@@ -364,7 +360,7 @@ SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
     "connected-components as the MinHash clusters — one dedup-cluster "
     "operator, two candidate generators (lexical and semantic). "
     "cluster_id = min vec id of the component (the kept survivor). "
-    "Oracle: recursive-CTE transitive closure over the same pairs.",
+    "Oracle: unrolled min-label propagation over the same pairs.",
 )
 def x2_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import connected_components

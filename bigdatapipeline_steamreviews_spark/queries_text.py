@@ -30,7 +30,7 @@ from .operators.text import (
     token_stats,
     vocab_stats,
 )
-from .registry import _avg_exact_sql, _count_if_sql, register
+from .registry import _avg_exact_sql, _count_if_sql, _min_label_sql, register
 from .sources.tables import load_table
 
 # Shared DuckDB fragments ---------------------------------------------------
@@ -589,17 +589,13 @@ edges AS (
   SELECT a_id AS src, b_id AS dst FROM pairs
   UNION SELECT b_id, a_id FROM pairs
 ),
-reach(node, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-)
-SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+{_min_label_sql(12)}
+SELECT node AS doc_id, cluster_id FROM cl
 """,
     ("X2",),
     "Dedup-cluster formation: connected components over the MinHash-LSH "
     "candidate pairs (iterative min-label propagation in Spark; the "
-    "transitive-closure recursive CTE in the oracle). cluster_id = min "
+    "unrolled min-label propagation in the oracle). cluster_id = min "
     "doc id in the component — the survivor each duplicate group keeps.",
 )
 def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,12 +873,8 @@ edges AS (
   SELECT a_id AS src, b_id AS dst FROM pairs
   UNION SELECT b_id, a_id FROM pairs
 ),
-reach(node, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-),
-clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+{_min_label_sql(12)},
+clusters AS (SELECT node AS doc_id, cluster_id FROM cl)
 SELECT d.doc_id, d.text
 FROM documents d
 LEFT JOIN clusters c USING (doc_id)
@@ -1328,12 +1320,8 @@ edges AS (
   SELECT a_id AS src, b_id AS dst FROM pairs
   UNION SELECT b_id, a_id FROM pairs
 ),
-reach(node, lbl) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-),
-clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node)
+{_min_label_sql(12)},
+clusters AS (SELECT node AS doc_id, cluster_id FROM cl)
 SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens
 FROM ex d
 LEFT JOIN clusters c USING (doc_id)
