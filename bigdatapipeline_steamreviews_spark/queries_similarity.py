@@ -871,3 +871,59 @@ def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         _clean_emb(spark, sf_dir), F.col("vec_id") < 10, k=5
     )
+
+
+# Evaluation-as-a-query: the oracle composes the two already-registered
+# oracles as subqueries, so the recall statement is definitionally
+# consistent with what those queries are gated against.
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_RECALL_ORACLE = f"""
+SELECT b.query_id,
+       count(l.neighbor_id)::BIGINT AS n_hits,
+       (count(l.neighbor_id) * 20)::BIGINT AS recall_pct
+FROM ({_REG['x3_cosine_topk'].oracle}) b
+LEFT JOIN ({_REG['x3_cosine_topk_rp_lsh'].oracle}) l
+  USING (query_id, neighbor_id)
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+
+@register(
+    "x3_ann_recall_report",
+    _RECALL_ORACLE,
+    ("X3", "DQ"),
+    "ANN quality measured AS A QUERY: per-query recall@5 of the sign-"
+    "random-projection LSH index against the brute-force ground truth — "
+    "the evaluation loop a 100 TB vector pipeline runs after every index "
+    "rebuild, as one plan (both top-k computations + the join), no "
+    "export step.  Exact integers (hits, recall in whole percent); the "
+    "oracle COMPOSES the two registered oracles as subqueries, so the "
+    "report is definitionally consistent with the gated queries.",
+)
+def x3_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk, cosine_topk_rp
+
+    emb_clean = _clean_emb(spark, sf_dir)
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    brute = cosine_topk(emb_clean, F.col("vec_id") < 10, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = cosine_topk_rp(emb_raw, F.col("vec_id") < 10, k=5, bits=8, dim=64).select(
+        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    joined = brute.join(
+        lsh,
+        (F.col("query_id") == F.col("l_qid"))
+        & (F.col("neighbor_id") == F.col("l_nid")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("l_nid").alias("n_hits"),
+            (F.count("l_nid") * 20).alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )
