@@ -120,3 +120,61 @@ def test_kmv_exact_below_k(spark):
     for etype, (n_kept, est) in out.items():
         if n_kept < 64:
             assert est == n_kept, f"{etype}: small-group estimate not exact"
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_edges)
+@settings(max_examples=25, deadline=None)
+def test_min_label_oracle_matches_python_components(pairs):
+    """The unrolled-12 min-label SQL must label every node with its
+    component minimum for any graph whose diameter fits the unroll —
+    including a deliberate 12-hop chain appended to every example."""
+    import duckdb
+
+    from bigdatapipeline_steamreviews_spark.registry import _min_label_sql
+
+    # append a 12-hop chain on fresh node ids (100..112): exactly the
+    # margin boundary the helper documents
+    pairs = [(a, b) for a, b in pairs if a != b] + [
+        (100 + i, 101 + i) for i in range(12)
+    ]
+    if not pairs:
+        return
+    # python reference: union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TEMP TABLE p(a INT, b INT)"
+    )
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    rows = con.execute(
+        "WITH edges AS (SELECT a AS src, b AS dst FROM p "
+        "UNION SELECT b, a FROM p),\n"
+        + _min_label_sql(12)
+        + "\nSELECT node, cluster_id FROM cl"
+    ).fetchall()
+    got = dict(rows)
+    assert got == want
