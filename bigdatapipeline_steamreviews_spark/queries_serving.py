@@ -582,3 +582,90 @@ def serving_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         sum_exact("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "serving_scd2_asof_snapshot",
+    """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value IS NULL THEN 'none'
+              WHEN value >= 100.0 THEN 'high'
+              WHEN value >= 50.0 THEN 'mid'
+              ELSE 'low' END AS tier
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, event_id, tier,
+         lag(tier) OVER w AS prev_tier,
+         lag(event_id) OVER w AS prev_id
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT user_id, ts, event_id, tier FROM m
+  WHERE prev_id IS NULL OR tier IS DISTINCT FROM prev_tier
+),
+hist AS (
+  SELECT user_id, tier,
+         CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_unix,
+         CAST(floor(epoch(lead(ts) OVER w2)) AS BIGINT) AS valid_to_unix,
+         CAST(row_number() OVER w2 AS BIGINT) AS version
+  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+snap_at AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS at_unix
+  FROM events
+)
+SELECT h.user_id, h.tier, h.version, a.at_unix AS as_of_unix
+FROM hist h, snap_at a
+WHERE h.valid_from_unix <= a.at_unix
+  AND (h.valid_to_unix IS NULL OR a.at_unix < h.valid_to_unix)
+ORDER BY h.user_id
+""",
+    ("A7", "W*", "T*"),
+    "Point-in-time (AS OF) read over the SCD2 dimension history: "
+    "reconstruct every user's tier as it stood at the corpus midpoint "
+    "instant — the time-travel query the history table exists to serve "
+    "(intervals tile per user, so exactly one version matches each user "
+    "active by then).  The as-of instant derives deterministically from "
+    "the data (midpoint of floored event-second range) and joins in as "
+    "a broadcast scalar, so the snapshot is one filter over the history, "
+    "no per-row subquery.",
+)
+def serving_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.serving import scd2_history
+
+    events = load_table(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value").isNull(), F.lit("none"))
+        .when(F.col("value") >= 100.0, F.lit("high"))
+        .when(F.col("value") >= 50.0, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    hist = scd2_history(events, "user_id", tier, "tier")
+    bounds = events.agg(
+        (
+            (
+                F.floor(F.unix_micros(F.min("ts")) / 1_000_000).cast("long")
+                + F.floor(F.unix_micros(F.max("ts")) / 1_000_000).cast("long")
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("at_unix")
+    )
+    return (
+        hist.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("valid_from_unix") <= F.col("at_unix"))
+            & (
+                F.col("valid_to_unix").isNull()
+                | (F.col("at_unix") < F.col("valid_to_unix"))
+            )
+        )
+        .select(
+            "user_id", "tier", "version", F.col("at_unix").alias("as_of_unix")
+        )
+        .orderBy("user_id")
+    )

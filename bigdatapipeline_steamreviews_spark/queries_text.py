@@ -2014,3 +2014,57 @@ FROM documents_udtf_v d,
      LATERAL spark_graft_chunk_udtf(d.doc_id, d.text) c
 """
     )
+
+
+@register(
+    "x2_containment",
+    f"""
+WITH {_SHINGLES3_SQL},
+sizes AS (SELECT doc_id, count(*) AS nsh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.src_id, i.dst_id, i.n_common,
+       s.nsh AS n_src,
+       (i.n_common * 100) // s.nsh AS containment_pct
+FROM inter i JOIN sizes s ON s.doc_id = i.src_id
+WHERE 5 * i.n_common >= 4 * s.nsh
+ORDER BY i.src_id, i.dst_id
+""",
+    ("X2", "X1"),
+    "Asymmetric CONTAINMENT join (|S(a) n S(b)| / |S(a)| >= 0.8): finds "
+    "documents mostly CONTAINED in another — quote inclusion, excerpt "
+    "republication, prompt/completion overlap — which symmetric Jaccard "
+    "misses when the containing document is much longer (the union term "
+    "drowns the score).  Same shingle posting self-join as the Jaccard "
+    "family (staged, df-prunable), but directional: each ordered pair "
+    "scores against the SOURCE's shingle count, and the threshold is "
+    "exact integer arithmetic (5*inter >= 4*|S(src)|), no float compare.",
+)
+def x2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _staged_shingles(spark, sf_dir).select(
+        F.col("sid").alias("src_id"), "sh"
+    )
+    sizes = sh.groupBy("src_id").agg(F.count(F.lit(1)).alias("nsh")).select(
+        F.col("src_id").alias("size_id"), "nsh"
+    )
+    b = sh.select(F.col("src_id").alias("dst_id"), F.col("sh").alias("bsh"))
+    inter = (
+        sh.join(b, (F.col("sh") == F.col("bsh")) & (F.col("src_id") != F.col("dst_id")))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes, inter.src_id == sizes.size_id)
+        .filter(5 * F.col("n_common") >= 4 * F.col("nsh"))
+        .select(
+            "src_id",
+            "dst_id",
+            "n_common",
+            F.col("nsh").alias("n_src"),
+            F.expr("(n_common * 100) div nsh").alias("containment_pct"),
+        )
+        .orderBy("src_id", "dst_id")
+    )
