@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""10x scaling probe: replicate the sf0.1 tables tenfold (fresh key
+ranges, perturbed text) into /tmp and time headline queries at both
+scales.  A plan that is genuinely linear lands near 10x wall-clock on
+local[32] (same parallelism, 10x the rows); super-linear growth exposes
+an operator whose cost curve would not survive the 100 TB target.
+
+The replica is sf1-equivalent in volume.  Keys are remapped per replica
+(user/doc/event ids shifted by a replica stride) so key cardinality
+scales with volume — matching how the driver's own testdata scales
+between SFs — and document text gets a per-replica suffix token so the
+dedup families keep a realistic (not 10x-inflated) duplicate rate.
+
+Usage: python scripts/scaling_probe.py [query ...]   (default probe set)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bigdatapipeline_steamreviews_spark import get_spark, queries  # noqa: E402
+from bigdatapipeline_steamreviews_spark.sources.staging import (  # noqa: E402
+    source_fingerprint,
+)
+from bigdatapipeline_steamreviews_spark.sources.tables import (  # noqa: E402
+    load_table,
+)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 10
+STRIDE = 10_000_000
+
+PROBE = [
+    "flagship_daily_summary",
+    "q1_pricing_summary",
+    "x1_exact_dedup",
+    "x1_span_dedup",
+    "a22_kmv_distinct_users",
+    "w2_session_stats",
+    "t1_asof_latest_order",
+    "x4_quality_score",
+]
+
+
+def stage_x10(spark) -> str:
+    fp = source_fingerprint(BASE, "events")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_x10_{fp}_{REPLICAS}"
+    )
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rep = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
+
+    ev = load_table(spark, BASE, "events").select("*", rep)
+    ev = ev.select(
+        (F.col("event_id") + F.col("rep") * STRIDE).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("rep") * STRIDE).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    docs = load_table(spark, BASE, "documents").select("*", rep)
+    docs = docs.select(
+        (F.col("doc_id") + F.col("rep") * STRIDE).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" r"), F.col("rep").cast("string")).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    li = load_table(spark, BASE, "lineitem").select("*", rep)
+    li = li.withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("rep") * STRIDE
+    ).drop("rep")
+    li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+
+    orders = load_table(spark, BASE, "orders").select("*", rep)
+    orders = (
+        orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("rep") * STRIDE
+        )
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("rep") * STRIDE)
+        .drop("rep")
+    )
+    orders.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+
+    cust = load_table(spark, BASE, "customer").select("*", rep)
+    cust = cust.withColumn(
+        "c_custkey", F.col("c_custkey") + F.col("rep") * STRIDE
+    ).drop("rep")
+    cust.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
+
+    # small dims: straight copies suffice for the probe set
+    for t in ("region", "nation", "supplier", "part", "embeddings"):
+        load_table(spark, BASE, t).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scaling-probe")
+    regs = queries()
+    names = sys.argv[1:] or PROBE
+    big = stage_x10(spark)
+
+    def best2(name, sf_dir):
+        def once():
+            t0 = time.time()
+            regs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.time() - t0
+
+        return round(min(once(), once()), 3)
+
+    out = {}
+    for name in names:
+        t1 = best2(name, BASE)
+        t10 = best2(name, big)
+        out[name] = {
+            "sf0.1_s": t1,
+            "x10_s": t10,
+            "ratio": round(t10 / t1, 2) if t1 > 0 else None,
+        }
+        print(json.dumps({name: out[name]}))
+    print(json.dumps({"probe": out}))
+
+
+if __name__ == "__main__":
+    main()
