@@ -119,6 +119,10 @@ def publish_dir(tmp: str, final: str, marker: str = "_SUCCESS") -> None:
     """
     import shutil
 
+    # A publish target under a not-yet-existing parent (dated partition
+    # paths, first WAP publish into a fresh table root) must not fail the
+    # rename; creating parents is idempotent and race-free.
+    os.makedirs(os.path.dirname(os.path.abspath(final)), exist_ok=True)
     try:
         os.rename(tmp, final)
     except OSError:
