@@ -2068,3 +2068,48 @@ def x2_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_id", "dst_id")
     )
+
+
+@register(
+    "x1_dup_rate_by_source",
+    """
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+),
+keeper AS (SELECT h, min(doc_id) AS kid FROM d GROUP BY h)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.doc_id != k.kid THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups,
+       (sum(CASE WHEN d.doc_id != k.kid THEN 1 ELSE 0 END) * 10000)
+         // count(*) AS dup_bp
+FROM d JOIN keeper k ON k.h = d.h
+GROUP BY d.source
+ORDER BY d.source
+""",
+    ("X1", "DQ"),
+    "Duplicate-rate attribution BY SOURCE: which feeds contribute the "
+    "copies — the rollup a curation dashboard shows before deciding "
+    "which crawler/source to down-weight.  Exact content-digest dedup "
+    "(min doc_id keeper), counted per source in integer basis points; "
+    "one digest groupBy + one digest join, both constant-width keys.",
+)
+def x1_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.md5(F.col("text")).alias("h")
+    )
+    keeper = d.groupBy("h").agg(F.min("doc_id").alias("kid")).select(
+        F.col("h").alias("kh"), "kid"
+    )
+    return (
+        d.join(keeper, d.h == keeper.kh)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_id") != F.col("kid")).cast("long")).alias("n_dups"),
+            F.expr(
+                "(sum(CAST(doc_id != kid AS LONG)) * 10000) div count(*)"
+            ).alias("dup_bp"),
+        )
+        .orderBy("source")
+    )
