@@ -927,3 +927,52 @@ def x3_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "x3_embedding_integrity",
+    """
+SELECT CASE
+         WHEN embedding IS NULL THEN 'null_vector'
+         WHEN len(embedding) != 64 THEN 'wrong_dim'
+         WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN 'has_null'
+         WHEN len(list_filter(embedding, x -> x != 0.0)) = 0 THEN 'zero_vector'
+         ELSE 'ok' END AS defect,
+       count(*) AS n_vectors,
+       min(vec_id) AS first_vec_id
+FROM embeddings
+GROUP BY 1
+ORDER BY defect
+""",
+    ("X3", "DQ"),
+    "Embedding-table integrity triage: every vector classified "
+    "null / wrong-dimension / has-null-component / all-zero / ok with a "
+    "first-offender id — the QA gate an ANN pipeline runs before "
+    "index build (a zero vector silently poisons cosine; a ragged "
+    "dimension crashes a PQ codebook three stages later).  This is the "
+    "explicit form of the `_clean_emb` filter every x3 query applies; "
+    "map-only, one scan, no shuffle beyond the 5-row aggregate.",
+)
+def x3_embedding_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    defect = (
+        F.when(F.col("embedding").isNull(), F.lit("null_vector"))
+        .when(F.size("embedding") != 64, F.lit("wrong_dim"))
+        .when(
+            F.size(F.filter("embedding", lambda x: x.isNull())) > 0,
+            F.lit("has_null"),
+        )
+        .when(
+            F.size(F.filter("embedding", lambda x: x != 0.0)) == 0,
+            F.lit("zero_vector"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        emb.groupBy(defect.alias("defect"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("first_vec_id"),
+        )
+        .orderBy("defect")
+    )
