@@ -982,8 +982,6 @@ GROUP BY 1
     "sf0.01 — a non-degenerate gate).",
 )
 def stream_orphan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.aggregations import daily_summary
-
     global _query_counter
     _query_counter += 1
     name = f"stream_orphans_{_query_counter}"

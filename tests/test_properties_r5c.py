@@ -10,8 +10,6 @@ import hashlib
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from pyspark.sql import functions as F
-
 K = 3  # window length for the property tests (operator default is 8)
 
 # Documents drawn from a 4-token vocabulary so k-token windows collide
