@@ -2113,3 +2113,93 @@ def x1_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "x4_ccnet_buckets",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pairs AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+    FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+          FROM toks)
+  ) WHERE w1 <> '' AND w2 <> ''
+),
+corpus AS (SELECT w1, w2, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+outw AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS ow FROM corpus GROUP BY 1),
+stats AS (
+  SELECT c.w1, c.w2,
+         CAST(length(bin(o.ow // c.n_pair)) - 1 AS BIGINT) AS bits
+  FROM corpus c JOIN outw o USING (w1)
+),
+per_doc AS (
+  SELECT p.doc_id,
+         (CAST(sum(s.bits) AS BIGINT) * 1000000) // count(*) AS score
+  FROM pairs p JOIN stats s ON p.w1 = s.w1 AND p.w2 = s.w2
+  GROUP BY p.doc_id
+),
+nn AS (SELECT count(*) AS n FROM per_doc),
+b AS (
+  SELECT
+    (SELECT score FROM per_doc ORDER BY score
+     LIMIT 1 OFFSET (SELECT (n + 2) // 3 - 1 FROM nn)) AS b1,
+    (SELECT score FROM per_doc ORDER BY score
+     LIMIT 1 OFFSET (SELECT (2 * n + 2) // 3 - 1 FROM nn)) AS b2
+),
+labeled AS (
+  SELECT d.source,
+         CASE WHEN p.doc_id IS NULL THEN 'unscored'
+              WHEN p.score <= b.b1 THEN 'head'
+              WHEN p.score <= b.b2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM documents d LEFT JOIN per_doc p USING (doc_id), b
+)
+SELECT source, bucket, count(*) AS n_docs
+FROM labeled GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    ("X4", "A*"),
+    "CCNet-style head/middle/tail split: per-document surprisal score "
+    "(the libm-free integer bigram formulation of x4_bigram_surprisal, "
+    "scaled to exact micro-bits-per-bigram) cut at the corpus tertiles, "
+    "counted per source — the named pipeline stage that decides which "
+    "third of a crawl is training-grade.  Tertile boundaries come from "
+    "the two-phase bucketed selection (a20's operator, n_out=3): no "
+    "corpus-wide sort; classification is one broadcast row; docs too "
+    "short to score are their own 'unscored' class, never silently "
+    "dropped.  Boundary ties go to the lower bucket on both sides (the "
+    "k-th smallest VALUE of a multiset is tie-order-independent).",
+)
+def x4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.selection import equi_depth_boundaries
+    from .operators.text import bigram_surprisal
+
+    docs = _docs(spark, sf_dir)
+    surp = bigram_surprisal(docs)
+    scored = surp.select(
+        "doc_id",
+        F.expr("(total_bits * 1000000) div n_bigrams").alias("score"),
+    )
+    bounds = equi_depth_boundaries(scored, "score", n_out=3)
+    brow = bounds.agg(
+        F.max(F.when(F.col("i") == 1, F.col("boundary"))).alias("b1"),
+        F.max(F.when(F.col("i") == 2, F.col("boundary"))).alias("b2"),
+    )
+    labeled = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(brow))
+        .select(
+            "source",
+            F.when(F.col("score").isNull(), F.lit("unscored"))
+            .when(F.col("score") <= F.col("b1"), F.lit("head"))
+            .when(F.col("score") <= F.col("b2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+    return (
+        labeled.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "bucket")
+    )
