@@ -1359,3 +1359,56 @@ def stream_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
     return run_to_memory_table(
         result, name, checkpoint, "append", shuffle_partitions=16
     )
+
+
+@register(
+    "stream_multi_source_union",
+    FLAGSHIP_ORACLE,
+    ("S3", "T1", "T3", "S*"),
+    "One aggregate over the UNION of two independent streaming sources "
+    "(the time-ordered replay split into interleaved halves, each its "
+    "own file source): Spark coordinates offsets per source and the "
+    "union's event-time clock is the minimum across sources, so the "
+    "merged no-watermark aggregate must still converge to exactly the "
+    "batch flagship — the shape of every real deployment that fans "
+    "multiple topics/regions into one pipeline.",
+)
+def stream_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_union_{_query_counter}"
+    base = _stage_events_chunks(spark, sf_dir)
+    key = _source_fingerprint(sf_dir)
+    split_root = os.path.join(_STAGE_ROOT, f"events_split2_{key}_us")
+    if not os.path.exists(os.path.join(split_root, "_DONE")):
+        tmp = f"{split_root}.build{os.getpid()}"
+        os.makedirs(os.path.join(tmp, "a"), exist_ok=True)
+        os.makedirs(os.path.join(tmp, "b"), exist_ok=True)
+        parts = sorted(
+            (f for f in os.listdir(base) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(os.path.join(base, f)),
+        )
+        # alternate chunks across the two sources; copy2 preserves mtimes
+        # so each source still replays ITS files in event-time order
+        for i, f in enumerate(parts):
+            shutil.copy2(
+                os.path.join(base, f),
+                os.path.join(tmp, "a" if i % 2 == 0 else "b", f),
+            )
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        from .sources.staging import publish_dir
+
+        publish_dir(tmp, split_root, marker="_DONE")
+    sa = events_file_stream(
+        spark, os.path.join(split_root, "a"), max_files_per_trigger=1
+    )
+    sb = events_file_stream(
+        spark, os.path.join(split_root, "b"), max_files_per_trigger=1
+    )
+    result = streaming_daily_summary(sa.unionByName(sb), watermark=None)
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        result, name, checkpoint, "complete", shuffle_partitions=8
+    )
