@@ -1927,3 +1927,67 @@ def a22_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hk",
         est.cast("long").alias("kmv_est"),
     ).orderBy("event_type")
+
+
+@register(
+    "w20_median_event_gap",
+    """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+per_user AS (
+  SELECT user_id, list_sort(list(gap_us)) AS g
+  FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       len(g)::BIGINT AS n_gaps,
+       CASE WHEN len(g) % 2 = 1 THEN g[(len(g) + 1) // 2]
+            ELSE (g[len(g) // 2] + g[len(g) // 2 + 1]) // 2
+       END AS median_gap_us
+FROM per_user
+ORDER BY user_id
+""",
+    ("W*", "A*"),
+    "Exact per-user median inter-event gap (the engagement-cadence "
+    "metric): lag-computed gaps in integer micros, grouped median via "
+    "sort_array over each user's OWN gap list (bounded by per-user "
+    "event count, never corpus-sized), even-count medians as the "
+    "integer-floor midpoint — no interpolated float median, so the "
+    "value hashes identically in both engines.  Complements a15 "
+    "(global weighted median via two-phase selection): per-group "
+    "medians with bounded groups sort in-group; a global median must "
+    "not.",
+)
+def w20_median_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    per_user = gaps.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("gap_us")).alias("g")
+    )
+    n = F.size("g")
+    med = F.when(
+        n % 2 == 1, F.element_at("g", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at("g", (n / 2).cast("int"))
+            + F.element_at("g", (n / 2 + 1).cast("int"))
+        ).cast("long")
+        / 2
+    ).cast("long")
+    return per_user.select(
+        "user_id",
+        n.cast("long").alias("n_gaps"),
+        med.alias("median_gap_us"),
+    ).orderBy("user_id")
