@@ -130,6 +130,10 @@ def test_registry_wide_plan_lint(spark):
         # w18_peak_concurrency docstring (two-level prefix-sum
         # decomposition).
         "w18_peak_concurrency",
+        # same operator as a20 (equi-depth two-phase selection): its
+        # running sum runs over the <=1024-row cell table, never the
+        # scored corpus — see x4_ccnet_buckets / operators/selection.py.
+        "x4_ccnet_buckets",
     }
 
     # The UDTF twin EXISTS to exercise the Python table-function seam —
