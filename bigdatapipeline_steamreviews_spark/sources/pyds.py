@@ -187,5 +187,11 @@ class SteamReviewsDataSource(DataSource):
 
 
 def register_steamreviews_source(spark) -> None:
-    """Idempotently register the format with a session."""
+    """Idempotently register the format with a session (and pin the
+    parity confs — pyds queries are the only ones that never route
+    through ``load_table``, so they must not depend on another query
+    having pinned the session first)."""
+    from ..session import ensure_parity_conf
+
+    ensure_parity_conf(spark)
     spark.dataSource.register(SteamReviewsDataSource)

@@ -110,6 +110,9 @@ def read_reviews_csv(spark: SparkSession, path: str) -> DataFrame:
     time so the read parallelizes and type errors surface per-record instead
     of poisoning the whole file.
     """
+    from ..session import ensure_parity_conf
+
+    ensure_parity_conf(spark)
     return (
         spark.read.schema(REVIEW_SCHEMA)
         .options(header=False, quote='"', escape="\\", sep=",", mode="PERMISSIVE")
