@@ -294,3 +294,62 @@ def stream_pyds_review_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
         shuffle_partitions=4,
     )
+
+
+MULTILINE_FIXTURE = os.path.join(
+    os.path.dirname(REVIEWS_FIXTURE), "steam_reviews_multiline.csv"
+)
+
+
+@register(
+    "src_csv_multiline_rows",
+    f"""
+SELECT review_id,
+       length(review)::BIGINT AS n_chars,
+       (length(review) - length(replace(review, chr(10), '')))::BIGINT
+         AS n_newlines,
+       md5(review) AS review_md5
+FROM read_csv('{{FIXTURE}}',
+  header=false, quote='"', escape='\\', sep=',',
+  {_CSV_COLUMNS_SQL})
+ORDER BY review_id
+""".replace("{FIXTURE}", MULTILINE_FIXTURE),
+    ("S1", "P*"),
+    "Quoted fields with EMBEDDED NEWLINES (real review text wraps): the "
+    "scan runs with multiLine=true, which trades line-boundary file "
+    "splitting for whole-file records — the correctness/parallelism "
+    "trade a 100 TB CSV ingest must make explicitly (multiLine files "
+    "parallelize per FILE, like the pyds source; newline-free dumps "
+    "keep intra-file splits).  Gated per record (newline counts + "
+    "content digest) against DuckDB's parser on the same bytes, "
+    "including a row mixing escaped quotes AND a newline in one field.",
+)
+def src_csv_multiline_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .sources.tables import REVIEW_SCHEMA
+
+    from .session import ensure_parity_conf  # noqa: F811 - explicit pin
+
+    ensure_parity_conf(spark)
+    raw = (
+        spark.read.schema(REVIEW_SCHEMA)
+        .options(
+            header=False,
+            quote='"',
+            escape="\\",
+            sep=",",
+            multiLine=True,
+            mode="PERMISSIVE",
+        )
+        .csv(MULTILINE_FIXTURE)
+    )
+    newline_free = F.replace(F.col("review"), F.lit("\n"), F.lit(""))
+    return raw.select(
+        "review_id",
+        F.length("review").cast("long").alias("n_chars"),
+        (F.length("review") - F.length(newline_free)).cast("long").alias(
+            "n_newlines"
+        ),
+        F.md5(F.col("review")).alias("review_md5"),
+    ).orderBy("review_id")
