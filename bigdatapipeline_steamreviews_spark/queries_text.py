@@ -2203,3 +2203,74 @@ def x4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "bucket")
     )
+
+
+@register(
+    "x1_cdc_chunks",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+marks AS (
+  SELECT doc_id, i, t[i] AS tok,
+         CASE WHEN ('0x' || substr(md5(t[i]), 1, 8))::BIGINT % 16 = 0
+              THEN 1 ELSE 0 END AS is_boundary
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+),
+chunked AS (
+  SELECT doc_id, i, tok,
+         coalesce(sum(is_boundary) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+  FROM marks
+)
+SELECT doc_id, cid AS chunk_idx,
+       count(*) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
+FROM chunked
+GROUP BY doc_id, cid
+ORDER BY doc_id, chunk_idx
+""",
+    ("X1", "X4"),
+    "Content-defined chunking (the rsync/LBFS boundary scheme dedup "
+    "stores are built on): a token closes its chunk when its content "
+    "hash hits the boundary mask (md5 % 16 == 0, expected chunk ~16 "
+    "tokens) — so an insertion resynchronizes within one chunk instead "
+    "of shifting every fixed-stride window downstream (the failure mode "
+    "of x4_chunk_documents' fixed grid under edits).  Output is the "
+    "chunk manifest (doc, idx, size, digest) whose digests feed exact "
+    "dedup; boundary decisions are per-token map-side, chunk assembly "
+    "is one doc-partitioned running sum + groupBy — nothing "
+    "corpus-ordered.",
+)
+def x1_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    is_boundary = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long") % 16
+        == 0
+    ).cast("int")
+    prev = W.partitionBy("doc_id").orderBy("i").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    chunked = toks.withColumn(
+        "cid", F.coalesce(F.sum(is_boundary).over(prev), F.lit(0)).cast("long")
+    )
+    return (
+        chunked.groupBy("doc_id", F.col("cid").alias("chunk_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("i", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
