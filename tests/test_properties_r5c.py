@@ -176,3 +176,58 @@ def test_min_label_oracle_matches_python_components(pairs):
     ).fetchall()
     got = dict(rows)
     assert got == want
+
+
+def _cdc_chunks_py(tokens, mask=16):
+    """Pure-Python twin of x1_cdc_chunks' boundary rule."""
+    import hashlib
+
+    chunks, cur = [], []
+    for tok in tokens:
+        cur.append(tok)
+        if int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % mask == 0:
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+@given(
+    st.lists(st.sampled_from("a b c d e f g h".split()), min_size=8, max_size=40),
+    st.integers(min_value=0, max_value=39),
+)
+@settings(max_examples=40, deadline=None)
+def test_cdc_insertion_resynchronizes(tokens, pos):
+    """The CDC property the docstring claims: inserting one token changes
+    AT MOST the chunks up to the first boundary at/after the edit; every
+    later chunk digest is identical (a fixed-stride grid would shift all
+    of them).  Pure-Python check of the same boundary rule — the Spark
+    implementation is hash-gated against the identical SQL."""
+    pos = min(pos, len(tokens))
+    edited = tokens[:pos] + ["zz"] + tokens[pos:]
+    a = _cdc_chunks_py(tokens)
+    b = _cdc_chunks_py(edited)
+    # walk back from the ends: the common suffix must cover every chunk
+    # strictly after the edited one
+    i, j = len(a) - 1, len(b) - 1
+    while i >= 0 and j >= 0 and a[i] == b[j]:
+        i -= 1
+        j -= 1
+    # all divergent chunks must lie in the prefix containing the edit:
+    # the token at `pos` belongs to some chunk k; chunks 0..k-1 are
+    # untouched too, so divergence is a contiguous middle window of
+    # length <= 2 chunks on the original side (split/merge at the edit)
+    assert i - max(
+        0,
+        _chunk_index_of(a, pos) - 1,
+    ) <= 1, (tokens, pos, a, b)
+
+
+def _chunk_index_of(chunks, token_pos):
+    seen = 0
+    for k, ch in enumerate(chunks):
+        seen += len(ch.split(" "))
+        if token_pos < seen:
+            return k
+    return len(chunks) - 1
