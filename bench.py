@@ -61,6 +61,36 @@ BENCH_QUERIES = [
 ]
 
 
+def build_output(
+    per_query: dict[str, float],
+    errors: dict[str, str],
+    n_queries: int,
+    sf_dir: str,
+) -> dict:
+    """Assemble the one-line JSON artifact.  Pure, so the partial-total
+    guard is unit-testable: a partial sum must NEVER be reported as
+    ``value`` (it reads as a perf win to any consumer that misses the
+    flag — the round-3 failure class, shifted from crash to silent
+    undercount).  A warmup-only error leaves the total intact: all timed
+    queries ran."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline query wall-clock, noop sink",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "n_completed": len(per_query),
+        "n_queries": n_queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    if len(per_query) < n_queries:
+        out["value"] = None
+        out["incomplete"] = True
+    return out
+
+
 def main() -> None:
     spark = get_spark("bench")
     regs = queries()
@@ -93,26 +123,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
-        "metric": "headline query wall-clock, noop sink",
-        "value": round(sum(per_query.values()), 3),
-        "unit": "sec",
-        "queries": per_query,
-        "n_completed": len(per_query),
-        "n_queries": len(BENCH_QUERIES),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
-    if errors:
-        out["errors"] = errors
-    if len(per_query) < len(BENCH_QUERIES):
-        # A partial sum reads as a perf WIN to any consumer that misses the
-        # flag (round-3 postmortem, shifted from crash to silent
-        # undercount): never report a total over a partial query set.  (A
-        # warmup-only error leaves the total intact — all timed queries ran.)
-        out["value"] = None
-        out["incomplete"] = True
-    print(json.dumps(out))
+    print(json.dumps(build_output(per_query, errors, len(BENCH_QUERIES), SF_DIR)))
 
 
 if __name__ == "__main__":

@@ -209,7 +209,7 @@ placed AS (
            // {_SHARD_BYTES} AS shard_id
   FROM sized
 )
-SELECT source, shard_id,
+SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
        count(*) AS n_items,
        CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
        min(doc_id) AS first_doc_id,

@@ -2081,8 +2081,8 @@ SELECT d.source,
        count(*) AS n_docs,
        CAST(sum(CASE WHEN d.doc_id != k.kid THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dups,
-       (sum(CASE WHEN d.doc_id != k.kid THEN 1 ELSE 0 END) * 10000)
-         // count(*) AS dup_bp
+       CAST((sum(CASE WHEN d.doc_id != k.kid THEN 1 ELSE 0 END) * 10000)
+         // count(*) AS BIGINT) AS dup_bp
 FROM d JOIN keeper k ON k.h = d.h
 GROUP BY d.source
 ORDER BY d.source
@@ -2221,7 +2221,7 @@ chunked AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
   FROM marks
 )
-SELECT doc_id, cid AS chunk_idx,
+SELECT doc_id, CAST(cid AS BIGINT) AS chunk_idx,
        count(*) AS n_tokens,
        md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_md5
 FROM chunked

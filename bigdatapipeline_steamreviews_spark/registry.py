@@ -118,20 +118,28 @@ _loaded = False
 # decision, not cosmetics.  Rank, ascending:
 #
 #   1. the flagship (also the ``entry()`` smoke query);
-#   2. queries with no green row in ANY past ``CORRECTNESS_r*.json`` — a
-#      newly added operator earns its driver-checked gate row in the round
-#      it is born;
-#   3. everything else by STALENESS (the last round with a green driver
-#      row, ascending) — a query green two rounds ago outranks one green
-#      last round, whatever family it belongs to; the north-star surface
-#      (X1-X5, streaming, review) breaks ties ahead of the relational/
-#      analytic extension shapes.
+#   2. RED queries — checked by the driver in some past round but never
+#      green (a diagnosed failure whose fix must be re-proven takes the
+#      very next window);
+#   3. a 1:1 INTERLEAVE of (a) queries with no driver row in ANY past
+#      ``CORRECTNESS_r*.json`` (a newly added operator earns its
+#      driver-checked gate row in the round it is born) and (b) everything
+#      else by STALENESS (the last round with a green driver row,
+#      ascending).  The interleave is the r5 lesson: a pure
+#      never-checked-first policy let one round's ~99 new registrations
+#      consume the whole 50-slot window and starve the stale backlog
+#      indefinitely.  Alternating slots guarantees each bucket at least
+#      ~half the window regardless of how many queries a round adds, so
+#      re-verification debt drains even while the surface grows; when one
+#      bucket empties, all slots flow to the other.
 #
-# Staleness-first (not family-first) is what rotates the window: after an
+# Staleness rotation (not family-first) is what moves the window: after an
 # environment break is fixed, the un-broken queries are exactly the stale
-# ones, and they must re-enter the checked window immediately no matter
-# which family they're in.  Hard driver signal thus accumulates over the
-# whole registry instead of re-checking a fixed prefix forever.
+# ones, and they must re-enter the checked window no matter which family
+# they're in.  Hard driver signal thus accumulates over the whole registry
+# instead of re-checking a fixed prefix forever.  Within each bucket the
+# north-star surface (X1-X5, streaming, review) breaks ties ahead of the
+# relational/analytic extension shapes.
 #
 # NB the repo-root ``CORRECTNESS_r*.json`` driver artifacts are therefore a
 # LOAD-BEARING input to registration order: deleting one makes its greens
@@ -142,16 +150,19 @@ _loaded = False
 _PRIORITY_PREFIXES = ("x1_", "x2_", "x3_", "x4_", "x5_", "stream_", "review_")
 
 
-def _last_green_rounds(root=None) -> dict[str, int]:
-    """name -> most recent round whose CORRECTNESS_r{N}.json has a fully
-    green row (no err; every *_match flag present is True).  Reads the
-    repo-root driver artifacts; absent/unparseable files mean no signal."""
+def _driver_signal(root=None) -> tuple[dict[str, int], set]:
+    """(last_green, ever_checked): last_green maps name -> most recent round
+    whose CORRECTNESS_r{N}.json has a fully green row (no err; every
+    *_match flag present is True); ever_checked is every name with ANY
+    driver row (green or red).  Reads the repo-root driver artifacts;
+    absent/unparseable files mean no signal."""
     import json
     import re
     from pathlib import Path
 
     root = Path(root) if root is not None else Path(__file__).resolve().parents[1]
     last_green: dict[str, int] = {}
+    ever_checked: set = set()
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r0*(\d+)\.json$", path.name)
         if not m:
@@ -162,7 +173,10 @@ def _last_green_rounds(root=None) -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict) or row.get("err"):
+            if not isinstance(row, dict):
+                continue
+            ever_checked.add(name)
+            if row.get("err"):
                 continue
             flags = [
                 row[k]
@@ -171,7 +185,12 @@ def _last_green_rounds(root=None) -> dict[str, int]:
             ]
             if flags and all(flags):
                 last_green[name] = max(last_green.get(name, 0), rnd)
-    return last_green
+    return last_green, ever_checked
+
+
+def _last_green_rounds(root=None) -> dict[str, int]:
+    """Green-rounds half of :func:`_driver_signal` (kept for tests)."""
+    return _driver_signal(root)[0]
 
 
 def _ensure_all_registered() -> None:
@@ -192,17 +211,40 @@ def _ensure_all_registered() -> None:
     from . import queries_quality  # noqa: F401
     from . import queries_spark4  # noqa: F401
 
-    last_green = _last_green_rounds()
+    last_green, ever_checked = _driver_signal()
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
 
-    def order_key(name: str) -> tuple:
-        if name == "flagship_daily_summary":
-            return (0, 0, 0, 0)
-        never_checked = 0 if name not in last_green else 1
+    def tiebreak(name: str) -> tuple:
         priority = 0 if name.startswith(_PRIORITY_PREFIXES) else 1
-        return (1, never_checked, last_green.get(name, 0), priority, reg_index[name])
+        return (priority, reg_index[name])
 
-    for name in sorted(REGISTRY, key=order_key):
+    names = [n for n in REGISTRY if n != "flagship_daily_summary"]
+    red = sorted(
+        (n for n in names if n in ever_checked and n not in last_green), key=tiebreak
+    )
+    never = sorted((n for n in names if n not in ever_checked), key=tiebreak)
+    stale = sorted(
+        (n for n in names if n in last_green),
+        key=lambda n: (last_green[n], *tiebreak(n)),
+    )
+
+    ordered = ["flagship_daily_summary"] + red
+    a, b = iter(never), iter(stale)
+    take_never = True
+    nv, st = next(a, None), next(b, None)
+    while nv is not None or st is not None:
+        if take_never and nv is not None:
+            ordered.append(nv)
+            nv = next(a, None)
+        elif st is not None:
+            ordered.append(st)
+            st = next(b, None)
+        else:
+            ordered.append(nv)
+            nv = next(a, None)
+        take_never = not take_never
+
+    for name in ordered:
         REGISTRY[name] = REGISTRY.pop(name)
 
     _loaded = True

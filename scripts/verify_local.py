@@ -52,6 +52,38 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _num_family(series: pd.Series) -> str:
+    """Coarse numeric dtype family, for catching int-vs-float drift.
+
+    The driver's value hash is representation-sensitive: a DuckDB HUGEINT
+    (int128) materializes through ``fetchdf()`` as float64, so ``170.0``
+    hashes differently from Spark's ``170`` even though every value is
+    equal.  r5 shipped three such oracles green locally and red at the
+    driver because this comparator coerced both sides to float64 first.
+    Only the int/float axis is checked — decimal/object/datetime columns
+    keep the permissive value compare, which has matched driver behavior
+    for five rounds.
+    """
+    dt = series.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "other"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if dt == object:
+        v = series.dropna()
+        if len(v):
+            x = v.iloc[0]
+            if isinstance(x, bool):
+                return "other"
+            if isinstance(x, int):
+                return "int"
+            if isinstance(x, float):
+                return "float"
+    return "other"
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
@@ -60,6 +92,15 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if len(spark_df) != len(duck_df):
         problems.append(f"row count differs: spark={len(spark_df)} duck={len(duck_df)}")
     a, b = normalize(spark_df.copy()), normalize(duck_df.copy())
+    if len(a) and len(b):
+        for c in a.columns:
+            fa, fb = _num_family(a[c]), _num_family(b[c])
+            if {fa, fb} == {"int", "float"}:
+                problems.append(
+                    f"col {c}: dtype-family drift spark={a[c].dtype}({fa}) "
+                    f"duck={b[c].dtype}({fb}) — driver hash is representation-"
+                    "sensitive; cast the oracle (usually HUGEINT -> BIGINT)"
+                )
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]

@@ -1,10 +1,12 @@
 """Registration-order policy tests (registry.py).
 
 The driver checks a bounded window of queries in registration order, so
-ordering is a verification-coverage mechanism: never-driver-checked
-queries must sort to the front (each new operator earns its gate row in
-its first round), then the north-star surface, then the relational tail,
-each least-recently-checked first.
+ordering is a verification-coverage mechanism: the flagship first, then
+RED queries (driver-checked but never green — a diagnosed fix must be
+re-proven in the very next window), then a 1:1 interleave of
+never-driver-checked births and stalest-green rechecks, so neither a
+burst of new registrations nor a deep stale backlog can starve the
+other out of the window (the r5 failure mode).
 """
 
 from __future__ import annotations
@@ -14,6 +16,7 @@ import json
 from bigdatapipeline_steamreviews_spark import registry
 from bigdatapipeline_steamreviews_spark.registry import (
     _PRIORITY_PREFIXES,
+    _driver_signal,
     _last_green_rounds,
     queries,
 )
@@ -44,20 +47,58 @@ def test_flagship_registers_first():
     assert next(iter(queries())) == "flagship_daily_summary"
 
 
-def test_never_checked_queries_precede_rechecks():
-    """Against the real repo artifacts: any query without a past green
-    driver row outranks every already-checked query (flagship aside), so
-    new operators always land inside the driver's bounded window."""
+def test_red_queries_take_the_front_of_the_window():
+    """Against the real repo artifacts: any query the driver has checked
+    but NEVER passed sorts immediately after the flagship — a diagnosed
+    failure's fix is re-proven in the very next round's window."""
+    names = list(queries())
+    last_green, ever_checked = _driver_signal()
+    red = {n for n in names if n in ever_checked and n not in last_green}
+    if not red:
+        return
+    positions = {n: i for i, n in enumerate(names)}
+    max_red = max(positions[n] for n in red)
+    non_red_after_flagship = [
+        positions[n] for n in names[1:] if n not in red
+    ]
+    assert max_red < min(non_red_after_flagship)
+
+
+def test_window_interleaves_births_and_stale_rechecks():
+    """The r5 lesson, pinned: while BOTH buckets (never-driver-checked
+    births; stalest-green rechecks) are non-empty, every prefix of the
+    post-red order contains a balanced mix (counts differ by at most 1),
+    so neither bucket can starve the other out of the driver's ~50-slot
+    window."""
+    names = list(queries())
+    last_green, ever_checked = _driver_signal()
+    tail = [
+        n
+        for n in names[1:]
+        if not (n in ever_checked and n not in last_green)  # drop red
+    ]
+    n_never = sum(1 for n in tail if n not in ever_checked)
+    n_stale = len(tail) - n_never
+    seen_never = seen_stale = 0
+    for n in tail:
+        if n not in ever_checked:
+            seen_never += 1
+        else:
+            seen_stale += 1
+        if seen_never < n_never and seen_stale < n_stale:
+            assert abs(seen_never - seen_stale) <= 1, (
+                f"unbalanced prefix at {n}: "
+                f"{seen_never} births vs {seen_stale} rechecks"
+            )
+
+
+def test_stale_rechecks_are_stalest_first():
+    """Within the recheck bucket, a query last green in round k outranks
+    one last green in round k+1 — the rotation that burns the backlog."""
     names = list(queries())
     last_green = _last_green_rounds()
-    checked_positions = [
-        i for i, n in enumerate(names) if n in last_green and i > 0
-    ]
-    unchecked_positions = [
-        i for i, n in enumerate(names) if n not in last_green and i > 0
-    ]
-    if checked_positions and unchecked_positions:
-        assert max(unchecked_positions) < min(checked_positions)
+    rounds_in_order = [last_green[n] for n in names[1:] if n in last_green]
+    assert rounds_in_order == sorted(rounds_in_order)
 
 
 def test_priority_surface_outranks_relational_tail_within_same_staleness():
