@@ -518,7 +518,17 @@ def interval_peak_concurrency(
     window exists anywhere in the plan.  Start/end columns are epoch
     seconds (bigint).  Ties: starts sort before ends at equal timestamps
     (``d DESC``), so back-to-back intervals overlap at the boundary
-    instant; the reported peak is over post-delta values.
+    instant.
+
+    The peak is the TRUE sustained maximum, not just the post-delta
+    values: each event contributes ``greatest(c, c - d)`` — its pre-delta
+    level too — so a day whose first event is an END still reports the
+    carry-in plateau it opened at (pre-delta of the first event of a day
+    IS the carry-in; for any later event it equals the previous event's
+    post-delta level, already in the max).  Days with NO deltas that sit
+    inside a long open interval are emitted from the day spine with
+    ``peak_concurrency = carry_in`` and ``n_changes = 0``; fully idle
+    delta-free days (carry 0) stay absent.
     """
     starts = intervals.select(
         F.col(start_col).alias("t"), F.lit(1).alias("d"), *tiebreak_cols
@@ -530,24 +540,45 @@ def interval_peak_concurrency(
         "day", F.expr("(t DIV 86400) * 86400")
     )
     day_sums = deltas.groupBy("day").agg(F.sum("d").alias("day_delta"))
+    spine = (
+        day_sums.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            F.explode(F.sequence("mn", "mx", F.lit(86400))).alias("day")
+        )
+        .join(day_sums, "day", "left")
+        .select(
+            "day",
+            F.col("day_delta").isNotNull().alias("has_deltas"),
+            F.coalesce("day_delta", F.lit(0)).alias("day_delta"),
+        )
+    )
     w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-    carry = day_sums.select(
+    carry = spine.select(
         "day",
-        F.coalesce(F.sum("day_delta").over(w_days), F.lit(0)).alias("carry_in"),
+        "has_deltas",
+        F.coalesce(F.sum("day_delta").over(w_days), F.lit(0))
+        .cast("long")
+        .alias("carry_in"),
     )
     w_in = (
         Window.partitionBy("day")
         .orderBy(F.col("t").asc(), F.col("d").desc(), *tiebreak_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_c = deltas.join(F.broadcast(carry), "day").withColumn(
-        "c", (F.col("carry_in") + F.sum("d").over(w_in)).cast("long")
+    with_c = deltas.join(
+        F.broadcast(carry.select("day", "carry_in")), "day"
+    ).withColumn("c", (F.col("carry_in") + F.sum("d").over(w_in)).cast("long"))
+    delta_days = with_c.groupBy(F.col("day").alias("day_unix")).agg(
+        F.max(F.greatest(F.col("c"), F.col("c") - F.col("d")))
+        .cast("long")
+        .alias("peak_concurrency"),
+        F.count(F.lit(1)).alias("n_changes"),
     )
-    return (
-        with_c.groupBy(F.col("day").alias("day_unix"))
-        .agg(
-            F.max("c").alias("peak_concurrency"),
-            F.count(F.lit(1)).alias("n_changes"),
-        )
-        .orderBy("day_unix")
+    free_days = carry.filter(
+        ~F.col("has_deltas") & (F.col("carry_in") > 0)
+    ).select(
+        F.col("day").alias("day_unix"),
+        F.col("carry_in").alias("peak_concurrency"),
+        F.lit(0).cast("long").alias("n_changes"),
     )
+    return delta_days.unionByName(free_days).orderBy("day_unix")

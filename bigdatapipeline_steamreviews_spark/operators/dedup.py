@@ -781,11 +781,18 @@ def bloom_probe(
     false positives at the standard (1 - e^{-kn/m})^k rate, and
     deterministic here because the hashes are).
 
+    Duplicate keys are the NORM in a dedup probe stream, so the per-key
+    verdict aggregates with ``min(hit)`` — true iff every one of the k
+    bit-probes hit — which is invariant to how many rows share the key
+    (a ``sum == k`` formulation double-counts collapsed duplicates and
+    fabricates false NEGATIVES, breaking the filter's one guarantee).
+    NULL keys never match the hash path; they survive the left join back
+    with ``maybe_member = false`` rather than being dropped.
+
     The probe explodes each key into its k (word, bit) lookups, joins the
-    ~m/62-row filter BROADCAST, and counts hits per key — the corpus
-    being probed is scanned once, never shuffled (the groupBy key is the
-    probe row id, which rides the scan partitioning through a map-side
-    partial).
+    ~m/62-row filter BROADCAST, and min-reduces hits per key — the corpus
+    being probed is scanned once; the only shuffle is the key groupBy,
+    map-side-combined to one row per distinct key.
     """
     probes = df.select(
         F.col(key_col).alias("__key"),
@@ -809,12 +816,22 @@ def bloom_probe(
             ).cast("int").alias("__hit"),
         )
         .groupBy("__key")
-        .agg((F.sum("__hit") == k_hashes).alias("maybe_member"))
+        .agg((F.min("__hit") == 1).alias("__maybe"))
     )
-    return df.join(hits, df[key_col] == hits["__key"]).drop("__key")
+    return (
+        df.join(hits, df[key_col] == hits["__key"], "left")
+        .drop("__key")
+        .withColumn("maybe_member", F.coalesce(F.col("__maybe"), F.lit(False)))
+        .drop("__maybe")
+    )
 
 
-def token_window_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
+def token_window_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
     """X1 — exact duplicated-SPAN detection: fixed-k token windows.
 
     The suffix-array ExactSubstr dedup of Lee et al. ("Deduplicating
@@ -835,13 +852,15 @@ def token_window_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
 
     Returns (doc_id, n_tokens, n_dup_tokens, dup_bp) with dup_bp the
     duplicated fraction in integer basis points (exact arithmetic, no
-    float round-trip in the gate).
+    float round-trip in the gate).  ``id_col``/``text_col`` name the
+    input columns (whitespace tokenization; the output id column is
+    always ``doc_id``).
     """
     from pyspark.sql import Window as W
 
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).select(
-        "doc_id", "t", F.size("t").alias("n_tokens")
-    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("t")
+    ).select("doc_id", "t", F.size("t").alias("n_tokens"))
     starts = F.when(
         F.col("n_tokens") >= k,
         F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),

@@ -917,13 +917,27 @@ def pq_adc_topk(
         query_pred.alias("is_q"),
     )
 
-    # Codebook: n_sub x codebook_k centroids from the first vectors' slices.
+    # Codebook: n_sub x codebook_k centroids from the codebook_k
+    # SMALLEST PRESENT vec_ids' slices (not ``vid < codebook_k``: if any
+    # of ids 0..k-1 is missing or dropped by vector hygiene, that
+    # formulation silently shrinks the codebook and degrades results with
+    # no error).  orderBy+limit is a TakeOrderedAndProject top-k — map-side
+    # partial, no corpus sort; the row_number relabel runs on k rows.
+    from pyspark.sql import Window as _W
+
+    seeds = (
+        e.orderBy("vid")
+        .limit(codebook_k)
+        .withColumn(
+            "cid", (F.row_number().over(_W.orderBy("vid")) - 1).cast("long")
+        )
+    )
     subs = [(s, F.slice(F.col("v"), 1 + s * sub_dim, sub_dim)) for s in range(n_sub)]
     cb = None
     for s, sl in subs:
-        part = e.filter(F.col("vid") < codebook_k).select(
+        part = seeds.select(
             F.lit(s).alias("s"),
-            F.col("vid").cast("long").alias("cid"),
+            "cid",
             sl.alias("c"),
         )
         cb = part if cb is None else cb.unionByName(part)

@@ -947,7 +947,7 @@ def w7_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p17_props_map_stats",
     """
 SELECT key, count(*) AS n_events,
-       sum(val::BIGINT) AS total,
+       CAST(sum(val::BIGINT) AS BIGINT) AS total,
        count(DISTINCT user_id) AS n_users
 FROM (
   SELECT e.user_id, t.key,
@@ -1615,8 +1615,9 @@ WITH nat AS (
   GROUP BY r.r_name, n.n_name
 )
 SELECT region_name, nation_name, rev_cents,
-       (1000000 * rev_cents)
-         // sum(rev_cents) OVER (PARTITION BY region_name) AS share_ppm
+       CAST((1000000 * rev_cents)
+         // sum(rev_cents) OVER (PARTITION BY region_name) AS BIGINT)
+         AS share_ppm
 FROM nat
 ORDER BY region_name, nation_name
 """,
@@ -1696,11 +1697,32 @@ run AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS c
   FROM deltas
+),
+by_day AS (
+  SELECT (t // 86400) * 86400 AS day_unix,
+         CAST(max(greatest(c, c - d)) AS BIGINT) AS peak_concurrency,
+         count(*) AS n_changes
+  FROM run GROUP BY (t // 86400) * 86400
+),
+day_net AS (
+  SELECT (t // 86400) * 86400 AS day_unix, CAST(sum(d) AS BIGINT) AS net
+  FROM deltas GROUP BY (t // 86400) * 86400
+),
+spine AS (
+  SELECT unnest(generate_series(mn, mx, 86400)) AS day_unix
+  FROM (SELECT min(day_unix) AS mn, max(day_unix) AS mx FROM day_net)
+),
+carry AS (
+  SELECT s.day_unix, n.net IS NOT NULL AS has_deltas,
+         CAST(coalesce(sum(coalesce(n.net, 0)) OVER (ORDER BY s.day_unix
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS carry_in
+  FROM spine s LEFT JOIN day_net n ON n.day_unix = s.day_unix
 )
-SELECT (t // 86400) * 86400 AS day_unix,
-       max(c) AS peak_concurrency,
-       count(*) AS n_changes
-FROM run GROUP BY (t // 86400) * 86400
+SELECT day_unix, peak_concurrency, n_changes FROM by_day
+UNION ALL
+SELECT day_unix, carry_in AS peak_concurrency, CAST(0 AS BIGINT) AS n_changes
+FROM carry WHERE NOT has_deltas AND carry_in > 0
 ORDER BY day_unix
 """,
     ("W*", "A*"),
@@ -1714,7 +1736,11 @@ ORDER BY day_unix
     "in the plan.  The oracle is the single global running sum the "
     "naive formulation would use.  Ties: starts sort before ends at "
     "equal timestamps (d DESC), so back-to-back sessions overlap at "
-    "the boundary instant; peak is over post-delta values.",
+    "the boundary instant.  Peak is the SUSTAINED max: each event "
+    "contributes greatest(c, c - d) so a day opening on an end still "
+    "reports its carry-in plateau, and delta-free days inside a long "
+    "open session are emitted from the day spine (peak = carry_in, "
+    "n_changes = 0).",
 )
 def w18_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = session_stats(load_table(spark, sf_dir, "events"), gap_seconds=1800)

@@ -70,11 +70,11 @@ def op_skeleton(plan: str) -> list[str]:
     return ops
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    spark = get_spark("plan-snapshot")
+def compute_snapshots(spark, sf_dir: str) -> dict[str, dict]:
+    """{query: {hash, ops}} for every batch query in the bench headline
+    set.  Importable so ``tests/test_plans.py`` can re-derive the shapes
+    and diff them against the committed PLANS.json (the drift GATE; this
+    script is the re-bless step)."""
     # Untruncated scan metadata: the default 100-char cut moves with the
     # (session-global) lambda-variable ordinal width, so a truncated
     # DataFilters string is order-sensitive even after normalization.
@@ -90,6 +90,15 @@ def main() -> None:
             "hash": hashlib.md5(norm.encode()).hexdigest()[:12],
             "ops": op_skeleton(norm),
         }
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("plan-snapshot")
+    out = compute_snapshots(spark, sf_dir)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "PLANS.json")
     with open(path, "w") as f:

@@ -543,6 +543,65 @@ def test_pq_adc_equals_reconstruction_distance(spark):
     assert got == expected
 
 
+def test_pq_codebook_seeds_from_smallest_present_ids(spark):
+    """Codebook seeding must survive missing low vec_ids: with vid 0
+    filtered out (as vector hygiene routinely does), the codebook seeds
+    from the 4 smallest PRESENT ids (1,2,3,4) rather than silently
+    shrinking to 3 centroids (the r5 ``vid < k`` formulation)."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        (F.size("embedding") == 64)
+        & ~F.exists("embedding", lambda x: x.isNull())
+        & (F.col("vec_id") != 0)
+    )
+    approx = pq_adc_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    assert len(approx) > 0
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    seed_ids = sorted(vecs)[:4]
+    assert 0 not in vecs and len(seed_ids) == 4
+
+    def subdist(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    cb = {
+        s: {c: vecs[sid][s * 32 : (s + 1) * 32] for c, sid in enumerate(seed_ids)}
+        for s in (0, 1)
+    }
+    codes = {
+        v: tuple(
+            min(range(4), key=lambda c: (subdist(vec[s * 32 : (s + 1) * 32], cb[s][c]), c))
+            for s in (0, 1)
+        )
+        for v, vec in vecs.items()
+    }
+    expected = set()
+    for q in [v for v in vecs if v < 10]:
+        ds = sorted(
+            (
+                (
+                    subdist(vecs[q][:32], cb[0][codes[n][0]])
+                    + subdist(vecs[q][32:], cb[1][codes[n][1]]),
+                    n,
+                )
+                for n in vecs
+                if n != q
+            )
+        )[:5]
+        expected |= {(q, n) for _, n in ds}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert got == expected
+
+
 def test_bloom_probe_no_false_negatives_and_bounded_fp(spark):
     """Bloom membership: every inserted key MUST test positive (no false
     negatives, the structural guarantee), and the false-positive rate on
@@ -569,3 +628,31 @@ def test_bloom_probe_no_false_negatives_and_bounded_fp(spark):
     ).count()
     bound = (1 - math.exp(-k * n / m)) ** k
     assert fp / 2_000 <= 3 * bound + 0.01, (fp, bound)
+
+
+def test_bloom_probe_duplicate_and_null_keys(spark):
+    """A dedup probe stream routinely carries the SAME key on many rows
+    and NULL keys on others.  Duplicated inserted keys must still test
+    positive on every row (the r5 sum==k formulation collapsed d
+    duplicates into one group and fabricated false negatives), and
+    NULL-key rows must survive the probe with maybe_member=false instead
+    of vanishing through an inner join."""
+    from bigdatapipeline_steamreviews_spark.operators.dedup import (
+        bloom_filter_table,
+        bloom_probe,
+    )
+
+    m, k = 1 << 12, 4
+    inserted = spark.range(0, 50).select(F.col("id").alias("key"))
+    bloom = bloom_filter_table(inserted, "key", m, k)
+
+    probe = spark.createDataFrame(
+        [(7,), (7,), (7,), (13,), (None,), (None,)], "key: long"
+    )
+    out = bloom_probe(probe, "key", bloom, m, k).collect()
+    assert len(out) == 6, "probe rows were dropped"
+    for r in out:
+        if r["key"] is None:
+            assert r["maybe_member"] is False
+        else:
+            assert r["maybe_member"] is True, r

@@ -173,7 +173,10 @@ def test_equi_depth_boundaries_match_global_sort(spark):
 def test_interval_peak_concurrency_hand_case(spark):
     """Sweep-line decomposition: intervals spanning the day boundary must
     carry into the next day's base (carry-in), starts beat ends at equal
-    timestamps, and the brute-force global running sum is the truth."""
+    timestamps, a day opening on an END still reports its carry-in
+    plateau (pre-delta of the first event), delta-free days inside a
+    long open interval are emitted with peak = carry_in, and the
+    brute-force global running sum is the truth."""
     from bigdatapipeline_steamreviews_spark.operators.analytic import (
         interval_peak_concurrency,
     )
@@ -181,13 +184,16 @@ def test_interval_peak_concurrency_hand_case(spark):
     D = 86400
     # (key, start, end): two overlapping on day 0, one spanning midnight,
     # one starting exactly when another ends (must overlap at the instant),
-    # one entirely inside day 1 while the spanner is still open.
+    # one entirely inside day 1 while the spanner is still open, one long
+    # interval spanning days 2..5 (days 3 and 4 have NO deltas -> spine
+    # emission), whose end is day 5's ONLY event (pre-delta plateau 1).
     iv = [
         (1, 100, 200),
-        (2, 150, 300),          # overlaps 1 -> peak 2 on day 0
-        (3, D - 50, D + 500),   # spans midnight (carry-in 1 into day 1)
-        (4, 300, 400),          # starts exactly at 2's end -> overlap
-        (5, D + 100, D + 200),  # inside day 1 while 3 open -> peak 2
+        (2, 150, 300),              # overlaps 1 -> peak 2 on day 0
+        (3, D - 50, D + 500),       # spans midnight (carry-in 1 into day 1)
+        (4, 300, 400),              # starts exactly at 2's end -> overlap
+        (5, D + 100, D + 200),      # inside day 1 while 3 open -> peak 2
+        (6, 2 * D + 100, 5 * D + 100),  # days 3,4 delta-free; ends day 5
     ]
     df = spark.createDataFrame(iv, "k long, s long, e long")
     got = {
@@ -196,18 +202,30 @@ def test_interval_peak_concurrency_hand_case(spark):
             df, "s", "e", tiebreak_cols=("k",)
         ).collect()
     }
-    # Brute force: global sweep.
+    # Brute force: global sweep; each event also exposes its pre-delta
+    # level, so a day's carry-in plateau is a peak candidate.
     deltas = sorted(
-        [(s, -1 * -1, k) for k, s, e in iv] + [(e, -1, k) for k, s, e in iv],
+        [(s, 1, k) for k, s, e in iv] + [(e, -1, k) for k, s, e in iv],
         key=lambda x: (x[0], -x[1], x[2]),
     )
     c, best, changes = 0, {}, {}
     for t, d, _ in deltas:
-        c += d
         day = (t // D) * D
-        best[day] = max(best.get(day, -10**9), c)
+        best[day] = max(best.get(day, -10**9), c, c + d)
         changes[day] = changes.get(day, 0) + 1
-    assert got == {day: (best[day], changes[day]) for day in best}
+        c += d
+    expected = {day: (best[day], changes[day]) for day in best}
+    # Delta-free days between min and max event day with nonzero carry:
+    carry, prev = 0, {}
+    for day in range(min(best), max(best) + D, D):
+        if day not in changes and carry > 0:
+            expected[day] = (carry, 0)
+        carry += sum(d for t, d, _ in deltas if (t // D) * D == day)
+    assert got == expected
+    # The scenario exercises every clause: day 5 opens on an end (plateau
+    # 1 reported with a single -1 event), days 3 and 4 are spine rows.
+    assert got[5 * D] == (1, 1)
+    assert got[3 * D] == (1, 0) and got[4 * D] == (1, 0)
 
 
 def test_last_touch_attribution_semantics(spark):

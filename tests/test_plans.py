@@ -183,3 +183,43 @@ def test_rp_lsh_bucket_join_is_hash_equality(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_plan_shapes_match_committed_snapshot(spark):
+    """Plan-DRIFT gate: re-derive the normalized operator skeleton of
+    every batch headline query and diff it against the committed
+    PLANS.json.  A lost broadcast, a new exchange, or a join strategy
+    flip fails HERE with a readable op-list diff — before it shows up
+    as a bench regression with no artifact.
+
+    Shapes (the ``ops`` skeletons) are compared, not the full-text
+    hashes: hashes also move on cosmetic expression-text changes, which
+    the snapshot records for forensics but are not drift.  Re-bless an
+    INTENTIONAL plan change by re-running
+    ``python scripts/plan_snapshot.py`` and committing PLANS.json.
+    """
+    import json
+    import pathlib
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "scripts"))
+    from plan_snapshot import compute_snapshots
+
+    committed = json.loads((root / "PLANS.json").read_text())
+    # Same sf_dir the snapshot script defaults to: plan shape can depend
+    # on scan statistics (broadcast thresholds), so gate at the blessed SF.
+    current = compute_snapshots(spark, "/root/testdata/sf0.1")
+
+    assert set(current) == set(committed), (
+        "bench headline set changed; re-run scripts/plan_snapshot.py"
+    )
+    drifted = {
+        name: {"committed": committed[name]["ops"], "current": cur["ops"]}
+        for name, cur in current.items()
+        if cur["ops"] != committed[name]["ops"]
+    }
+    assert drifted == {}, (
+        "physical plan shape drifted (re-bless via scripts/plan_snapshot.py "
+        f"if intentional): {json.dumps(drifted, indent=1)}"
+    )
