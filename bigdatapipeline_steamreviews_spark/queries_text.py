@@ -20,6 +20,7 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     shingle_table,
     simhash_signatures,
+    window_digest_table,
 )
 from .operators.text import (
     fingerprint,
@@ -93,6 +94,24 @@ def _staged_bands(
         f"bands_{pk}",
         fp,
         lambda: lsh_band_table(_staged_sigs(spark, sf_dir, k, n), k=k, bands=bands),
+    )
+
+
+def _staged_span_wins(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame:
+    """Persisted (doc_id, i, h) window-digest table for span dedup — the
+    same staged-index treatment the LSH band table got in r5: the
+    explode+md5 pass is paid once per (source fingerprint, k) and every
+    subsequent run's keeper election + digest join scan ~|tokens| rows of
+    constant-width parquet instead of re-hashing the corpus."""
+    from .sources.staging import source_fingerprint, stage_params_key, staged_parquet
+
+    fp = source_fingerprint(sf_dir, "documents")
+    pk = stage_params_key("span_wins", k)
+    return staged_parquet(
+        spark,
+        f"spanwins_{pk}",
+        fp,
+        lambda: window_digest_table(_docs(spark, sf_dir), k=k),
     )
 
 
@@ -1974,9 +1993,13 @@ ORDER BY d.doc_id
     "pipeline thresholds on — integer-exact end to end.",
 )
 def x1_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import token_window_dedup
+    from .operators.dedup import span_dedup_from_windows
 
-    return token_window_dedup(load_table(spark, sf_dir, "documents"), k=8)
+    return span_dedup_from_windows(
+        load_table(spark, sf_dir, "documents"),
+        _staged_span_wins(spark, sf_dir, k=8),
+        k=8,
+    )
 
 
 @register(

@@ -89,6 +89,28 @@ def _read_file(path: str) -> pa.Table:
     return table.cast(ARROW_REVIEW_SCHEMA)
 
 
+_PARSE_CACHE: dict[str, tuple[float, pa.Table]] = {}
+
+
+def _read_file_cached(path: str) -> pa.Table:
+    """mtime-keyed parse cache (one entry per path, process-local): a
+    row-range replay drains a static file through MANY range partitions,
+    and re-parsing the full CSV for every range makes the drain
+    O(ranges x rows).  The stream replays a *static* file by contract,
+    so the cached Arrow table (zero-copy sliced per range) is exact;
+    an mtime change invalidates."""
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    hit = _PARSE_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    table = _read_file(path)
+    _PARSE_CACHE[path] = (mtime, table)
+    return table
+
+
 def _input_files(path: str) -> list[str]:
     if os.path.isdir(path):
         return sorted(glob.glob(os.path.join(path, "*.csv")))
@@ -135,7 +157,12 @@ class _ReviewStreamReader(DataSourceStreamReader):
         self.advance = (
             options.get("advance_per_trigger", "false").lower() == "true"
         )
-        self._n_rows = _read_file(self.path).num_rows
+        self._n_rows = _read_file_cached(self.path).num_rows
+        # Advance-mode progress lives in driver memory and resets on a
+        # checkpointed RESTART; latestOffset must never regress below the
+        # committed offset Spark hands back through partitions()/commit(),
+        # or the recovered stream emits dead triggers until _pos catches
+        # up.  Every range boundary seen clamps _pos forward.
         self._pos = 0
 
     def initialOffset(self):
@@ -149,6 +176,7 @@ class _ReviewStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["row"], end["row"]
+        self._pos = max(self._pos, lo, hi)
         parts = []
         step = self.rows_per_batch
         for s in range(lo, hi, step):
@@ -156,12 +184,12 @@ class _ReviewStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
-        table = _read_file(partition.path)
+        table = _read_file_cached(partition.path)
         sliced = table.slice(partition.start, partition.end - partition.start)
         yield from sliced.to_batches(max_chunksize=8192)
 
     def commit(self, end):
-        pass
+        self._pos = max(self._pos, end["row"])
 
 
 class _RangePartition(InputPartition):

@@ -76,3 +76,55 @@ def test_stream_advance_per_trigger_replays_in_microbatches(spark):
         assert max(sizes) <= 10, f"a trigger drained more than one slice: {sizes}"
     finally:
         q.stop()
+
+
+def test_stream_advance_offset_never_regresses_after_restart():
+    """Checkpointed-restart simulation: a fresh reader (driver memory
+    reset, _pos=0) handed the committed offset through partitions() or
+    commit() must clamp forward — latestOffset regressing below the
+    committed offset produces dead triggers until it re-advances."""
+    # First incarnation advances three triggers.
+    r1 = _ReviewStreamReader(
+        {"path": REVIEWS_FIXTURE, "rows_per_batch": "8",
+         "advance_per_trigger": "true"}
+    )
+    offs = [r1.latestOffset() for _ in range(3)]
+    assert offs[-1] == {"row": 24}
+
+    # Restart: new instance, Spark re-plans the last uncommitted range
+    # from its offset log before asking for new data.
+    r2 = _ReviewStreamReader(
+        {"path": REVIEWS_FIXTURE, "rows_per_batch": "8",
+         "advance_per_trigger": "true"}
+    )
+    r2.partitions({"row": 16}, {"row": 24})
+    assert r2.latestOffset() == {"row": 31}  # 24 + 8 clamped to EOF, not 8
+
+    # commit() alone must clamp too.
+    r3 = _ReviewStreamReader(
+        {"path": REVIEWS_FIXTURE, "rows_per_batch": "8",
+         "advance_per_trigger": "true"}
+    )
+    r3.commit({"row": 24})
+    assert r3.latestOffset()["row"] > 24
+
+
+def test_stream_read_uses_parse_cache():
+    """A drain splits into many range partitions; the file must be parsed
+    once per (path, mtime), not once per partition."""
+    from unittest import mock
+
+    from bigdatapipeline_steamreviews_spark.sources import pyds
+
+    pyds._PARSE_CACHE.clear()
+    reader = _ReviewStreamReader(
+        {"path": REVIEWS_FIXTURE, "rows_per_batch": "4"}
+    )
+    parts = reader.partitions({"row": 0}, reader.latestOffset())
+    assert len(parts) == 8
+    with mock.patch.object(
+        pyds, "_read_file", wraps=pyds._read_file
+    ) as spy:
+        total = sum(b.num_rows for p in parts for b in reader.read(p))
+        assert total == 31
+        assert spy.call_count == 0  # __init__ already cached the parse
