@@ -539,7 +539,15 @@ def interval_peak_concurrency(
     deltas = starts.unionByName(ends).withColumn(
         "day", F.expr("(t DIV 86400) * 86400")
     )
-    day_sums = deltas.groupBy("day").agg(F.sum("d").alias("day_delta"))
+    # The ~|days|-row delta rollup feeds THREE consumers (the spine bounds,
+    # the spine join, and — via carry — the corpus-side join), and each
+    # consumer would otherwise re-execute the full upstream interval
+    # lineage (for w18 that is the sessionization window over events).
+    # Persisting the tiny table caps the corpus at the same two passes the
+    # pre-spine formulation paid; storage is |days| rows.
+    day_sums = (
+        deltas.groupBy("day").agg(F.sum("d").alias("day_delta")).persist()
+    )
     spine = (
         day_sums.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
         .select(
