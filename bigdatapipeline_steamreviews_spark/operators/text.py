@@ -508,13 +508,18 @@ def bigram_pmi(
     by (pmi_ratio DESC, w1, w2) — the tie-break makes top-k deterministic.
     """
     toks = tokens(text_col)
+    # Both count tables are vocabulary-bounded (Heaps' law) but their
+    # lineage is a corpus explode; uni has three consumers (totals, u1,
+    # u2) and bi_all two (bi, the pre-filter total) — persist the small
+    # aggregates so the corpus is exploded once per table, not per use.
     uni = (
         df.select(F.explode(toks).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
+        .persist()
     )
-    bi_all = bigram_counts(df, text_col)
+    bi_all = bigram_counts(df, text_col).persist()
     bi = bi_all.filter(F.col("n_pair") >= min_count)
     # n_pairs is the PRE-filter bigram total: p(w1,w2) = n_pair / all
     # observed bigrams, not / the surviving heavy ones.
@@ -610,7 +615,14 @@ def bigram_surprisal(
     stats table (shuffle on (w1, w2)), one per-doc aggregate.
     """
     pairs = adjacent_pairs(df, text_col, (id_col,))
-    corpus = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    # The vocab²-bounded pair-count table has two consumers (outw and the
+    # stats join) and each would re-execute the corpus pair explode +
+    # groupBy shuffle behind it; persisting the SMALL aggregate halves
+    # the corpus passes.  (Persisting `pairs` itself would be the wrong
+    # seam — that is corpus-sized.)
+    corpus = (
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")).persist()
+    )
     outw = corpus.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("ow"))
     stats = corpus.join(outw, "w1").select(
         "w1",

@@ -1547,27 +1547,39 @@ GROUP BY user_id
     "Graph-shaped recursion (transitive closure) is deliberately NOT "
     "offered through this surface: recursive UNION dedup is unsupported "
     "(UNION ALL walks explode on LSH band cliques) — dedup clustering "
-    "routes through the pointer-jumping operator (x2_dedup_clusters).",
+    "routes through the pointer-jumping operator (x2_dedup_clusters).  "
+    "Execution shape: the capped per-user sequence is MATERIALIZED "
+    "(persist) before the recursion — Spark re-executes a non-recursive "
+    "CTE referenced inside the recursive member on EVERY iteration, so "
+    "the inline form re-ran the events window 32x (11 s -> 4.6 s at "
+    "sf0.1) — and each step joins it BROADCAST (|users| x 32 narrow "
+    "rows; at a scale where that stops broadcasting, w14 is the path).",
 )
 def sql_recursive_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "events_recursive_v"
+    from pyspark.sql import Window as W
+
+    capped = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("rn") <= 32)
+        .select("user_id", "value", "rn")
+        .persist()
     )
+    capped.createOrReplaceTempView("capped_recursive_v")
     return spark.sql(
         """
-WITH RECURSIVE capped AS (
-  SELECT user_id, value, rn FROM (
-    SELECT user_id, value,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS rn
-    FROM events_recursive_v WHERE value IS NOT NULL
-  ) WHERE rn <= 32
-),
-fold(user_id, rn, acc) AS (
-  SELECT user_id, rn, value AS acc FROM capped WHERE rn = 1
+WITH RECURSIVE fold(user_id, rn, acc) AS (
+  SELECT user_id, rn, value AS acc FROM capped_recursive_v WHERE rn = 1
   UNION ALL
-  SELECT c.user_id, c.rn, 0.5D * c.value + 0.5D * f.acc
-  FROM fold f JOIN capped c ON c.user_id = f.user_id AND c.rn = f.rn + 1
+  SELECT /*+ BROADCAST(c) */ c.user_id, c.rn, 0.5D * c.value + 0.5D * f.acc
+  FROM fold f JOIN capped_recursive_v c
+    ON c.user_id = f.user_id AND c.rn = f.rn + 1
 )
 SELECT user_id, max_by(acc, rn) AS ewma, CAST(max(rn) AS BIGINT) AS n_events
 FROM fold GROUP BY user_id

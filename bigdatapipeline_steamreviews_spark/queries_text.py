@@ -263,9 +263,12 @@ WHERE quality_score >= (
 def x4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.selection import exact_quantile_threshold
 
+    # Three consumers (the selection operator's two phases + the final
+    # filter) of a scan that re-tokenizes every document — persist the
+    # |docs|-row score projection so the text pass runs once.
     scored = quality_score(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "quality_score"
-    )
+    ).persist()
     thr = exact_quantile_threshold(scored, "quality_score", 0.25)
     return (
         scored.crossJoin(F.broadcast(thr))
@@ -2199,10 +2202,15 @@ def x4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     surp = bigram_surprisal(docs)
+    # |docs|-row score table, but its LINEAGE is the corpus bigram
+    # explode + vocabulary joins — and it has three consumers (the
+    # selection operator's histogram pass, its per-bucket pass, and the
+    # labeling join).  Persist so surprisal is computed once, not 3x
+    # (5.2 s -> ~2.4 s at sf0.1).
     scored = surp.select(
         "doc_id",
         F.expr("(total_bits * 1000000) div n_bigrams").alias("score"),
-    )
+    ).persist()
     bounds = equi_depth_boundaries(scored, "score", n_out=3)
     brow = bounds.agg(
         F.max(F.when(F.col("i") == 1, F.col("boundary"))).alias("b1"),
