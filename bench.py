@@ -96,6 +96,13 @@ def main() -> None:
     regs = queries()
 
     def run_once(name: str) -> float:
+        # Every timed run starts with a cold in-memory cache: queries may
+        # persist() small multi-consumer intermediates, and the SECOND
+        # best-of-2 run would otherwise get those subtrees free from the
+        # CacheManager (same logical plan), flattering the number.  The
+        # durable staged-parquet indexes (LSH bands, span digests) stay —
+        # those are deliberate storage artifacts, not warm-cache luck.
+        spark.catalog.clearCache()
         t0 = time.time()
         df = regs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

@@ -2205,8 +2205,10 @@ def x4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |docs|-row score table, but its LINEAGE is the corpus bigram
     # explode + vocabulary joins — and it has three consumers (the
     # selection operator's histogram pass, its per-bucket pass, and the
-    # labeling join).  Persist so surprisal is computed once, not 3x
-    # (5.2 s -> ~2.4 s at sf0.1).
+    # labeling join).  Persisted so warm sessions compute surprisal once;
+    # COLD runs see little change (the selection consumers materialize
+    # concurrently through async broadcast threads and race past the
+    # lazy cache — measured, see PERF.md round-6 notes).
     scored = surp.select(
         "doc_id",
         F.expr("(total_bits * 1000000) div n_bigrams").alias("score"),

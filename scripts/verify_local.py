@@ -132,6 +132,10 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
+            # Queries may persist() small multi-consumer intermediates;
+            # drop them so every query runs cold and the sweep's memory
+            # footprint stays flat across 200+ queries.
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
             failed.append(name)
