@@ -425,6 +425,18 @@ def train_ivf(
     dense = embeddings.withColumn(
         "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    if not dense.head(1):
+        # MLlib KMeans.fit throws on an empty corpus; an empty partition
+        # of the lake must yield an empty index, not a crash.  (The
+        # head(1) probe is one tiny job on the train path, which already
+        # runs a full k-means.)
+        assignments = embeddings.select(id_col, vec_col).limit(0).withColumn(
+            "list_id", F.lit(0).cast("long")
+        )
+        centroids = spark.createDataFrame(
+            [], "list_id long, centroid array<double>"
+        )
+        return assignments, centroids
     model = KMeans(
         k=n_lists, seed=seed, featuresCol="__v", predictionCol="list_id"
     ).fit(dense)

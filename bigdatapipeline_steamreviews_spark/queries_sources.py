@@ -175,7 +175,14 @@ def src_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type"
         ).parquet(tmp)
         publish_dir(tmp, path)
-    purchases = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    # Explicit schema: an empty events table writes a partition dir with
+    # no parquet footers to infer from, and a pruned scan of an empty
+    # partition must return 0 rows, not UNABLE_TO_INFER_SCHEMA.
+    purchases = (
+        spark.read.schema(load_table(spark, sf_dir, "events").schema)
+        .parquet(path)
+        .filter(F.col("event_type") == "purchase")
+    )
     return purchases.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         sum_exact("value").alias("total_value"),

@@ -604,7 +604,9 @@ def _stage_events_with_flush_sentinels(spark: SparkSession, sf_dir: str) -> str:
             shutil.copy(os.path.join(src, f), os.path.join(tmp, f))
             time.sleep(0.05)
         max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
-        flush_ts = int(max_ts) + 7 * 24 * 3600 * 1_000_000
+        # Empty events partition -> max(ts) is NULL; any epoch works for
+        # the sentinel then (there is no real data to flush past).
+        flush_ts = int(max_ts or 0) + 7 * 24 * 3600 * 1_000_000
         scratch = tempfile.mkdtemp(prefix="spark_graft_sentinel_")
         spark.createDataFrame(
             [

@@ -75,6 +75,12 @@ def stage_events_for_replay(
     # the source parquet encodes timestamps (nanos-long, micros, NTZ).
     raw = event_ts_micros(spark.read.parquet(f"{sf_dir}/events.parquet"))
     qs = raw.approxQuantile("ts", [i / chunks for i in range(1, chunks)], 0.0)
+    # An EMPTY (or single-value) events table yields fewer than chunks-1
+    # quantiles; pad so the staging still writes ``chunks`` files (the
+    # extra ones empty) — replay consumers index chunk files positionally
+    # (e.g. the redelivery stage replays parts[1]) and must not crash on
+    # an empty partition of the lake.
+    qs = list(qs) + [float("inf")] * (chunks - 1 - len(qs))
     bounds = [float("-inf"), *qs, float("inf")]
     for i in range(chunks):
         part = raw.filter(

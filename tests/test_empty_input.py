@@ -1,0 +1,77 @@
+"""Empty-input robustness: at 100 TB an empty partition of the lake is
+routine (a new source, a filtered branch, a day with no data), and every
+query must return an empty/degenerate result — never crash.
+
+A full 215-query empty sweep runs ~10 min, so this test pins the paths
+that actually crashed in the round-6 audit (24/215) plus one
+representative per operator family.  The crash roots fixed:
+
+- ``stage_events_for_replay`` — ``approxQuantile`` on empty events
+  returns no split points and the chunk loop indexed past the padded
+  bounds (took down all 22 replay-staged stream_* queries);
+- ``src_partitioned_pruned_scan`` — a partitioned write of 0 rows leaves
+  no parquet footer to infer a schema from (UNABLE_TO_INFER_SCHEMA);
+- ``train_ivf`` — MLlib ``KMeans.fit`` throws on an empty corpus;
+- the stream-stream flush sentinel — ``int(max(ts))`` with NULL max.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bigdatapipeline_steamreviews_spark import queries
+from bigdatapipeline_steamreviews_spark.sources.tables import TABLE_NAMES
+from tests.conftest import SF_DIR
+
+EMPTY_DIR = "/tmp/spark_graft_sf_empty_test"
+
+# Formerly-crashing representatives + one per family.
+PROBE = [
+    # the four fixed crash roots
+    "stream_daily_summary",          # replay staging (chunk padding)
+    "stream_dedup_daily_summary",    # duped replay staging (parts[1])
+    "stream_click_abandonment",      # flush sentinel int(NULL)
+    "src_partitioned_pruned_scan",   # schema-less empty partition read
+    "x3_cosine_topk_ivf",            # KMeans.fit on empty corpus
+    # one per family
+    "flagship_daily_summary",
+    "q1_pricing_summary",
+    "j1_region_enrichment",
+    "w18_peak_concurrency",
+    "t1_asof_latest_order",
+    "a20_equidepth_histogram",
+    "x1_span_dedup",
+    "x2_minhash_lsh",
+    "x3_pq_adc_topk",
+    "x4_ccnet_buckets",
+    "x5_shard_manifest",
+    "serving_upsert_compaction",
+    "sql_recursive_user_ewma",
+    "dq_column_profile",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark):
+    if not os.path.exists(os.path.join(EMPTY_DIR, "_DONE")):
+        for t in TABLE_NAMES:
+            raw = spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(0)
+            raw.coalesce(1).write.mode("overwrite").parquet(
+                f"{EMPTY_DIR}/{t}.parquet"
+            )
+        open(os.path.join(EMPTY_DIR, "_DONE"), "w").close()
+    return EMPTY_DIR
+
+
+@pytest.mark.parametrize("name", PROBE)
+def test_query_survives_empty_tables(spark, empty_dir, name):
+    df = queries()[name](spark, empty_dir)
+    # Row count is what empty input allows to assert universally; most
+    # queries return 0 rows, a few return degenerate summaries (e.g. a
+    # profile row of zeros) — not-crashing with a well-formed schema is
+    # the contract.
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+    spark.catalog.clearCache()
