@@ -69,7 +69,16 @@ def blob_metadata(blobs: DataFrame) -> DataFrame:
 def _decode_payload(payload: bytes, mime: str):
     """The codec seam.  Real deployments dispatch on mime to an installed
     decoder (PIL / libav / soundfile); none exist in this container, so
-    only the deterministic test fake is implemented."""
+    only the deterministic test fake is implemented.
+
+    A NULL payload or NULL mime decodes to ``None`` — there is nothing to
+    hand a codec — and the decode-backed operators QUARANTINE such rows
+    (skip, never crash the job): one malformed blob in a 100 TB batch
+    must not fail the stage.  An *unknown but present* mime still raises:
+    that is a missing-codec deployment error, not bad data.
+    """
+    if payload is None or mime is None:
+        return None
     if mime == "application/x-fake":
         return payload  # tests: payload IS the decoded content
     raise NotImplementedError(
@@ -99,15 +108,17 @@ def extract_features(blobs: DataFrame, arrow_batch_size: int = 256) -> DataFrame
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [
-                _decode_payload(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+            rows = [
+                (bid, _decode_payload(p, m))
+                for bid, p, m in zip(pdf["blob_id"], pdf["payload"], pdf["mime"])
             ]
+            rows = [(bid, d) for bid, d in rows if d is not None]  # quarantine
             yield pd.DataFrame(
                 {
-                    "blob_id": pdf["blob_id"],
+                    "blob_id": [bid for bid, _ in rows],
                     "features": [
                         [float(len(d)), float(d[0]), float(d[-1])] if len(d) else [0.0, 0.0, 0.0]
-                        for d in decoded
+                        for _, d in rows
                     ],
                 }
             )
@@ -152,6 +163,8 @@ def resize_payload(blobs: DataFrame, target_bytes: int = 16) -> DataFrame:
             out_ids, out_orig, out_resized = [], [], []
             for bid, payload, mime in zip(pdf["blob_id"], pdf["payload"], pdf["mime"]):
                 content = _decode_payload(payload, mime)
+                if content is None:  # quarantine undecodable blobs
+                    continue
                 n = len(content)
                 resized = (
                     bytes(content[i * n // target_bytes] for i in range(target_bytes))
@@ -181,6 +194,8 @@ def frame_sample(blobs: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             out_ids, out_nos, out_frames = [], [], []
             for bid, payload, mime in zip(pdf["blob_id"], pdf["payload"], pdf["mime"]):
                 content = _decode_payload(payload, mime)
+                if content is None:  # quarantine undecodable blobs
+                    continue
                 # Zero-length content yields zero frames (a 0-byte video has
                 # no frames to sample), matching ceil(n/stride) everywhere.
                 for i in range(0, len(content), every_n_bytes):

@@ -61,10 +61,12 @@ SELECT doc_id AS blob_id,
                    octet_length(encode(text)) * 2 - 1, 2))::BIGINT)::DOUBLE
        END AS f_last
 FROM documents
+WHERE text IS NOT NULL
 """,
     ("X5",),
     "Arrow-batched mapInPandas feature extraction over payloads (the "
     "stubbed deterministic featurizer); checks the full Python round-trip "
+    "— NULL payloads are QUARANTINED (skipped) on both sides "
     "against SQL recomputation. Both sides work on OCTETS (first/last byte "
     "of the UTF-8 payload, via hex-string slicing in the oracle), so "
     "non-ASCII and empty documents agree bit-for-bit.",
@@ -93,6 +95,7 @@ SELECT doc_id AS blob_id,
               'string_agg', '')
        END AS resized_hex
 FROM documents
+WHERE text IS NOT NULL
 """,
     ("X5",),
     "Resize plumbing through the codec seam: nearest-neighbor resample of "
@@ -116,7 +119,7 @@ SELECT doc_id AS blob_id, i::INT AS frame_no,
        (length(substr(hex(encode(text)), i * 128 + 1, 128)) // 2)::BIGINT
          AS frame_len,
        substr(hex(encode(text)), i * 128 + 1, 128) AS frame_hex
-FROM (SELECT doc_id, text FROM documents),
+FROM (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
      LATERAL unnest(range(0, (octet_length(encode(text)) + 63) // 64)) AS t(i)
 """,
     ("X5",),

@@ -159,21 +159,38 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_anti",
             ).agg(F.count(F.lit(1)).alias("n_violations")),
         ),
+        # Range/domain rules count every row whose predicate is NOT
+        # satisfied — including NULLs.  A bare ``count_if(~pred)`` is a
+        # three-valued-logic trap: NULL > 0 is NULL, ~NULL is NULL, and
+        # count_if counts only TRUE, so a NULL price silently PASSED the
+        # ">0" gate (found by the null-injection differential audit; the
+        # SQL oracle's CASE WHEN pred THEN 0 ELSE 1 had the correct
+        # semantics all along).
         (
             "orders.o_totalprice > 0",
-            orders.agg(count_if(~(F.col("o_totalprice") > 0)).alias("n_violations")),
+            orders.agg(
+                count_if(
+                    ~F.coalesce(F.col("o_totalprice") > 0, F.lit(False))
+                ).alias("n_violations")
+            ),
         ),
         (
             "orders.o_orderstatus in (O,F,P)",
             orders.agg(
-                count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
-                    "n_violations"
-                )
+                count_if(
+                    ~F.coalesce(
+                        F.col("o_orderstatus").isin("O", "F", "P"), F.lit(False)
+                    )
+                ).alias("n_violations")
             ),
         ),
         (
             "customer.c_acctbal >= 0",
-            customer.agg(count_if(~(F.col("c_acctbal") >= 0)).alias("n_violations")),
+            customer.agg(
+                count_if(
+                    ~F.coalesce(F.col("c_acctbal") >= 0, F.lit(False))
+                ).alias("n_violations")
+            ),
         ),
         (
             "events.value is not null",
@@ -668,9 +685,10 @@ def w15_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 SELECT event_type,
        count(*) AS n_rows,
        bit_xor(('0x' || substr(md5(
-           event_id::VARCHAR || '|' || user_id::VARCHAR || '|'
-           || CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR || '|'
-           || CAST(floor(value * 1000) AS BIGINT)::VARCHAR
+           coalesce(event_id::VARCHAR, chr(1)) || '|'
+           || coalesce(user_id::VARCHAR, chr(1)) || '|'
+           || coalesce(CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR, chr(1)) || '|'
+           || coalesce(CAST(floor(value * 1000) AS BIGINT)::VARCHAR, chr(1))
        ), 1, 15))::BIGINT) AS checksum
 FROM events
 GROUP BY event_type
@@ -685,16 +703,27 @@ ORDER BY event_type
     "Map-side partial bit_xor, one exchange of |groups| rows.  Doubles "
     "enter the serialization through floor(value*1000) (bitwise-identical "
     "double arithmetic in every engine), never through engine-specific "
-    "float-to-string formatting.",
+    "float-to-string formatting.  The serialization is NULL-TOTAL: every "
+    "field is coalesced to an out-of-alphabet sentinel (chr(1)) — "
+    "concat_ws-style null SKIPPING would make (a, NULL, b) collide with "
+    "(a, b, NULL), and ||-style null PROPAGATION would silently drop any "
+    "row containing a NULL from the fingerprint entirely (audited on "
+    "null-injected data; both engines previously did one of each).",
 )
 def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    sentinel = F.lit("\x01")
     serial = F.concat_ws(
         "|",
-        F.col("event_id").cast("string"),
-        F.col("user_id").cast("string"),
-        F.floor(F.unix_timestamp(F.col("ts"))).cast("long").cast("string"),
-        F.floor(F.col("value") * 1000).cast("long").cast("string"),
+        F.coalesce(F.col("event_id").cast("string"), sentinel),
+        F.coalesce(F.col("user_id").cast("string"), sentinel),
+        F.coalesce(
+            F.floor(F.unix_timestamp(F.col("ts"))).cast("long").cast("string"),
+            sentinel,
+        ),
+        F.coalesce(
+            F.floor(F.col("value") * 1000).cast("long").cast("string"), sentinel
+        ),
     )
     row_hash = F.conv(F.substring(F.md5(serial), 1, 15), 16, 10).cast("long")
     return (

@@ -1164,9 +1164,10 @@ STREAM_CHECKSUM_ORACLE = """
 SELECT event_type,
        count(*) AS n_rows,
        bit_xor(('0x' || substr(md5(
-           event_id::VARCHAR || '|' || user_id::VARCHAR || '|'
-           || CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR || '|'
-           || CAST(floor(value * 1000) AS BIGINT)::VARCHAR
+           coalesce(event_id::VARCHAR, chr(1)) || '|'
+           || coalesce(user_id::VARCHAR, chr(1)) || '|'
+           || coalesce(CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR, chr(1)) || '|'
+           || coalesce(CAST(floor(value * 1000) AS BIGINT)::VARCHAR, chr(1))
        ), 1, 15))::BIGINT) AS checksum
 FROM events
 GROUP BY event_type
@@ -1192,12 +1193,18 @@ def stream_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_checksum_{_query_counter}"
     stage = _stage_events_chunks(spark, sf_dir)
     stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    sentinel = F.lit("\x01")
     serial = F.concat_ws(
         "|",
-        F.col("event_id").cast("string"),
-        F.col("user_id").cast("string"),
-        F.floor(F.unix_timestamp(F.col("ts"))).cast("long").cast("string"),
-        F.floor(F.col("value") * 1000).cast("long").cast("string"),
+        F.coalesce(F.col("event_id").cast("string"), sentinel),
+        F.coalesce(F.col("user_id").cast("string"), sentinel),
+        F.coalesce(
+            F.floor(F.unix_timestamp(F.col("ts"))).cast("long").cast("string"),
+            sentinel,
+        ),
+        F.coalesce(
+            F.floor(F.col("value") * 1000).cast("long").cast("string"), sentinel
+        ),
     )
     row_hash = F.conv(F.substring(F.md5(serial), 1, 15), 16, 10).cast("long")
     result = (
