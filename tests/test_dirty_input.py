@@ -1,0 +1,85 @@
+"""NULL-injection regression: the queries whose NULL semantics were fixed
+in the round-6 differential audit (DIRTYDATA.md) must keep matching their
+own DuckDB oracles on dirty data — not just on the clean testdata where
+the NULL paths never execute.
+
+Pinned contracts:
+- constraint rules count NULL as NOT satisfying a range/domain predicate;
+- the table checksum serializes NULL fields via an out-of-alphabet
+  sentinel (no concat_ws skipping, no || row-nulling);
+- the multimodal codec seam quarantines NULL payload/mime rows.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+
+import duckdb
+import pytest
+
+from bigdatapipeline_steamreviews_spark import REGISTRY, queries
+from bigdatapipeline_steamreviews_spark.sources.tables import TABLE_NAMES
+from tests.conftest import SF_DIR
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "scripts"))
+
+from verify_local import compare  # noqa: E402
+
+DIRTY_DIR = "/tmp/spark_graft_sf_dirty_test"
+
+FIXED = [
+    "dq_constraint_checks",
+    "dq_table_checksum",
+    "stream_table_checksum",
+    "x5_feature_extract",
+    "x5_resize",
+    "x5_frame_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_dir(spark):
+    if not os.path.exists(os.path.join(DIRTY_DIR, "_DONE")):
+        from pyspark.sql import functions as F
+
+        from adversarial_data import KEEP, NULL_RATE, write_flat
+
+        for t in TABLE_NAMES:
+            df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+            cols = [
+                F.col(f.name)
+                if f.name in KEEP
+                else F.when(
+                    F.rand(seed=hash(t + f.name) % 2**31) < NULL_RATE,
+                    F.lit(None),
+                )
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                for f in df.schema.fields
+            ]
+            write_flat(df.select(*cols), DIRTY_DIR, t)
+        open(os.path.join(DIRTY_DIR, "_DONE"), "w").close()
+    return DIRTY_DIR
+
+
+@pytest.fixture(scope="module")
+def duck(dirty_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dirty_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", FIXED)
+def test_fixed_queries_match_oracle_on_dirty_data(spark, dirty_dir, duck, name):
+    queries()
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, dirty_dir).toPandas()
+    spark.catalog.clearCache()
+    ddf = duck.execute(spec.oracle).fetchdf()
+    problems = compare(name, sdf, ddf)
+    assert problems == [], problems
