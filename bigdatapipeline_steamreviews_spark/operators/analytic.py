@@ -140,6 +140,10 @@ def rolling_frame_avg(
     inputs (e.g. one row per day).  For per-key trailing metrics at scale,
     add ``partitionBy`` keys (same frame, sharded by key).
     """
+    # A row with a NULL ordering key has no position in the series (and
+    # its frame slot is engine-dependent: Spark sorts NULLS FIRST, DuckDB
+    # NULLS LAST — which also shifts every neighboring frame).
+    daily = daily.filter(F.col(order_col).isNotNull())
     w = (
         Window.orderBy(order_col)
         .rowsBetween(-preceding, Window.currentRow)
@@ -163,7 +167,16 @@ def nearest_rank_percentiles(
     bit-exact in every engine, unlike interpolated percentile_cont whose
     float blend can differ in the last ulp.  One shuffle (the window) +
     one partial-aggregatable groupBy.
+
+    NULL measures are EXCLUDED before ranking (the SQL aggregate
+    convention — percentile_cont/disc ignore NULLs), so ``n`` counts
+    scoreable rows only.  Without the filter, rank semantics silently
+    depend on the engine's null sort order (Spark ascends NULLS FIRST,
+    DuckDB NULLS LAST — the round-6 null-injection audit caught the
+    divergence); groups that are entirely NULL vanish rather than
+    reporting undefined percentiles.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(*group_cols).orderBy(value_col, tiebreak_col)
     wn = Window.partitionBy(*group_cols)
     ranked = df.select(
@@ -202,31 +215,39 @@ def as_of_join(
 
     Union-tag algorithm: tag right rows 0 and left rows 1, sort each key's
     timeline by (ts, tag) — descending for forward — and carry the latest
-    non-null right values forward with ``last(ignorenulls=True)``.  Right
+    right ROW forward with ``last(struct(...), ignorenulls=True)``.  Right
     rows sort before left rows at equal timestamps in either direction, so
     an exactly-simultaneous right row IS visible to the left row (<= / >=
     semantics).  One shuffle on the key, one sort — never the O(|L|·|R|)
     product of a naive range join.
+
+    NULL semantics match SQL ASOF JOIN (the null-injection audit's
+    finding): a right row with a NULL ``right_ts`` is not temporally
+    placeable and never matches; the carry is ROW-wise — the as-of row's
+    values are taken even when some are NULL (per-COLUMN
+    ``last(ignorenulls)`` would stitch values from different rows); a
+    left row with NULL ``left_ts`` matches nothing and keeps NULL
+    carries.
 
     The right side must be unique per (key, right_ts) — pre-compact it
     (e.g. keyed max-struct) or the carried values are nondeterministic.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    r_tagged = right.select(
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        *[F.col(c) for c in carry_cols],
+        F.struct(*[F.col(c) for c in carry_cols]).alias("__carry"),
     )
+    carry_type = r_tagged.schema["__carry"].dataType
     l_tagged = left.select(
         "*",
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
+        F.lit(None).cast(carry_type).alias("__carry"),
     )
-    for c in carry_cols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(r_tagged.schema[c].dataType))
     unioned = l_tagged.select(r_tagged.columns + left.columns).unionByName(
         r_tagged.select("*", *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns])
     )
@@ -243,9 +264,16 @@ def as_of_join(
     carried = unioned.select(
         *left.columns,
         F.col("__tag"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry_cols],
+        F.col("__ts"),
+        F.last("__carry", ignorenulls=True).over(w).alias("__c"),
     )
-    return carried.filter(F.col("__tag") == 1).drop("__tag")
+    return carried.filter(F.col("__tag") == 1).select(
+        *left.columns,
+        *[
+            F.when(F.col("__ts").isNotNull(), F.col("__c").getField(c)).alias(c)
+            for c in carry_cols
+        ],
+    )
 
 
 def gap_fill_forward(
@@ -386,6 +414,10 @@ def equi_width_histogram(
     come from exact BIGINT/DECIMAL accumulators through fixed-shape
     expressions.
     """
+    # A histogram describes the non-null values: a NULL measure has no
+    # bucket, and carrying a NULL bucket row makes the CDF's ORDER BY
+    # engine-dependent (NULLS FIRST vs LAST — null-injection audit).
+    df = df.filter(F.col(value_col).isNotNull())
     bucket = F.floor(F.col(value_col) / F.lit(width)).cast("bigint")
     agg = df.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -465,6 +497,11 @@ def pareto_frontier_2d(
     join.  Shuffle volume is O(buckets), not O(rows).
     """
     cost, gain = F.col(cost_col), F.col(gain_col)
+    # Dominance is undefined for a row missing either dimension (every
+    # comparison against it is three-valued NULL — the naive NOT EXISTS
+    # would keep ALL such rows as vacuous frontier members); the skyline
+    # is over fully-specified rows.
+    df = df.filter(cost.isNotNull() & gain.isNotNull())
     bucket = F.floor(cost / F.lit(bucket_width)).cast("bigint").alias("bucket")
 
     bucket_max = df.select(bucket, gain.alias("g")).groupBy("bucket").agg(

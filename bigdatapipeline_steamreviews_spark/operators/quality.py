@@ -121,6 +121,10 @@ def winsorized_stats(
     from .analytic import nearest_rank_percentiles
 
     plo, phi = f"p{int(lo * 100)}", f"p{int(hi * 100)}"
+    # Non-null measures only, same convention as the percentile operator:
+    # Spark's greatest/least IGNORE nulls, so an unfiltered NULL value
+    # would silently clamp to the upper bound instead of being excluded.
+    df = df.filter(F.col(value_col).isNotNull())
     pct = nearest_rank_percentiles(df, list(group_cols), value_col, tiebreak_col, (lo, hi))
     clamped = df.join(F.broadcast(pct), list(group_cols)).withColumn(
         "__w", F.greatest(F.col(plo), F.least(F.col(phi), F.col(value_col)))

@@ -113,7 +113,7 @@ WITH daily AS (
   SELECT date_trunc('day', l_shipdate) AS day,
          sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10)))
            AS rev_dec
-  FROM lineitem GROUP BY 1
+  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
 )
 SELECT day,
        ((rev_dec::VARCHAR)::DOUBLE) AS revenue,
@@ -423,7 +423,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY o_orderstatus
                             ORDER BY o_totalprice, o_orderkey) AS rn,
          count(*) OVER (PARTITION BY o_orderstatus) AS n
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 )
 SELECT o_orderstatus,
        max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
@@ -1173,7 +1173,7 @@ WITH h AS (
   SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
          count(*) AS n,
          {_sum_exact_sql('o_totalprice')} AS value_sum
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 )
 SELECT bucket,
        bucket * 25000.0 AS lo,
@@ -1393,6 +1393,7 @@ WITH w AS (
            ROWS UNBOUNDED PRECEDING) AS cum,
          sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 )
 SELECT l_returnflag, min(v) AS weighted_median,
        CAST(max(tot) AS BIGINT) AS total_weight
@@ -1410,7 +1411,12 @@ FROM w WHERE cum >= tot / 2 GROUP BY l_returnflag
 def a15_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # Weighted median over scoreable rows: a NULL value has no rank
+    # position (its sort slot is engine-dependent) and a NULL weight
+    # contributes nothing — both are excluded, mirrored in the oracle.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     cum_w = (
         W.partitionBy("l_returnflag")
         .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
@@ -1443,9 +1449,11 @@ def a15_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT p_partkey, p_retailprice, p_size
 FROM part p
-WHERE NOT EXISTS (
+WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+  AND NOT EXISTS (
   SELECT 1 FROM part q
-  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+  WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
 )
 ORDER BY p_retailprice, p_partkey
@@ -1548,7 +1556,7 @@ SELECT o.o_orderkey,
        (CAST(floor(epoch(l.l_shipdate)) AS BIGINT)
         - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) // 86400 AS lag_days,
        l.first_linenumber
-FROM orders o
+FROM (SELECT * FROM orders WHERE o_orderdate IS NOT NULL) o
 ASOF LEFT JOIN lcompact l
   ON o.o_orderkey = l.l_orderkey AND o.o_orderdate <= l.l_shipdate
 """,
@@ -1562,7 +1570,15 @@ ASOF LEFT JOIN lcompact l
     "native ASOF JOIN with the inequality flipped.",
 )
 def t4_next_shipment_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # Contract: orders with a known order date (a ship lag from an
+    # unknown date is undefined).  Also dodges a DuckDB ASOF quirk where
+    # a NULL probe timestamp matches the smallest right row instead of
+    # nothing.
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_orderkey", "o_orderdate")
+    )
     li = load_table(spark, sf_dir, "lineitem")
     lcompact = (
         li.groupBy("l_orderkey", "l_shipdate")

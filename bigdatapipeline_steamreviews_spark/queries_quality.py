@@ -213,7 +213,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY o_orderpriority
                             ORDER BY o_totalprice, o_orderkey) AS rn,
          count(*) OVER (PARTITION BY o_orderpriority) AS n
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 pct AS (
   SELECT o_orderpriority,
@@ -229,6 +229,7 @@ SELECT o.o_orderpriority,
        {_avg_exact_sql('greatest(p.p5, least(p.p95, o.o_totalprice))')}
          AS winsorized_mean
 FROM orders o JOIN pct p USING (o_orderpriority)
+WHERE o.o_totalprice IS NOT NULL
 GROUP BY o.o_orderpriority
 """,
     ("A*", "O*"),
@@ -430,7 +431,7 @@ WITH r1 AS (
          row_number() OVER (PARTITION BY o_orderpriority
                             ORDER BY o_totalprice, o_orderkey) AS rn,
          count(*) OVER (PARTITION BY o_orderpriority) AS n
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 ),
 med AS (
   SELECT o_orderpriority,
@@ -446,6 +447,7 @@ dev AS (
                                      o.o_orderkey) AS rn,
          count(*) OVER (PARTITION BY o.o_orderpriority) AS n
   FROM orders o JOIN med m USING (o_orderpriority)
+  WHERE o.o_totalprice IS NOT NULL
 ),
 mad AS (
   SELECT o_orderpriority, max(median) AS median,
@@ -473,7 +475,12 @@ GROUP BY d.o_orderpriority
 def a16_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytic import nearest_rank_percentiles
 
-    orders = load_table(spark, sf_dir, "orders")
+    # MAD is defined over scoreable values: NULL prices are excluded up
+    # front (matching the operator's percentile convention), so n_rows
+    # counts the rows the statistics describe.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     med = nearest_rank_percentiles(
         orders, ["o_orderpriority"], "o_totalprice", "o_orderkey", (0.5,)
     ).select("o_orderpriority", F.col("p50").alias("median"))
@@ -799,11 +806,12 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a20_equidepth_histogram",
     """
-WITH ranked AS (
+WITH nn AS (SELECT o_totalprice FROM orders WHERE o_totalprice IS NOT NULL),
+ranked AS (
   SELECT o_totalprice AS v, row_number() OVER (ORDER BY o_totalprice) AS rn
-  FROM orders
+  FROM nn
 ),
-tot AS (SELECT count(*) AS n FROM orders),
+tot AS (SELECT count(*) AS n FROM nn),
 bounds AS (
   SELECT gs.i AS i, r.v AS b
   FROM generate_series(1, 9) gs(i)
@@ -814,7 +822,7 @@ assigned AS (
   SELECT o.o_totalprice AS v,
          1 + (SELECT count(*) FROM bounds WHERE bounds.b < o.o_totalprice)
            AS bucket
-  FROM orders o
+  FROM nn o
 )
 SELECT bucket, count(*) AS n_rows, min(v) AS lo, max(v) AS hi
 FROM assigned GROUP BY bucket ORDER BY bucket
@@ -835,7 +843,12 @@ FROM assigned GROUP BY bucket ORDER BY bucket
 def a20_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.selection import equi_depth_boundaries
 
-    orders = load_table(spark, sf_dir, "orders")
+    # Depth buckets partition the scoreable values; a NULL price has no
+    # rank (and would shift every boundary via count(*)) — excluded on
+    # both sides, same convention as the selection operator itself.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     bounds = equi_depth_boundaries(orders, "o_totalprice", n_out=10)
     barr = bounds.agg(
         F.sort_array(F.collect_list("boundary")).alias("__bs")
