@@ -617,6 +617,9 @@ def simhash_signatures(
     ``aggregate`` fold over that array — replacing the explode +
     groupBy(doc) formulation that shuffled every (doc, token) row.
     """
+    # Scoreable text only (NULL text has no tokens; the engines disagree
+    # on every downstream null-token expression — r6 audit).
+    df = df.filter(F.col(text_col).isNotNull())
     hashed = ensure_min_parallelism(df, id_col).select(
         F.col(id_col),
         F.transform(
@@ -880,7 +883,7 @@ def window_digest_table(
     one corpus scan, all map-side.  Persist it (``staged_parquet``) and
     every downstream keeper election/join reads storage instead of
     re-paying the explode+md5 pass."""
-    toks = docs.select(
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("t")
     ).select("doc_id", "t", F.size("t").alias("n_tokens"))
     starts = F.when(
@@ -945,7 +948,7 @@ def span_dedup_from_windows(
     per_doc = cov.groupBy("doc_id").agg(
         F.sum("covered").cast("long").alias("n_dup")
     )
-    n_toks = docs.select(
+    n_toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(text_col, " ")).cast("long").alias("n_tokens"),
     )

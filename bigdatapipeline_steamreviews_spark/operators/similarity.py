@@ -338,6 +338,10 @@ def label_centroids(
 
     Returns (label, centroid array<double>, n_vecs).
     """
+    # Prototypes need a label: a NULL-label "cluster" is meaningless as
+    # a prototype and its sort position in argmin tie-breaks is engine-
+    # dependent (null-injection audit).
+    embeddings = embeddings.filter(F.col(label_col).isNotNull())
     pos = embeddings.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col)).alias("pos", "val"),

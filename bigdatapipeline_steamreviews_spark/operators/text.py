@@ -54,6 +54,10 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     other symbols — a crude stand-in for byte-pair tokenizer behavior whose
     count correlates with real token counts well enough for budgeting.
     """
+    # Scoreable text only: NULL text has no tokens, and Spark's
+    # size(split(NULL)) = -1 silently poisons downstream arithmetic
+    # (null-injection audit, round 6).
+    df = df.filter(F.col(text_col).isNotNull())
     toks = tokens(text_col)
     pieces = F.regexp_extract_all(
         F.col(text_col), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0
@@ -103,6 +107,10 @@ def language_id(
     larger profiles or char n-gram models — the dataflow shape is
     identical.
     """
+    # Scoreable text only: NULL text has no tokens, and Spark's
+    # size(split(NULL)) = -1 silently poisons downstream arithmetic
+    # (null-injection audit, round 6).
+    df = df.filter(F.col(text_col).isNotNull())
     profiles = profiles if profiles is not None else LANG_PROFILES
     toks = tokens(text_col)
     scored = df.withColumns(
@@ -133,6 +141,10 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     All double arithmetic with a fixed evaluation order, so the score is
     bit-reproducible across engines and partitionings.
     """
+    # Scoreable text only: NULL text has no tokens, and Spark's
+    # size(split(NULL)) = -1 silently poisons downstream arithmetic
+    # (null-injection audit, round 6).
+    df = df.filter(F.col(text_col).isNotNull())
     c = F.col(text_col)
     toks = tokens(text_col)
     n_tokens = F.size(toks)
@@ -184,6 +196,10 @@ def gopher_rules(
     Map-only Catalyst expressions per row — no shuffle, no Python; at
     100 TB this fuses into the scan alongside every other X4 projection.
     """
+    # Scoreable text only: NULL text has no tokens, and Spark's
+    # size(split(NULL)) = -1 silently poisons downstream arithmetic
+    # (null-injection audit, round 6).
+    df = df.filter(F.col(text_col).isNotNull())
     toks = tokens(text_col)
     n_tokens = F.size(toks)
     mean_len = F.length(F.regexp_replace(F.col(text_col), " ", "")) / F.greatest(
@@ -419,6 +435,10 @@ def chunk_documents(
 
     Returns (id, chunk_id, start_token, n_chunk_tokens, chunk_text).
     """
+    # Scoreable text only: NULL text has no tokens, and Spark's
+    # size(split(NULL)) = -1 silently poisons downstream arithmetic
+    # (null-injection audit, round 6).
+    df = df.filter(F.col(text_col).isNotNull())
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap

@@ -1345,10 +1345,10 @@ edges AS (
 ),
 {_min_label_sql(12)}
 SELECT cl.cluster_id, count(*) AS n_members,
-       max(struct_pack(b := c.c_acctbal, nk := -c.c_custkey,
+       max(struct_pack(b := coalesce(c.c_acctbal, -1e308), nk := -c.c_custkey,
                        k := c.c_custkey, n := c.c_name)).k
          AS canonical_custkey,
-       max(struct_pack(b := c.c_acctbal, nk := -c.c_custkey,
+       max(struct_pack(b := coalesce(c.c_acctbal, -1e308), nk := -c.c_custkey,
                        k := c.c_custkey, n := c.c_name)).n
          AS canonical_name,
        {{SUM_EXACT}} AS total_acctbal
@@ -1377,8 +1377,11 @@ def j6_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     pairs = fuzzy_pairs_distance1(cust, "c_custkey", "c_name")
     cc = connected_components(pairs, "l_key", "r_key")
+    # NULL-total election key: struct-max with a NULL field compares
+    # differently in Spark vs DuckDB (null-injection audit); a member
+    # with unknown balance ranks below every known balance.
     s = F.struct(
-        F.col("c_acctbal").alias("b"),
+        F.coalesce(F.col("c_acctbal"), F.lit(float("-1e308"))).alias("b"),
         (-F.col("c_custkey")).alias("nk"),
         F.col("c_custkey").alias("k"),
         F.col("c_name").alias("n"),

@@ -379,7 +379,7 @@ WITH pos AS (
   SELECT label, u['pos'] AS pos, u['val'] AS val FROM (
     SELECT label, unnest([{'pos': i-1, 'val': embedding[i]}
                           for i in range(1, len(embedding)+1)]) AS u
-    FROM embeddings)
+    FROM embeddings WHERE label IS NOT NULL)
 ),
 per AS (
   SELECT label, pos,
@@ -388,7 +388,7 @@ per AS (
            / count(val) AS m
   FROM pos GROUP BY 1, 2
 ),
-counts AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+counts AS (SELECT label, count(*) AS n_vecs FROM embeddings WHERE label IS NOT NULL GROUP BY label)
 SELECT p.label, p.pos, p.m AS value, c.n_vecs
 FROM per p JOIN counts c USING (label)
 """,
@@ -477,7 +477,7 @@ WITH pos AS (
   SELECT label, u['pos'] AS pos, u['val'] AS val FROM (
     SELECT label, unnest([{{'pos': i-1, 'val': embedding[i]}}
                           for i in range(1, len(embedding)+1)]) AS u
-    FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings)
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings WHERE label IS NOT NULL)
 ),
 per AS (
   SELECT label, pos,

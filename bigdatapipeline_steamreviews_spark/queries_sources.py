@@ -125,7 +125,14 @@ def src_union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("lang"), F.lit("unknown")).alias("lang")
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("total_tokens"),
+        # Null-safe token count: size(split(NULL)) is -1 in Spark and
+        # would DEDUCT from the total; SQL sum skips NULLs — match it
+        # (the doc still counts in n_docs).
+        F.sum(
+            F.when(
+                F.col("text").isNotNull(), F.size(F.split(F.col("text"), " "))
+            )
+        ).cast("bigint").alias("total_tokens"),
     )
 
 
@@ -217,8 +224,16 @@ def _stage_doc_files(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
         for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            if text is None:
+                # No payload -> no file (the x5 quarantine convention).
+                # NB Spark's binaryFile source silently DROPS zero-byte
+                # files (observed: 500 files on disk, 430 read when 70
+                # were empty), so writing placeholder empties would make
+                # the manifest quietly incomplete anyway — absent is
+                # honest, size-0 is a trap.
+                continue
             with open(os.path.join(tmp, f"doc_{doc_id:08d}.bin"), "wb") as f:
-                f.write((text or "").encode("utf-8"))
+                f.write(text.encode("utf-8"))
         with open(os.path.join(tmp, "_DONE"), "w") as f:
             f.write("ok")
         publish_dir(tmp, out)
@@ -232,6 +247,7 @@ SELECT doc_id,
        octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS content_md5
 FROM documents
+WHERE text IS NOT NULL
 ORDER BY doc_id
 """,
     ("S*", "X5"),
@@ -295,7 +311,9 @@ def _stage_doc_lines(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         tmp = f"{out}.build{os.getpid()}"
         docs = load_table(spark, sf_dir, "documents")
-        lines = docs.select(
+        # One doc per line requires text: concat_ws would silently SKIP a
+        # NULL body and emit a tab-less line that parses as garbage.
+        lines = docs.filter(F.col("text").isNotNull()).select(
             F.concat_ws(
                 "\t", F.col("doc_id").cast("string"), _esc(F.col("text"))
             ).alias("value")
@@ -313,6 +331,7 @@ SELECT doc_id,
        len(string_split({_ESC_SQL}, ' '))::BIGINT AS n_tokens,
        md5({_ESC_SQL}) AS line_md5
 FROM documents
+WHERE text IS NOT NULL
 ORDER BY doc_id
 """,
     ("S*", "X4"),

@@ -793,7 +793,7 @@ WITH steps AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS from_state,
          event_type AS to_state
-  FROM events
+  FROM events WHERE event_type IS NOT NULL
 ),
 c AS (
   SELECT from_state, to_state, count(*) AS n_transitions
@@ -826,6 +826,12 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_transitions_{_query_counter}"
     stage = _stage_events_chunks(spark, sf_dir)
     stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    # An untyped (NULL event_type) event is not a state: excluded from
+    # the chain on both sides, so the oracle's WHERE from_state IS NOT
+    # NULL keeps its intended meaning (drop each user's FIRST pair) and
+    # does not conflate 'no previous event' with 'previous event
+    # untyped'.
+    stream = stream.filter(F.col("event_type").isNotNull())
     result = streaming_transitions(stream)
     checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
     # Per-user state rows like sessionization -> same 16-partition sizing.

@@ -145,7 +145,7 @@ SELECT doc_id,
        length(text)::BIGINT AS n_chars_obs,
        length(regexp_replace(text, ' ', '', 'g'))
          / greatest(len(string_split(text, ' ')), 1) AS avg_token_len
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """,
     ("X4",),
     "Token counting: whitespace tokens + BPE-ish regex piece count.",
@@ -171,7 +171,7 @@ FROM (
         t -> t IN ('el','la','de','y','que','los')))::BIGINT AS score_es,
     len(list_filter(string_split(text,' '),
         t -> t IN ('der','die','das','und','zu','ist')))::BIGINT AS score_de
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 """,
     ("X4",),
@@ -199,7 +199,7 @@ FROM (
            / greatest(len(string_split(text,' ')), 1) AS stopword_ratio,
          (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))
            / greatest(length(text), 1) AS punct_ratio
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 """,
     ("X4",),
@@ -228,7 +228,7 @@ q AS (
              / greatest(len(string_split(text,' ')), 1) AS stopword_ratio,
            (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))
              / greatest(length(text), 1) AS punct_ratio
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
   )
 )
 """
@@ -781,7 +781,7 @@ FROM (
           t -> t IN ('el','la','de','y','que','los')))::BIGINT AS score_es,
       len(list_filter(string_split(text,' '),
           t -> t IN ('der','die','das','und','zu','ist')))::BIGINT AS score_de
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
   )
 )
 GROUP BY predicted_lang
@@ -935,7 +935,7 @@ FROM (
           t -> t IN ('el','la','de','y','que','los')))::BIGINT AS score_es,
       len(list_filter(string_split(text,' '),
           t -> t IN ('der','die','das','und','zu','ist')))::BIGINT AS score_de
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
   )
 )
 WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
@@ -1080,7 +1080,7 @@ WITH scored AS (
              / greatest(len(string_split(text,' ')), 1) - 0.4))
          + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')))
              / greatest(length(text), 1)) AS quality_score
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
   )
 )
 SELECT source,
@@ -1116,7 +1116,7 @@ WITH sized AS (
   SELECT doc_id,
          len(string_split(text, ' '))::BIGINT AS n_tokens,
          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 placed AS (
   SELECT doc_id, n_tokens, shard,
@@ -1141,7 +1141,13 @@ FROM placed
 def x4_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import pack_sequences
 
-    return pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=8)
+    # Packing is over tokenizable documents (NULL text has no length to
+    # budget; Spark's size(split(NULL)) = -1 would corrupt the offsets).
+    return pack_sequences(
+        _docs(spark, sf_dir).filter(F.col("text").isNotNull()),
+        budget=512,
+        n_shards=8,
+    )
 
 
 @register(
@@ -1229,7 +1235,8 @@ gopher AS (
            / greatest(len(toks), 1)) >= 0.8 AS f_alpha_ratio,
          len(list_distinct(list_filter(toks,
            t -> t IN ('the','a','of','and','to','is')))) >= 2 AS f_stopwords
-  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL)
 )
 """
 
@@ -1273,7 +1280,7 @@ def x4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH per AS (
   SELECT source, count(*) AS n_docs,
          sum(len(string_split(text, ' ')))::BIGINT AS total_size
-  FROM documents GROUP BY source
+  FROM documents WHERE text IS NOT NULL GROUP BY source
 ),
 k AS (
   SELECT source, n_docs, total_size,
@@ -1296,7 +1303,9 @@ FROM k
 def x4_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.selection import temperature_mixture_weights
 
-    docs = _docs(spark, sf_dir)
+    # Mixture weights are over tokenizable documents — size(split(NULL))
+    # is -1 in Spark and would silently shrink a source's budget.
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
     return temperature_mixture_weights(
         docs, group_col="source", size_col=F.size(F.split(F.col("text"), " "))
     )
@@ -1488,7 +1497,13 @@ def x4_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn(
             "source_idx",
-            F.row_number().over(W.orderBy("source")).cast("bigint"),
+            # Explicit NULLS LAST: Spark ascends NULLS FIRST by default
+            # while DuckDB (and ANSI row_number conventions here) put
+            # them last — an unknown-source shard must not shift every
+            # real source's interleave index by one.
+            F.row_number()
+            .over(W.orderBy(F.col("source").asc_nulls_last()))
+            .cast("bigint"),
         )
     )
     n_sources = src.agg(F.count(F.lit(1)).alias("n_sources"))
@@ -1982,7 +1997,8 @@ SELECT d.doc_id,
        len(string_split(d.text, ' '))::BIGINT AS n_tokens,
        coalesce(p.n_dup, 0)::BIGINT AS n_dup_tokens,
        (coalesce(p.n_dup, 0) * 10000) // len(string_split(d.text, ' ')) AS dup_bp
-FROM documents d LEFT JOIN per_doc p USING (doc_id)
+FROM (SELECT * FROM documents WHERE text IS NOT NULL) d
+LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
 """,
     ("X1", "X4"),
@@ -2026,7 +2042,12 @@ def x4_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     class ChunkUDTF:
         def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
-            toks = (text or "").split(" ")
+            if text is None:
+                # Same contract as the Catalyst twin: NULL text has no
+                # tokens to chunk — a UDTF row yielding nothing is the
+                # lateral-join equivalent of the filter.
+                return
+            toks = text.split(" ")
             n = len(toks)
             for ci, s in enumerate(range(0, n, 48)):
                 yield doc_id, ci, s, min(64, n - s), " ".join(toks[s : s + 64])
