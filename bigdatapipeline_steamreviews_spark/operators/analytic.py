@@ -222,19 +222,23 @@ def as_of_join(
     product of a naive range join.
 
     NULL semantics match SQL ASOF JOIN (the null-injection audit's
-    finding): a right row with a NULL ``right_ts`` is not temporally
-    placeable and never matches; the carry is ROW-wise — the as-of row's
-    values are taken even when some are NULL (per-COLUMN
-    ``last(ignorenulls)`` would stitch values from different rows); a
-    left row with NULL ``left_ts`` matches nothing and keeps NULL
-    carries.
+    finding): a right row with a NULL ``right_ts`` OR a NULL ``key`` is
+    excluded (neither temporally placeable nor equi-matchable — without
+    the key filter the union-tag window would group NULL keys together
+    and "match" them, which SQL join semantics never do); the carry is
+    ROW-wise — the as-of row's values are taken even when some are NULL
+    (per-COLUMN ``last(ignorenulls)`` would stitch values from different
+    rows); a left row with NULL ``left_ts`` or NULL ``key`` matches
+    nothing and keeps NULL carries (left rows are always emitted).
 
     The right side must be unique per (key, right_ts) — pre-compact it
     (e.g. keyed max-struct) or the carried values are nondeterministic.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
+    r_tagged = right.filter(
+        F.col(right_ts).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),

@@ -203,3 +203,37 @@ def sliding_distinct_count(
     )
     clipped = expanded.join(F.broadcast(days), "win_end", "leftsemi")
     return clipped.groupBy("win_end").agg(F.countDistinct("__id").alias(out_count))
+
+# Shared NULL-total events-row checksum serialization — ONE definition for
+# the batch (dq_table_checksum) and streaming (stream_table_checksum)
+# fingerprints, because the serialization IS the cross-replica contract: a
+# change that lands in only one copy silently diverges the two checksums.
+# Every field coalesces to an out-of-alphabet chr(1) sentinel (concat_ws-
+# style null SKIPPING makes (a, NULL, b) collide with (a, b, NULL);
+# ||-style null PROPAGATION silently drops any row containing a NULL from
+# the fingerprint).
+def events_checksum_row_hash() -> Column:
+    """60-bit md5-derived per-row hash of the stable events serialization
+    (NULL-total), as a Column over (event_id, user_id, ts, value)."""
+    sentinel = F.lit("\x01")
+    serial = F.concat_ws(
+        "|",
+        F.coalesce(F.col("event_id").cast("string"), sentinel),
+        F.coalesce(F.col("user_id").cast("string"), sentinel),
+        F.coalesce(
+            F.floor(F.unix_timestamp(F.col("ts"))).cast("long").cast("string"),
+            sentinel,
+        ),
+        F.coalesce(
+            F.floor(F.col("value") * 1000).cast("long").cast("string"), sentinel
+        ),
+    )
+    return F.conv(F.substring(F.md5(serial), 1, 15), 16, 10).cast("long")
+
+
+EVENTS_CHECKSUM_ORACLE_EXPR = """bit_xor(('0x' || substr(md5(
+           coalesce(event_id::VARCHAR, chr(1)) || '|'
+           || coalesce(user_id::VARCHAR, chr(1)) || '|'
+           || coalesce(CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR, chr(1)) || '|'
+           || coalesce(CAST(floor(value * 1000) AS BIGINT)::VARCHAR, chr(1))
+       ), 1, 15))::BIGINT)"""

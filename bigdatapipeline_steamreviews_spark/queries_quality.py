@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 from .functions import count_if
 from .operators.quality import (
+    EVENTS_CHECKSUM_ORACLE_EXPR,
     column_profile,
+    events_checksum_row_hash,
     constraint_report,
     per_key_top_hash,
     sliding_distinct_count,
@@ -688,15 +690,10 @@ def w15_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "dq_table_checksum",
-    """
+    f"""
 SELECT event_type,
        count(*) AS n_rows,
-       bit_xor(('0x' || substr(md5(
-           coalesce(event_id::VARCHAR, chr(1)) || '|'
-           || coalesce(user_id::VARCHAR, chr(1)) || '|'
-           || coalesce(CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR, chr(1)) || '|'
-           || coalesce(CAST(floor(value * 1000) AS BIGINT)::VARCHAR, chr(1))
-       ), 1, 15))::BIGINT) AS checksum
+       {EVENTS_CHECKSUM_ORACLE_EXPR} AS checksum
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -719,20 +716,7 @@ ORDER BY event_type
 )
 def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    sentinel = F.lit("\x01")
-    serial = F.concat_ws(
-        "|",
-        F.coalesce(F.col("event_id").cast("string"), sentinel),
-        F.coalesce(F.col("user_id").cast("string"), sentinel),
-        F.coalesce(
-            F.floor(F.unix_timestamp(F.col("ts"))).cast("long").cast("string"),
-            sentinel,
-        ),
-        F.coalesce(
-            F.floor(F.col("value") * 1000).cast("long").cast("string"), sentinel
-        ),
-    )
-    row_hash = F.conv(F.substring(F.md5(serial), 1, 15), 16, 10).cast("long")
+    row_hash = events_checksum_row_hash()
     return (
         events.select("event_type", row_hash.alias("__rh"))
         .groupBy("event_type")

@@ -881,7 +881,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH cost AS (
   SELECT l_partkey, l_suppkey, {_avg_exact_sql('l_extendedprice')} AS supply_cost
-  FROM lineitem GROUP BY l_partkey, l_suppkey
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  GROUP BY l_partkey, l_suppkey
 ),
 eu AS (
   SELECT s.s_suppkey, s.s_name, n.n_name AS nation
@@ -924,9 +925,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 30)
     )
-    cost = l.groupBy("l_partkey", "l_suppkey").agg(
-        avg_exact("l_extendedprice").alias("supply_cost")
-    )
+    # A supplier whose every price is NULL has no known cost and cannot
+    # win a MIN-cost election (unfiltered, the NULL-cost row's rank-1
+    # slot is engine-dependent: Spark sorts NULLS FIRST, DuckDB LAST).
+    cost = l.filter(F.col("l_extendedprice").isNotNull()).groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(avg_exact("l_extendedprice").alias("supply_cost"))
     eu = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

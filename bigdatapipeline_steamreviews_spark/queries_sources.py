@@ -224,8 +224,9 @@ def _stage_doc_files(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
         )
         for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
-            if text is None:
-                # No payload -> no file (the x5 quarantine convention).
+            if not text:
+                # No payload (NULL or empty) -> no file (the x5
+                # quarantine convention).
                 # NB Spark's binaryFile source silently DROPS zero-byte
                 # files (observed: 500 files on disk, 430 read when 70
                 # were empty), so writing placeholder empties would make
@@ -247,7 +248,7 @@ SELECT doc_id,
        octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS content_md5
 FROM documents
-WHERE text IS NOT NULL
+WHERE text IS NOT NULL AND text != ''
 ORDER BY doc_id
 """,
     ("S*", "X5"),

@@ -14,6 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.aggregations import segment_daily_summary
+from .operators.quality import (
+    EVENTS_CHECKSUM_ORACLE_EXPR,
+    events_checksum_row_hash,
+)
 from .queries_analytic import HLL_USERS_ORACLE
 from .registry import _sum_exact_sql, FLAGSHIP_ORACLE, register
 from .sources.tables import load_table
@@ -1166,15 +1170,10 @@ def stream_weekly_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming aggregate like count/sum).
 # ---------------------------------------------------------------------------
 
-STREAM_CHECKSUM_ORACLE = """
+STREAM_CHECKSUM_ORACLE = f"""
 SELECT event_type,
        count(*) AS n_rows,
-       bit_xor(('0x' || substr(md5(
-           coalesce(event_id::VARCHAR, chr(1)) || '|'
-           || coalesce(user_id::VARCHAR, chr(1)) || '|'
-           || coalesce(CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR, chr(1)) || '|'
-           || coalesce(CAST(floor(value * 1000) AS BIGINT)::VARCHAR, chr(1))
-       ), 1, 15))::BIGINT) AS checksum
+       {EVENTS_CHECKSUM_ORACLE_EXPR} AS checksum
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -1199,20 +1198,7 @@ def stream_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_checksum_{_query_counter}"
     stage = _stage_events_chunks(spark, sf_dir)
     stream = events_file_stream(spark, stage, max_files_per_trigger=2)
-    sentinel = F.lit("\x01")
-    serial = F.concat_ws(
-        "|",
-        F.coalesce(F.col("event_id").cast("string"), sentinel),
-        F.coalesce(F.col("user_id").cast("string"), sentinel),
-        F.coalesce(
-            F.floor(F.unix_timestamp(F.col("ts"))).cast("long").cast("string"),
-            sentinel,
-        ),
-        F.coalesce(
-            F.floor(F.col("value") * 1000).cast("long").cast("string"), sentinel
-        ),
-    )
-    row_hash = F.conv(F.substring(F.md5(serial), 1, 15), 16, 10).cast("long")
+    row_hash = events_checksum_row_hash()
     result = (
         stream.select("event_type", row_hash.alias("__rh"))
         .groupBy("event_type")

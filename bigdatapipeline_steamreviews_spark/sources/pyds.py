@@ -157,7 +157,12 @@ class _ReviewStreamReader(DataSourceStreamReader):
         self.advance = (
             options.get("advance_per_trigger", "false").lower() == "true"
         )
-        self._n_rows = _read_file_cached(self.path).num_rows
+        # _read_file (uncached) on purpose: this runs driver-side and only
+        # needs the row count — _read_file_cached would pin the whole
+        # parsed Arrow table in driver memory for the process lifetime.
+        # The cache's payoff is in read(), which runs in executor workers
+        # (their own module state; in local mode the first read fills it).
+        self._n_rows = _read_file(self.path).num_rows
         # Advance-mode progress lives in driver memory and resets on a
         # checkpointed RESTART; latestOffset must never regress below the
         # committed offset Spark hands back through partitions()/commit(),

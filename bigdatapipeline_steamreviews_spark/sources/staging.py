@@ -41,7 +41,7 @@ STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_stage")
 # otherwise keep serving parquet built by the old code.  Bump on any change
 # to what a derivation writes (the events replay staging established the
 # pattern with its "_us" wire-format suffix).
-STAGE_VERSION = "v1"
+STAGE_VERSION = "v2"  # v2: doc_lines/doc_files stagers skip NULL/empty text
 
 __all__ = [
     "STAGE_ROOT",

@@ -24,6 +24,7 @@ import glob
 import os
 import shutil
 import sys
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -73,7 +74,12 @@ def main() -> int:
                 else:
                     cols.append(
                         F.when(
-                            F.rand(seed=hash(t + f_.name) % 2**31) < NULL_RATE,
+                            # crc32, NOT hash(): Python string hashing is
+                            # salted per process, which would make the
+                            # injected NULL mask — and any divergence it
+                            # surfaces — unreproducible across runs.
+                            F.rand(seed=zlib.crc32((t + f_.name).encode()) % 2**31)
+                            < NULL_RATE,
                             F.lit(None),
                         )
                         .otherwise(F.col(f_.name))

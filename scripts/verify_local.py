@@ -72,14 +72,16 @@ def _num_family(series: pd.Series) -> str:
     if pd.api.types.is_float_dtype(dt):
         return "float"
     if dt == object:
+        import numpy as np
+
         v = series.dropna()
         if len(v):
             x = v.iloc[0]
-            if isinstance(x, bool):
+            if isinstance(x, (bool, np.bool_)):
                 return "other"
-            if isinstance(x, int):
+            if isinstance(x, (int, np.integer)):
                 return "int"
-            if isinstance(x, float):
+            if isinstance(x, (float, np.floating)):
                 return "float"
     return "other"
 

@@ -42,6 +42,8 @@ FIXED = [
 @pytest.fixture(scope="module")
 def dirty_dir(spark):
     if not os.path.exists(os.path.join(DIRTY_DIR, "_DONE")):
+        import zlib
+
         from pyspark.sql import functions as F
 
         from adversarial_data import KEEP, NULL_RATE, write_flat
@@ -52,7 +54,8 @@ def dirty_dir(spark):
                 F.col(f.name)
                 if f.name in KEEP
                 else F.when(
-                    F.rand(seed=hash(t + f.name) % 2**31) < NULL_RATE,
+                    F.rand(seed=zlib.crc32((t + f.name).encode()) % 2**31)
+                    < NULL_RATE,
                     F.lit(None),
                 )
                 .otherwise(F.col(f.name))

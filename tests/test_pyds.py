@@ -127,4 +127,8 @@ def test_stream_read_uses_parse_cache():
     ) as spy:
         total = sum(b.num_rows for p in parts for b in reader.read(p))
         assert total == 31
-        assert spy.call_count == 0  # __init__ already cached the parse
+        # One parse for the whole drain (the first read fills the cache);
+        # __init__'s driver-side row count deliberately does NOT cache —
+        # it would pin the full Arrow table in driver memory for the
+        # process lifetime just to read .num_rows.
+        assert spy.call_count == 1

@@ -54,6 +54,17 @@ def test_object_column_of_python_ints_counts_as_int():
     assert _num_family(pd.Series([True, False])) == "other"
 
 
+def test_object_column_of_numpy_scalars_classified():
+    # numpy scalars are not Python int/float instances; the family probe
+    # must still classify them or an int-vs-float drift through an
+    # object-of-np.int64 column would silently pass the gate.
+    import numpy as np
+
+    assert _num_family(pd.Series([np.int64(170), np.int64(2)], dtype=object)) == "int"
+    assert _num_family(pd.Series([np.float64(1.5)], dtype=object)) == "float"
+    assert _num_family(pd.Series([np.bool_(True)], dtype=object)) == "other"
+
+
 def test_empty_frames_do_not_false_positive():
     a = pd.DataFrame({"v": pd.array([], dtype="int64")})
     b = pd.DataFrame({"v": pd.array([], dtype="float64")})
