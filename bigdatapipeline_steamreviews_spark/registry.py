@@ -149,6 +149,24 @@ _loaded = False
 # keeps the order deterministic regardless.
 _PRIORITY_PREFIXES = ("x1_", "x2_", "x3_", "x4_", "x5_", "stream_", "review_")
 
+# Within the never-driver-checked bucket, the surfaces with zero hard
+# driver signal for their whole FAMILY (the dq_* data-quality queries, the
+# src_* scan variants, and the p19 VARIANT twin) take the front slots —
+# every other never-checked name at least has driver-green siblings
+# exercising the same operator code, so these convert the most soft
+# evidence to hard per window slot (r6 verdict ask #1).
+_NEVER_FIRST_PREFIXES = ("src_", "dq_", "p19_")
+
+# Registration-growth cap: at most this many new query registrations per
+# round once the r6/r7 freeze lifts.  The r5 failure mode was ~99 births
+# in one round consuming the driver's entire ~50-slot window; the 1:1
+# interleave halves that risk, but a birth burst still displaces stale
+# rechecks one-for-one.  Ten births/round keeps >=80% of the window
+# burning verification debt.  Enforced by
+# tests/test_registry_order.py::test_births_per_round_within_cap against
+# the previous round's committed LOCAL_VERIFY sweep.
+MAX_BIRTHS_PER_ROUND = 10
+
 
 def _driver_signal(root=None) -> tuple[dict[str, int], set]:
     """(last_green, ever_checked): last_green maps name -> most recent round
@@ -222,7 +240,10 @@ def _ensure_all_registered() -> None:
     red = sorted(
         (n for n in names if n in ever_checked and n not in last_green), key=tiebreak
     )
-    never = sorted((n for n in names if n not in ever_checked), key=tiebreak)
+    never = sorted(
+        (n for n in names if n not in ever_checked),
+        key=lambda n: (0 if n.startswith(_NEVER_FIRST_PREFIXES) else 1, *tiebreak(n)),
+    )
     stale = sorted(
         (n for n in names if n in last_green),
         key=lambda n: (last_green[n], *tiebreak(n)),

@@ -152,6 +152,73 @@ def test_documented_counts_match_registry():
         assert n in text, f"{doc} no longer states the registry size {n}"
 
 
+def test_zero_signal_families_front_the_never_bucket():
+    """Within the never-driver-checked bucket, names from families with
+    zero hard driver signal anywhere (src_*, dq_*, p19_*) sort before
+    never-checked names whose operator families already have driver-green
+    siblings — they convert the most soft evidence per window slot."""
+    from bigdatapipeline_steamreviews_spark.registry import _NEVER_FIRST_PREFIXES
+
+    names = list(queries())
+    _, ever_checked = _driver_signal()
+    never_in_order = [n for n in names[1:] if n not in ever_checked]
+    seen_other = False
+    for n in never_in_order:
+        if n.startswith(_NEVER_FIRST_PREFIXES):
+            assert not seen_other, f"zero-signal query {n} sorted after other births"
+        else:
+            seen_other = True
+
+
+def test_births_per_round_within_cap():
+    """Registration-growth policy (r6 verdict ask #5): at most
+    MAX_BIRTHS_PER_ROUND new registrations per round.  'New this round'
+    means present in the registry but absent from the newest committed
+    LOCAL_VERIFY_r*.json sweep — the sweep is re-stamped and committed
+    whenever the registry changes, so the last round's artifact is the
+    baseline.  Skips when no sweep artifact exists (fresh clone)."""
+    import re
+    from pathlib import Path
+
+    from bigdatapipeline_steamreviews_spark.registry import MAX_BIRTHS_PER_ROUND
+
+    root = Path(__file__).resolve().parent.parent
+    sweeps = {}
+    for path in root.glob("LOCAL_VERIFY_r*.json"):
+        m = re.search(r"_r0*(\d+)(?:_|\.json$)", path.name)
+        if m:
+            sweeps.setdefault(int(m.group(1)), []).append(path)
+    if not sweeps:
+        return
+    # births are measured against the PREVIOUS round's sweep: if the
+    # current round has already stamped one, use the round before it.
+    prev_round = sorted(sweeps)[-2] if len(sweeps) > 1 else sorted(sweeps)[-1]
+    baseline: set = set()
+    for path in sweeps[prev_round]:
+        baseline |= set(json.loads(path.read_text())["results"])
+    births = set(queries()) - baseline
+    assert len(births) <= MAX_BIRTHS_PER_ROUND, (
+        f"{len(births)} queries registered since the round-{prev_round} sweep "
+        f"exceed the {MAX_BIRTHS_PER_ROUND}/round cap: {sorted(births)}"
+    )
+
+
+def test_bench_r1_comparable_prefix_is_pinned():
+    """The first 20 entries of BENCH_QUERIES are the r1-comparable series:
+    the 0.74x-vs-baseline claim rests on this prefix matching
+    BENCH_r01.json's query set AND order.  Reordering or substituting any
+    of the first 20 must fail here, not silently skew the comparison."""
+    from pathlib import Path
+
+    from bench import BENCH_QUERIES
+
+    root = Path(__file__).resolve().parent.parent
+    r1 = json.loads((root / "BENCH_r01.json").read_text())["parsed"]["queries"]
+    assert BENCH_QUERIES[:20] == list(r1), (
+        "BENCH_QUERIES[:20] no longer matches the BENCH_r01.json series"
+    )
+
+
 def test_bench_queries_are_registered():
     """Every bench headline query must exist in the registry — a renamed
     or dropped query must fail HERE, not as a silent bench error entry
