@@ -570,7 +570,21 @@ def interval_peak_concurrency(
     inside a long open interval are emitted from the day spine with
     ``peak_concurrency = carry_in`` and ``n_changes = 0``; fully idle
     delta-free days (carry 0) stay absent.
+
+    Caching contract: persists the ~|days|-row delta rollup and never
+    unpersists it (three consumers; see comment at the persist site).
+    One-shot callers own cleanup via ``spark.catalog.clearCache()``.
+
+    NULL contract: an interval with a NULL start or end is DROPPED before
+    the sweep.  A half-NULL interval would otherwise contribute an
+    unbalanced +/-1 whose NULL-day group falls out of the spine and the
+    carry join, silently corrupting ``carry_in`` for every later day.
+    (w18's session_stats never emits NULL bounds, so its oracle needs no
+    mirror; callers feeding raw intervals get drop-don't-corrupt.)
     """
+    intervals = intervals.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
     starts = intervals.select(
         F.col(start_col).alias("t"), F.lit(1).alias("d"), *tiebreak_cols
     )

@@ -80,8 +80,13 @@ def shingle_table(
     )
     if max_doc_freq is not None:
         counts = s.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        keep = counts.filter(F.col("df") <= max_doc_freq).select("sh")
-        s = s.join(F.broadcast(keep), "sh")
+        # Broadcast the HOT set and anti-join, never the keep set: the
+        # surviving vocabulary is Heaps-law unbounded at 100 TB (same OOM
+        # class as a raw-vocab broadcast), while the pruned-out hot
+        # shingles are bounded by total_rows / max_doc_freq — small by
+        # construction, and exactly the rows we want to subtract.
+        hot = counts.filter(F.col("df") > max_doc_freq).select("sh")
+        s = s.join(F.broadcast(hot), "sh", "left_anti")
     return s
 
 

@@ -518,11 +518,28 @@ def bigram_pmi(
     Plan shape: one explode for unigram counts, one explode for bigram
     counts (adjacent pairs via an indexed ``transform`` over the token
     array — pure Catalyst, no self-join of positions), then the bigram
-    table joins the unigram counts twice.  The unigram vocabulary is
-    orders of magnitude smaller than the corpus (Heaps' law), so both
-    count joins broadcast; corpus totals ride in via a 1-row broadcast
-    cross join.  ``min_count`` prunes rare pairs BEFORE the joins — the
-    same df-pruning idea as ``ngram_jaccard_pruned``.
+    table joins the unigram counts twice.  Corpus totals ride in via a
+    1-row broadcast cross join (the only hard ``F.broadcast`` left — it
+    is literally one row).  ``min_count`` prunes rare pairs BEFORE the
+    joins — the same df-pruning idea as ``ngram_jaccard_pruned``.
+
+    Broadcast size-guard (r6 verdict): the unigram table is
+    vocab-bounded, but on a raw 100 TB crawl the token vocabulary
+    (typos, hashes, junk) can reach 1e8-1e9 rows — past driver/broadcast
+    limits, so a hard ``F.broadcast(u1)`` would OOM rather than degrade.
+    Instead u1/u2 are first SEMI-JOIN-pruned to the words that actually
+    appear as endpoints of a ``min_count``-surviving bigram (orders
+    smaller than the raw vocabulary — junk tokens rarely repeat 5x in
+    the same adjacent pair), and the count joins carry no broadcast
+    hint: AQE picks broadcast-hash from the MEASURED post-prune size and
+    falls back to a shuffle join past ``autoBroadcastJoinThreshold``.
+
+    Caching contract: persists two vocab-bounded count tables and never
+    unpersists them (their multiple consumers race past a lazy cache via
+    async broadcast threads if re-derived).  One-shot callers (bench,
+    verify sweeps) own cleanup via ``spark.catalog.clearCache()``;
+    long-lived sessions composing operators should do the same between
+    pipelines.
 
     Returns (w1, w2, n_pair, n_w1, n_w2, pmi_ratio) for the top_k pairs
     by (pmi_ratio DESC, w1, w2) — the tie-break makes top-k deterministic.
@@ -546,11 +563,21 @@ def bigram_pmi(
     totals = uni.agg(
         F.sum("n_w").alias("n_tokens"),
     ).crossJoin(bi_all.agg(F.sum("n_pair").alias("n_pairs")))
-    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
-    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    # Prune the (possibly huge) raw vocabulary to surviving-pair
+    # endpoints before the count joins: an inner join on w1/w2 discards
+    # non-endpoint words anyway, so the semi-join changes nothing at this
+    # scale and bounds the broadcast candidate at 100 TB.
+    endpoints = (
+        bi.select(F.col("w1").alias("w"))
+        .union(bi.select(F.col("w2").alias("w")))
+        .distinct()
+    )
+    uni_pruned = uni.join(endpoints, "w", "left_semi")
+    u1 = uni_pruned.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni_pruned.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
     scored = (
-        bi.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        bi.join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(totals))
         .select(
             "w1",
@@ -633,6 +660,11 @@ def bigram_surprisal(
     absent.  Scale shape: one explode for pairs, one corpus-level count
     aggregate (vocab²-bounded, Heaps' law), a join of doc pairs to the
     stats table (shuffle on (w1, w2)), one per-doc aggregate.
+
+    Caching contract: persists the vocab²-bounded pair-count table and
+    never unpersists it; one-shot callers own cleanup via
+    ``spark.catalog.clearCache()`` (bench and the verify sweeps do),
+    long-lived sessions should clear between pipelines.
     """
     pairs = adjacent_pairs(df, text_col, (id_col,))
     # The vocab²-bounded pair-count table has two consumers (outw and the

@@ -1512,9 +1512,14 @@ def m1_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = item_cnt.select(
         F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
     )
+    # No broadcast hint on the per-part count joins: |part| scales
+    # linearly with SF (20B rows at SF100k), so a hard broadcast is the
+    # raw-vocab OOM class — AQE picks broadcast-hash from measured size
+    # here and degrades to a shuffle join at scale.  Only the 1-row
+    # order total keeps the hint.
     return (
-        pairs.join(F.broadcast(ca), "part_a")
-        .join(F.broadcast(cb), "part_b")
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
         .join(F.broadcast(tot))
         .select(
             "part_a",

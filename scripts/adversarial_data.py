@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Generate adversarial variants of the testdata for robustness audits.
 
-Two variants, both flat single-file parquet (the driver's layout):
+Three variants, all flat single-file parquet (the driver's layout):
 
 * ``empty``: every table with 0 rows, schemas intact — the empty-lake-
   partition audit (all 215 queries must not crash; see
@@ -12,10 +12,27 @@ Two variants, both flat single-file parquet (the driver's layout):
   DIFFERENTIAL audit: any Spark-vs-DuckDB mismatch is a NULL-semantics
   divergence between a query and its own oracle.  Findings and the
   contract decisions they led to are recorded in DIRTYDATA.md.
+* ``skew``: zipf-like hot keys — ~50% of ``events.user_id`` and
+  ``orders.o_custkey`` rows collapse onto ONE existing customer key, and
+  ~50% of ``documents.source`` onto one source label.  This is the real
+  Steam-data shape (one blockbuster app, a few whale users) and the
+  100 TB failure mode of shuffled joins / per-key state / per-key top-k:
+  a straggler reducer, not a wrong answer.  The differential sweep
+  proves correctness is skew-independent; ``tests/test_skewed_input.py``
+  pins a regression subset, and DIRTYDATA.md §3 records the
+  salted-vs-naive join timing at this skew.
+
+All injection masks are derived from ROW CONTENT (xxhash64 of the
+table's contract-key columns + the target column name), never from
+``F.rand(seed)``: rand(seed) is only deterministic for a fixed
+partitioning of the source scan, so a different core count or
+``maxPartitionBytes`` would silently change which rows are dirtied and
+make any divergence the audit surfaces unreproducible across machines.
 
 Usage:
     python scripts/adversarial_data.py empty [out_dir] [src_sf_dir]
     python scripts/adversarial_data.py dirty [out_dir] [src_sf_dir]
+    python scripts/adversarial_data.py skew  [out_dir] [src_sf_dir]
 """
 
 from __future__ import annotations
@@ -24,7 +41,6 @@ import glob
 import os
 import shutil
 import sys
-import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -44,7 +60,22 @@ KEEP = {
     "ts", "embedding",
 }
 
-NULL_RATE = 0.10
+NULL_RATE = 0.10  # spelled as pmod(hash, 10) == 0 below — keep in sync
+
+# skew mode: (table, column) pairs that collapse onto a single hot value
+# for ~half the rows.  events.user_id / orders.o_custkey stress shuffled
+# joins and per-key state; documents.source stresses per-source rollups.
+SKEW_RATE_MOD = 2  # pmod(hash, 2) == 0  ->  ~50% of rows go hot
+
+
+def _content_mask(df, table: str, col_name: str, modulus: int):
+    """Partitioning-independent boolean mask: true for ~1/modulus of rows,
+    derived from the row's contract-key columns (always intact in every
+    variant) + the target column name, so each column gets an independent
+    but machine-reproducible mask."""
+    keys = [F.col(c) for c in df.columns if c in KEEP and c != "embedding"]
+    h = F.xxhash64(F.lit(f"{table}:{col_name}"), *keys)
+    return F.pmod(h, F.lit(modulus)) == 0
 
 
 def write_flat(df, dst: str, table: str) -> None:
@@ -55,37 +86,63 @@ def write_flat(df, dst: str, table: str) -> None:
     shutil.rmtree(tmp)
 
 
+def _dirty(df, t):
+    cols = []
+    for f_ in df.schema.fields:
+        if f_.name in KEEP:
+            cols.append(F.col(f_.name))
+        else:
+            cols.append(
+                F.when(_content_mask(df, t, f_.name, int(1 / NULL_RATE)), None)
+                .otherwise(F.col(f_.name))
+                .alias(f_.name)
+            )
+    return df.select(*cols)
+
+
+def _skew(spark, df, t, src):
+    """Collapse ~50% of the skew column's rows onto one hot key.  The hot
+    key is an EXISTING value (min customer key / first source label), so
+    referential joins still match — the stress is volume, not nulls."""
+    if t in ("events", "orders"):
+        col = "user_id" if t == "events" else "o_custkey"
+        hot = (
+            spark.read.parquet(f"{src}/customer.parquet")
+            .agg(F.min("c_custkey"))
+            .collect()[0][0]
+        )
+    elif t == "documents":
+        col = "source"
+        hot = (
+            spark.read.parquet(f"{src}/documents.parquet")
+            .agg(F.min("source"))
+            .collect()[0][0]
+        )
+    else:
+        return df
+    return df.withColumn(
+        col,
+        F.when(
+            _content_mask(df, t, f"skew:{col}", SKEW_RATE_MOD), F.lit(hot)
+        ).otherwise(F.col(col)),
+    )
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "dirty"
     dst = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/spark_graft_sf_{mode}"
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
-    assert mode in ("empty", "dirty"), mode
+    assert mode in ("empty", "dirty", "skew"), mode
     spark = get_spark(f"adversarial-{mode}")
     os.makedirs(dst, exist_ok=True)
     for t in TABLE_NAMES:
         df = spark.read.parquet(f"{src}/{t}.parquet")
         if mode == "empty":
             out = df.limit(0)
+        elif mode == "dirty":
+            out = _dirty(df, t)
         else:
-            cols = []
-            for f_ in df.schema.fields:
-                if f_.name in KEEP:
-                    cols.append(F.col(f_.name))
-                else:
-                    cols.append(
-                        F.when(
-                            # crc32, NOT hash(): Python string hashing is
-                            # salted per process, which would make the
-                            # injected NULL mask — and any divergence it
-                            # surfaces — unreproducible across runs.
-                            F.rand(seed=zlib.crc32((t + f_.name).encode()) % 2**31)
-                            < NULL_RATE,
-                            F.lit(None),
-                        )
-                        .otherwise(F.col(f_.name))
-                        .alias(f_.name)
-                    )
-            out = df.select(*cols)
+            out = _skew(spark, df, t, src)
         write_flat(out, dst, t)
         print(f"{t}: {mode}")
     print(f"wrote {dst}")

@@ -124,6 +124,12 @@ def main() -> int:
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    unknown = only - set(REGISTRY)
+    if unknown:
+        # A typo'd (or misplaced-flag) name must be an error, not a
+        # silently-empty "N/N verified" — --json must precede sf_dir.
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     spark = get_spark("verify-local")
     con = duck_connect(sf_dir)
     failed = []

@@ -42,27 +42,11 @@ FIXED = [
 @pytest.fixture(scope="module")
 def dirty_dir(spark):
     if not os.path.exists(os.path.join(DIRTY_DIR, "_DONE")):
-        import zlib
-
-        from pyspark.sql import functions as F
-
-        from adversarial_data import KEEP, NULL_RATE, write_flat
+        from adversarial_data import _dirty, write_flat
 
         for t in TABLE_NAMES:
             df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
-            cols = [
-                F.col(f.name)
-                if f.name in KEEP
-                else F.when(
-                    F.rand(seed=zlib.crc32((t + f.name).encode()) % 2**31)
-                    < NULL_RATE,
-                    F.lit(None),
-                )
-                .otherwise(F.col(f.name))
-                .alias(f.name)
-                for f in df.schema.fields
-            ]
-            write_flat(df.select(*cols), DIRTY_DIR, t)
+            write_flat(_dirty(df, t), DIRTY_DIR, t)
         open(os.path.join(DIRTY_DIR, "_DONE"), "w").close()
     return DIRTY_DIR
 

@@ -228,6 +228,34 @@ def test_interval_peak_concurrency_hand_case(spark):
     assert got[3 * D] == (1, 0) and got[4 * D] == (1, 0)
 
 
+def test_interval_peak_concurrency_drops_null_bounds(spark):
+    """NULL contract: a half-NULL interval is dropped, not swept — its
+    unbalanced delta would corrupt carry_in for every later day (r6
+    advice).  Result must equal the same input minus the NULL rows."""
+    from bigdatapipeline_steamreviews_spark.operators.analytic import (
+        interval_peak_concurrency,
+    )
+
+    D = 86400
+    clean = [(1, 100, 200), (2, 150, 300), (3, D - 50, D + 500)]
+    dirty = clean + [(4, None, 250), (5, 120, None), (6, None, None)]
+    schema = "k long, s long, e long"
+    want = {
+        r.day_unix: (r.peak_concurrency, r.n_changes)
+        for r in interval_peak_concurrency(
+            spark.createDataFrame(clean, schema), "s", "e", ("k",)
+        ).collect()
+    }
+    got = {
+        r.day_unix: (r.peak_concurrency, r.n_changes)
+        for r in interval_peak_concurrency(
+            spark.createDataFrame(dirty, schema), "s", "e", ("k",)
+        ).collect()
+    }
+    assert got == want
+    assert got[D] == (1, 1)  # carry-in survives the dropped rows
+
+
 def test_last_touch_attribution_semantics(spark):
     """A purchase credits the latest PRECEDING view/click (strictly before
     it in (ts, event_id) order); purchases with no prior touch fall into

@@ -45,6 +45,26 @@ def test_flagship_stays_in_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_vocab_broadcasts_are_size_guarded(spark):
+    """r6 verdict ask #2: no hard F.broadcast of a Heaps-law-unbounded
+    vocabulary table.  bigram_pmi must semi-join-prune the unigram table
+    to surviving-pair endpoints (LeftSemi in the plan) and leave the
+    count-join strategy to AQE; shingle_table's doc-freq prune must
+    broadcast the BOUNDED hot set anti-joined (LeftAnti), never the
+    unbounded keep set."""
+    plan = _plan(spark, "x4_bigram_pmi")
+    assert "LeftSemi" in plan, "unigram endpoint prune missing"
+
+    from bigdatapipeline_steamreviews_spark.operators.dedup import shingle_table
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = shingle_table(docs, max_doc_freq=5)
+    sh_plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in sh_plan, "hot-shingle prune must be an anti-join"
+    assert "LeftSemi" not in sh_plan, "keep-set semi-join would broadcast the vocabulary"
+
+
 def test_every_query_has_oracle_or_reason(spark):
     from bigdatapipeline_steamreviews_spark import REGISTRY, oracle_sql
 

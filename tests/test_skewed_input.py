@@ -1,0 +1,121 @@
+"""Key-skew robustness: real Steam-shaped data is zipf-distributed (one
+blockbuster app, a few whale users), and the 100 TB failure mode of
+shuffled joins / per-key state / per-key top-k under skew is a straggler
+reducer — which at test scale shows up only as a CORRECTNESS question:
+do the skew-safe formulations (salting, WindowGroupLimit top-k,
+per-key state) still match their oracles when ~50% of the key column
+collapses onto one hot key?
+
+The corpus comes from ``scripts/adversarial_data.py skew`` (content-
+hash-derived masks, machine-reproducible): 50% of events.user_id and
+orders.o_custkey onto one customer key, 50% of documents.source onto
+one label.  The full 215-query differential sweep on this corpus is
+recorded in DIRTYDATA.md §3; this test pins the operators whose design
+exists BECAUSE of skew, plus salted-vs-naive result parity.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+
+import duckdb
+import pytest
+
+from bigdatapipeline_steamreviews_spark import REGISTRY, queries
+from bigdatapipeline_steamreviews_spark.sources.tables import TABLE_NAMES
+from tests.conftest import SF_DIR
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "scripts"))
+
+from verify_local import compare  # noqa: E402
+
+SKEW_DIR = "/tmp/spark_graft_sf_skew_test"
+
+# The operators whose 100 TB design is skew-motivated.
+PROBE = [
+    "j3_salted_segment_stats",       # explicit salted join on the hot key
+    "flagship_daily_summary",        # groupBy carrying the hot user
+    "w4_topk_orders_per_customer",   # per-key top-k over the hot custkey
+    "w2_session_stats",              # per-user session windows
+    "serving_topn_users",            # global top-N dominated by one user
+    "x1_dup_rate_by_source",         # per-source rollup, one hot source
+    "a21_modal_order_month",         # per-group argmax with a hot group
+    "dq_key_skew_report",            # the skew detector itself, on skew
+]
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark):
+    if not os.path.exists(os.path.join(SKEW_DIR, "_DONE")):
+        from adversarial_data import _skew, write_flat
+
+        for t in TABLE_NAMES:
+            df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+            write_flat(_skew(spark, df, t, SF_DIR), SKEW_DIR, t)
+        open(os.path.join(SKEW_DIR, "_DONE"), "w").close()
+    return SKEW_DIR
+
+
+@pytest.fixture(scope="module")
+def duck(skew_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{skew_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def test_corpus_is_actually_skewed(spark, skew_dir):
+    """Guard the fixture: the hot user must hold ~half the events — a
+    silently-unskewed corpus would make every test below vacuous."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{skew_dir}/events.parquet")
+    top, total = (
+        e.groupBy("user_id")
+        .count()
+        .agg(F.max("count"), F.sum("count"))
+        .collect()[0]
+    )
+    assert top / total > 0.4, f"hot user holds only {top}/{total}"
+
+
+@pytest.mark.parametrize("name", PROBE)
+def test_skew_sensitive_queries_match_oracle(spark, skew_dir, duck, name):
+    queries()
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, skew_dir).toPandas()
+    spark.catalog.clearCache()
+    ddf = duck.execute(spec.oracle).fetchdf()
+    problems = compare(name, sdf, ddf)
+    assert problems == [], problems
+
+
+def test_salted_join_equals_naive_join_under_skew(spark, skew_dir):
+    """Salting is pure routing: on the skewed corpus the salted join's
+    aggregate must be row-identical to the plain shuffled join's."""
+    from pyspark.sql import functions as F
+
+    from bigdatapipeline_steamreviews_spark.functions import sum_exact
+    from bigdatapipeline_steamreviews_spark.operators.partitioning import salted_join
+
+    e = spark.read.parquet(f"{skew_dir}/events.parquet").select("user_id", "value")
+    c = spark.read.parquet(f"{skew_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def agg(joined):
+        return {
+            r.segment: (r.n_events, str(r.total_value))
+            for r in joined.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                sum_exact("value").alias("total_value"),
+            )
+            .collect()
+        }
+
+    assert agg(salted_join(e, c, "user_id", n_salts=8)) == agg(e.join(c, "user_id"))
