@@ -115,6 +115,32 @@ def _staged_span_wins(spark: SparkSession, sf_dir: str, k: int = 8) -> DataFrame
     )
 
 
+def _staged_ccnet_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (doc_id, score) micro-bits-per-bigram table for the CCNet
+    split — the same staged-index treatment that took LSH bands to 0.25 s
+    and span digests to 0.82 s.  The score table is |docs| rows but its
+    lineage is the corpus bigram explode + vocabulary joins, and its
+    THREE consumers (the selection histogram pass, the per-bucket pass,
+    the labeling join) materialize concurrently through async broadcast
+    threads — racing past a lazy .persist() (measured, PERF.md round 6).
+    Parquet has no such race: the derivation is paid once per corpus
+    fingerprint and every consumer scans ~|docs| constant-width rows."""
+    from .operators.text import bigram_surprisal
+    from .sources.staging import source_fingerprint, stage_params_key, staged_parquet
+
+    fp = source_fingerprint(sf_dir, "documents")
+    pk = stage_params_key("ccnet_scores")
+    return staged_parquet(
+        spark,
+        f"ccnetscores_{pk}",
+        fp,
+        lambda: bigram_surprisal(_docs(spark, sf_dir)).select(
+            "doc_id",
+            F.expr("(total_bits * 1000000) div n_bigrams").alias("score"),
+        ),
+    )
+
+
 def _staged_shingles(
     spark: SparkSession, sf_dir: str, n: int = 3, max_doc_freq: int | None = None
 ) -> DataFrame:
@@ -2219,21 +2245,12 @@ FROM labeled GROUP BY 1, 2 ORDER BY 1, 2
 )
 def x4_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.selection import equi_depth_boundaries
-    from .operators.text import bigram_surprisal
 
     docs = _docs(spark, sf_dir)
-    surp = bigram_surprisal(docs)
-    # |docs|-row score table, but its LINEAGE is the corpus bigram
-    # explode + vocabulary joins — and it has three consumers (the
-    # selection operator's histogram pass, its per-bucket pass, and the
-    # labeling join).  Persisted so warm sessions compute surprisal once;
-    # COLD runs see little change (the selection consumers materialize
-    # concurrently through async broadcast threads and race past the
-    # lazy cache — measured, see PERF.md round-6 notes).
-    scored = surp.select(
-        "doc_id",
-        F.expr("(total_bits * 1000000) div n_bigrams").alias("score"),
-    ).persist()
+    # Staged-index seam (r6 verdict ask #4): the score derivation is the
+    # expensive corpus lineage and a lazy cache demonstrably cannot help
+    # its concurrent consumers — read it from fingerprinted parquet.
+    scored = _staged_ccnet_scores(spark, sf_dir)
     bounds = equi_depth_boundaries(scored, "score", n_out=3)
     brow = bounds.agg(
         F.max(F.when(F.col("i") == 1, F.col("boundary"))).alias("b1"),
