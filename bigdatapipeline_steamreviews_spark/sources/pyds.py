@@ -165,23 +165,46 @@ class _ReviewStreamReader(DataSourceStreamReader):
         self._n_rows = _read_file(self.path).num_rows
         # Advance-mode progress lives in driver memory and resets on a
         # checkpointed RESTART; latestOffset must never regress below the
-        # committed offset Spark hands back through partitions()/commit(),
-        # or the recovered stream emits dead triggers until _pos catches
-        # up.  Every range boundary seen clamps _pos forward.
+        # committed offset, or the recovered stream emits dead triggers
+        # until _pos catches up.  The runner protocol never feeds any
+        # offset INTO latestOffset (python_streaming_source_runner.py's
+        # latest_offset_func takes no input), so an eager clamp is
+        # impossible on a latestOffset-first restart path; instead:
+        #   * every range boundary seen through partitions()/commit()
+        #     clamps _pos forward (covers the re-run-last-batch path);
+        #   * a latestOffset that arrives with NO initialOffset() call on
+        #     this instance is a checkpointed restart (Spark only asks
+        #     for the initial offset when its offset log is empty), and
+        #     until a planned batch confirms we've caught up, the advance
+        #     step DOUBLES per trigger — dead triggers drop from
+        #     O(committed/rows_per_batch) to O(log) at the cost of one
+        #     oversized catch-up batch, which at-least-once + the
+        #     idempotent downstream merge already tolerate.
         self._pos = 0
+        self._saw_initial = False
+        self._saw_plan = False
+        self._catchup_step = self.rows_per_batch
 
     def initialOffset(self):
+        self._saw_initial = True
         return {"row": 0}
 
     def latestOffset(self):
         if self.advance:
-            self._pos = min(self._pos + self.rows_per_batch, self._n_rows)
+            if self._saw_initial or self._saw_plan:
+                step = self.rows_per_batch
+            else:  # restart fast-forward (see __init__ comment)
+                step = self._catchup_step
+                self._catchup_step *= 2
+            self._pos = min(self._pos + step, self._n_rows)
             return {"row": self._pos}
         return {"row": self._n_rows}
 
     def partitions(self, start, end):
         lo, hi = start["row"], end["row"]
         self._pos = max(self._pos, lo, hi)
+        self._saw_plan = True
+        self._catchup_step = self.rows_per_batch
         parts = []
         step = self.rows_per_batch
         for s in range(lo, hi, step):
@@ -195,6 +218,8 @@ class _ReviewStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         self._pos = max(self._pos, end["row"])
+        self._saw_plan = True
+        self._catchup_step = self.rows_per_batch
 
 
 class _RangePartition(InputPartition):

@@ -83,11 +83,13 @@ def test_stream_advance_offset_never_regresses_after_restart():
     reset, _pos=0) handed the committed offset through partitions() or
     commit() must clamp forward — latestOffset regressing below the
     committed offset produces dead triggers until it re-advances."""
-    # First incarnation advances three triggers.
+    # First incarnation (Spark calls initialOffset on a true first
+    # start) advances three triggers.
     r1 = _ReviewStreamReader(
         {"path": REVIEWS_FIXTURE, "rows_per_batch": "8",
          "advance_per_trigger": "true"}
     )
+    r1.initialOffset()
     offs = [r1.latestOffset() for _ in range(3)]
     assert offs[-1] == {"row": 24}
 
@@ -107,6 +109,34 @@ def test_stream_advance_offset_never_regresses_after_restart():
     )
     r3.commit({"row": 24})
     assert r3.latestOffset()["row"] > 24
+
+
+def test_stream_advance_latest_offset_first_restart_fast_forwards():
+    """The restart path the API can't clamp eagerly (the runner protocol
+    feeds no offset into latestOffset): Spark recovers offsets from its
+    checkpoint, skips initialOffset(), and asks latestOffset() first.
+    The reader detects that shape (no initialOffset call) and doubles
+    the advance step per trigger until a planned batch lands — the dead
+    window is O(log committed), not O(committed / rows_per_batch)."""
+    # Fresh start: initialOffset() seen -> plain per-trigger pacing.
+    r0 = _ReviewStreamReader(
+        {"path": REVIEWS_FIXTURE, "rows_per_batch": "4",
+         "advance_per_trigger": "true"}
+    )
+    r0.initialOffset()
+    assert [r0.latestOffset()["row"] for _ in range(3)] == [4, 8, 12]
+
+    # Restart: no initialOffset() -> geometric catch-up (4, +8, +16 -> 28
+    # passes a committed offset of 24 in 3 triggers, not 6).
+    r1 = _ReviewStreamReader(
+        {"path": REVIEWS_FIXTURE, "rows_per_batch": "4",
+         "advance_per_trigger": "true"}
+    )
+    offs = [r1.latestOffset()["row"] for _ in range(3)]
+    assert offs == [4, 12, 28]
+    # First planned batch resets pacing to rows_per_batch.
+    r1.partitions({"row": 24}, {"row": 28})
+    assert r1.latestOffset()["row"] == 31  # 28 + 4 clamped to EOF
 
 
 def test_stream_read_uses_parse_cache():
