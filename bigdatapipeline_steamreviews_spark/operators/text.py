@@ -506,6 +506,7 @@ def bigram_pmi(
     text_col: str = "text",
     min_count: int = 5,
     top_k: int = 50,
+    counts: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Collocation mining: top-k adjacent word pairs by pointwise mutual
     information, scored as the probability RATIO p(w1,w2)/(p(w1)·p(w2))
@@ -549,14 +550,21 @@ def bigram_pmi(
     # lineage is a corpus explode; uni has three consumers (totals, u1,
     # u2) and bi_all two (bi, the pre-filter total) — persist the small
     # aggregates so the corpus is exploded once per table, not per use.
-    uni = (
-        df.select(F.explode(toks).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n_w"))
-        .persist()
-    )
-    bi_all = bigram_counts(df, text_col).persist()
+    # ``counts`` lets a caller hand in precomputed (uni, bi_all) tables —
+    # e.g. read from a fingerprinted parquet stage — in which case no
+    # derivation happens here and nothing is persisted (parquet-backed
+    # inputs re-scan cheaply; the persist is for corpus-explode lineage).
+    if counts is not None:
+        uni, bi_all = counts
+    else:
+        uni = (
+            df.select(F.explode(toks).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n_w"))
+            .persist()
+        )
+        bi_all = bigram_counts(df, text_col).persist()
     bi = bi_all.filter(F.col("n_pair") >= min_count)
     # n_pairs is the PRE-filter bigram total: p(w1,w2) = n_pair / all
     # observed bigrams, not / the surviving heavy ones.

@@ -141,6 +141,40 @@ def _staged_ccnet_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_pmi_counts(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """Persisted (uni, bi_all) count tables for collocation mining — the
+    same fingerprinted-parquet seam as the ccnet scores: both tables are
+    vocab-bounded but their lineage is a corpus explode, and bigram_pmi
+    consumes uni three times and bi_all twice.  Derivation params are
+    fixed (whitespace tokens, adjacent pairs), so the key is corpus-only."""
+    from .operators.text import bigram_counts, tokens
+    from .sources.staging import source_fingerprint, stage_params_key, staged_parquet
+
+    fp = source_fingerprint(sf_dir, "documents")
+
+    def build_uni() -> DataFrame:
+        return (
+            _docs(spark, sf_dir)
+            .select(F.explode(tokens("text")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("n_w"))
+        )
+
+    uni = staged_parquet(
+        spark, f"unicounts_{stage_params_key('uni')}", fp, build_uni
+    )
+    bi = staged_parquet(
+        spark,
+        f"bicounts_{stage_params_key('bi')}",
+        fp,
+        lambda: bigram_counts(_docs(spark, sf_dir)),
+    )
+    return uni, bi
+
+
 def _staged_shingles(
     spark: SparkSession, sf_dir: str, n: int = 3, max_doc_freq: int | None = None
 ) -> DataFrame:
@@ -1470,7 +1504,10 @@ def x4_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bigram_pmi
 
     return bigram_pmi(
-        load_table(spark, sf_dir, "documents"), min_count=5, top_k=50
+        load_table(spark, sf_dir, "documents"),
+        min_count=5,
+        top_k=50,
+        counts=_staged_pmi_counts(spark, sf_dir),
     )
 
 
