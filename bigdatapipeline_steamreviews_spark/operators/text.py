@@ -545,7 +545,6 @@ def bigram_pmi(
     Returns (w1, w2, n_pair, n_w1, n_w2, pmi_ratio) for the top_k pairs
     by (pmi_ratio DESC, w1, w2) — the tie-break makes top-k deterministic.
     """
-    toks = tokens(text_col)
     # Both count tables are vocabulary-bounded (Heaps' law) but their
     # lineage is a corpus explode; uni has three consumers (totals, u1,
     # u2) and bi_all two (bi, the pre-filter total) — persist the small
@@ -557,13 +556,7 @@ def bigram_pmi(
     if counts is not None:
         uni, bi_all = counts
     else:
-        uni = (
-            df.select(F.explode(toks).alias("w"))
-            .filter(F.col("w") != "")
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).alias("n_w"))
-            .persist()
-        )
+        uni = unigram_counts(df, text_col).persist()
         bi_all = bigram_counts(df, text_col).persist()
     bi = bi_all.filter(F.col("n_pair") >= min_count)
     # n_pairs is the PRE-filter bigram total: p(w1,w2) = n_pair / all
@@ -643,6 +636,19 @@ def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     aggregated view of :func:`adjacent_pairs`."""
     return adjacent_pairs(df, text_col).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("n_pair")
+    )
+
+
+def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide word counts ``(w, n_w)`` over the whitespace
+    tokenization (empty tokens dropped) — the single definition both
+    :func:`bigram_pmi`'s internal derivation and the staged-index builder
+    share, so the two can't drift."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
     )
 
 

@@ -149,22 +149,15 @@ def _staged_pmi_counts(
     vocab-bounded but their lineage is a corpus explode, and bigram_pmi
     consumes uni three times and bi_all twice.  Derivation params are
     fixed (whitespace tokens, adjacent pairs), so the key is corpus-only."""
-    from .operators.text import bigram_counts, tokens
+    from .operators.text import bigram_counts, unigram_counts
     from .sources.staging import source_fingerprint, stage_params_key, staged_parquet
 
     fp = source_fingerprint(sf_dir, "documents")
-
-    def build_uni() -> DataFrame:
-        return (
-            _docs(spark, sf_dir)
-            .select(F.explode(tokens("text")).alias("w"))
-            .filter(F.col("w") != "")
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).alias("n_w"))
-        )
-
     uni = staged_parquet(
-        spark, f"unicounts_{stage_params_key('uni')}", fp, build_uni
+        spark,
+        f"unicounts_{stage_params_key('uni')}",
+        fp,
+        lambda: unigram_counts(_docs(spark, sf_dir)),
     )
     bi = staged_parquet(
         spark,
