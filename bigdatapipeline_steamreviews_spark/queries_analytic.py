@@ -159,11 +159,18 @@ FROM (SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS oyear,
              o_totalprice
       FROM orders)
 GROUP BY ROLLUP (o_orderpriority, oyear)
+HAVING count(*) > 0
 """,
     ("P11", "A5"),
     "ROLLUP over (priority, year): the serving drilldown (P11) as grouping "
     "sets — every grain computed in one pass with partial aggregation, "
-    "instead of one query per drilldown level.",
+    "instead of one query per drilldown level.  Empty-input contract: "
+    "Spark's ROLLUP emits NO rows on an empty table (its grouping-set "
+    "expansion feeds a hash agg that produces no groups) where ANSI/DuckDB "
+    "emit a count-0 grand-total row; the engine adopts Spark's "
+    "no-data-no-report behavior and the oracle mirrors it with HAVING "
+    "count(*) > 0 — a no-op on non-empty input, where every emitted "
+    "grouping-set row covers at least one source row.",
 )
 def g1_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
@@ -730,13 +737,16 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
        {_sum_exact_sql('o_totalprice')} AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+HAVING count(*) > 0
 """,
     ("P11", "A5"),
     "CUBE over (status, priority): all four grains — (s,p), (s,·), (·,p), "
     "grand total — in ONE aggregation pass with map-side partials, where "
     "ROLLUP (g1) only produces the hierarchy's prefixes.  The dashboard "
     "shape for two independent drilldown axes; at 100 TB one cube pass "
-    "replaces four separate scans.",
+    "replaces four separate scans.  Empty-input contract: as g1 — Spark "
+    "emits no rows on an empty table, the oracle mirrors via HAVING "
+    "count(*) > 0 (a no-op on non-empty input).",
 )
 def g4_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

@@ -41,39 +41,39 @@ from .sources.tables import load_table
     "dq_column_profile",
     """
 SELECT 'o_orderkey' AS col, count(*) AS n_rows,
-       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
        count(DISTINCT o_orderkey) AS n_distinct,
        min(o_orderkey)::DOUBLE AS min_num, max(o_orderkey)::DOUBLE AS max_num,
        NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
 FROM orders
 UNION ALL
 SELECT 'o_custkey', count(*),
-       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) - count(o_custkey) AS BIGINT),
        count(DISTINCT o_custkey),
        min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE, NULL, NULL
 FROM orders
 UNION ALL
 SELECT 'o_totalprice', count(*),
-       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) - count(o_totalprice) AS BIGINT),
        count(DISTINCT o_totalprice),
        min(o_totalprice), max(o_totalprice), NULL, NULL
 FROM orders
 UNION ALL
 SELECT 'o_orderdate', count(*),
-       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) - count(o_orderdate) AS BIGINT),
        count(DISTINCT o_orderdate),
        CAST(floor(epoch(min(o_orderdate))) AS BIGINT)::DOUBLE,
        CAST(floor(epoch(max(o_orderdate))) AS BIGINT)::DOUBLE, NULL, NULL
 FROM orders
 UNION ALL
 SELECT 'o_orderstatus', count(*),
-       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) - count(o_orderstatus) AS BIGINT),
        count(DISTINCT o_orderstatus),
        NULL::DOUBLE, NULL::DOUBLE, min(o_orderstatus), max(o_orderstatus)
 FROM orders
 UNION ALL
 SELECT 'o_orderpriority', count(*),
-       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) - count(o_orderpriority) AS BIGINT),
        count(DISTINCT o_orderpriority),
        NULL::DOUBLE, NULL::DOUBLE, min(o_orderpriority), max(o_orderpriority)
 FROM orders
@@ -115,20 +115,20 @@ FROM (
                             WHERE c.c_custkey = o.o_custkey))
   UNION ALL
   SELECT 'orders.o_totalprice > 0',
-         CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+         CAST(coalesce(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END), 0) AS BIGINT)
   FROM orders
   UNION ALL
   SELECT 'orders.o_orderstatus in (O,F,P)',
-         CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
-              AS BIGINT)
+         CAST(coalesce(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END),
+              0) AS BIGINT)
   FROM orders
   UNION ALL
   SELECT 'customer.c_acctbal >= 0',
-         CAST(sum(CASE WHEN c_acctbal >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+         CAST(coalesce(sum(CASE WHEN c_acctbal >= 0 THEN 0 ELSE 1 END), 0) AS BIGINT)
   FROM customer
   UNION ALL
   SELECT 'events.value is not null',
-         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(coalesce(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
   FROM events
 )
 """,

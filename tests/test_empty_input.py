@@ -75,3 +75,45 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
     spark.catalog.clearCache()
+
+
+# The round-7 empty-DIFFERENTIAL fixes (DIRTYDATA.md §1): queries whose
+# oracle disagreed with Spark about empty-input semantics — NULL sums
+# materializing as float64 NaN, and ANSI ROLLUP/CUBE's count-0
+# grand-total row that Spark's grouping-set expansion never emits.
+ORACLE_FIXED = [
+    "dq_column_profile",
+    "dq_constraint_checks",
+    "g1_priority_rollup",
+    "g4_status_priority_cube",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_FIXED)
+def test_fixed_queries_match_oracle_on_empty_data(spark, empty_dir, name):
+    import pathlib
+    import sys
+
+    import duckdb
+
+    from bigdatapipeline_steamreviews_spark import REGISTRY
+
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).resolve().parent.parent / "scripts")
+    )
+    from verify_local import compare
+
+    queries()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        # the fixture writes Spark parquet DIRECTORIES named {t}.parquet
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM '{empty_dir}/{t}.parquet/*.parquet'"
+        )
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, empty_dir).toPandas()
+    spark.catalog.clearCache()
+    ddf = con.execute(spec.oracle).fetchdf()
+    problems = compare(name, sdf, ddf)
+    assert problems == [], problems
