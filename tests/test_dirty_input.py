@@ -70,3 +70,35 @@ def test_fixed_queries_match_oracle_on_dirty_data(spark, dirty_dir, duck, name):
     ddf = duck.execute(spec.oracle).fetchdf()
     problems = compare(name, sdf, ddf)
     assert problems == [], problems
+
+
+def test_injection_mask_is_partitioning_independent(spark):
+    """The r6 advice finding, pinned: the NULL/skew masks must be derived
+    from row content, not F.rand(seed) — rand(seed) is only deterministic
+    for a FIXED partitioning of the source scan, so a different core
+    count or maxPartitionBytes would silently dirty different rows and
+    make any divergence the audits surface unreproducible."""
+    import pandas as pd
+
+    from adversarial_data import _dirty, _skew
+
+    df1 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    df8 = df1.repartition(8)
+    df3 = df1.repartition(3, "o_orderpriority")
+
+    def frame(df, fn, *a):
+        out = fn(df, *a) if fn is _dirty else fn(spark, df, *a)
+        return (
+            out.toPandas().sort_values("o_orderkey").reset_index(drop=True)
+        )
+
+    base = frame(df1, _dirty, "orders")
+    pd.testing.assert_frame_equal(base, frame(df8, _dirty, "orders"))
+    pd.testing.assert_frame_equal(base, frame(df3, _dirty, "orders"))
+    # and some rows actually got dirtied (the mask isn't vacuous)
+    assert base["o_totalprice"].isna().any()
+
+    sbase = frame(df1, _skew, "orders", SF_DIR)
+    pd.testing.assert_frame_equal(sbase, frame(df8, _skew, "orders", SF_DIR))
+    hot_share = (sbase["o_custkey"] == sbase["o_custkey"].mode()[0]).mean()
+    assert hot_share > 0.4
