@@ -118,6 +118,16 @@ def _skew(spark, df, t, src):
             .agg(F.min("source"))
             .collect()[0][0]
         )
+    elif t == "lineitem":
+        # agg-side skew: one blockbuster part in half the order lines —
+        # stresses groupBy-hot-reducer shapes (dq_key_skew_report's own
+        # subject, m1 basket pairs, per-part rollups) rather than joins.
+        col = "l_partkey"
+        hot = (
+            spark.read.parquet(f"{src}/part.parquet")
+            .agg(F.min("p_partkey"))
+            .collect()[0][0]
+        )
     else:
         return df
     return df.withColumn(

@@ -73,14 +73,18 @@ def test_corpus_is_actually_skewed(spark, skew_dir):
     silently-unskewed corpus would make every test below vacuous."""
     from pyspark.sql import functions as F
 
-    e = spark.read.parquet(f"{skew_dir}/events.parquet")
-    top, total = (
-        e.groupBy("user_id")
-        .count()
-        .agg(F.max("count"), F.sum("count"))
-        .collect()[0]
-    )
-    assert top / total > 0.4, f"hot user holds only {top}/{total}"
+    for table, key, label in (
+        ("events", "user_id", "hot user"),
+        ("lineitem", "l_partkey", "hot part"),
+    ):
+        df = spark.read.parquet(f"{skew_dir}/{table}.parquet")
+        top, total = (
+            df.groupBy(key)
+            .count()
+            .agg(F.max("count"), F.sum("count"))
+            .collect()[0]
+        )
+        assert top / total > 0.4, f"{label} holds only {top}/{total}"
 
 
 @pytest.mark.parametrize("name", PROBE)
