@@ -502,7 +502,7 @@ def contamination_hits(
 
 
 def bigram_pmi(
-    df: DataFrame,
+    df: DataFrame | None = None,
     text_col: str = "text",
     min_count: int = 5,
     top_k: int = 50,
@@ -553,6 +553,17 @@ def bigram_pmi(
     # e.g. read from a fingerprinted parquet stage — in which case no
     # derivation happens here and nothing is persisted (parquet-backed
     # inputs re-scan cheaply; the persist is for corpus-explode lineage).
+    # ``df`` and ``counts`` are MUTUALLY EXCLUSIVE (r7 advice): the counts
+    # must have been derived from the same corpus with the same
+    # tokenization, and nothing here can verify that, so the API refuses
+    # to let a caller express the mismatched pair — stagers key the counts
+    # on a corpus fingerprint instead (queries_text._staged_pmi_counts).
+    if (df is None) == (counts is None):
+        raise ValueError(
+            "bigram_pmi takes exactly one of df= (derive counts here) or "
+            "counts= (precomputed (uni, bi_all) tables, fingerprint-keyed "
+            "to their corpus by the caller)"
+        )
     if counts is not None:
         uni, bi_all = counts
     else:

@@ -1497,7 +1497,6 @@ def x4_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bigram_pmi
 
     return bigram_pmi(
-        load_table(spark, sf_dir, "documents"),
         min_count=5,
         top_k=50,
         counts=_staged_pmi_counts(spark, sf_dir),

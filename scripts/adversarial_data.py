@@ -60,6 +60,16 @@ KEEP = {
     "ts", "embedding",
 }
 
+# Corpus-format version, folded into every default output dir and the test
+# fixture dirs (tests/test_{dirty,skewed}_input.py).  The fixtures key
+# "already built" on a _DONE marker alone, so a change to the mask
+# derivation or the skew column set would otherwise silently keep testing a
+# stale corpus built by the old code (r7 advice).  Bump on ANY change to
+# what the generators write.
+#   v2: xxhash64 content-derived masks (was rand(seed)); skew extended to
+#       lineitem.l_partkey (agg-side hot reducer).
+CORPUS_VERSION = "v2"
+
 NULL_RATE = 0.10  # spelled as pmod(hash, 10) == 0 below — keep in sync
 
 # skew mode: (table, column) pairs that collapse onto a single hot value
@@ -140,7 +150,11 @@ def _skew(spark, df, t, src):
 
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "dirty"
-    dst = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/spark_graft_sf_{mode}"
+    dst = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else f"/tmp/spark_graft_sf_{mode}_{CORPUS_VERSION}"
+    )
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
     assert mode in ("empty", "dirty", "skew"), mode
     spark = get_spark(f"adversarial-{mode}")

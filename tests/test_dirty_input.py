@@ -25,9 +25,13 @@ from tests.conftest import SF_DIR
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "scripts"))
 
+from adversarial_data import CORPUS_VERSION  # noqa: E402
 from verify_local import compare  # noqa: E402
 
-DIRTY_DIR = "/tmp/spark_graft_sf_dirty_test"
+# Version-suffixed (r7 advice): the fixture keys "already built" on the
+# _DONE marker alone, so a mask-derivation change must land in a FRESH dir
+# rather than silently re-testing the corpus the old code wrote.
+DIRTY_DIR = f"/tmp/spark_graft_sf_dirty_test_{CORPUS_VERSION}"
 
 FIXED = [
     "dq_constraint_checks",

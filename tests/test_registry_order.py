@@ -190,9 +190,22 @@ def test_births_per_round_within_cap():
             sweeps.setdefault(int(m.group(1)), []).append(path)
     if not sweeps:
         return
-    # births are measured against the PREVIOUS round's sweep: if the
-    # current round has already stamped one, use the round before it.
-    prev_round = sorted(sweeps)[-2] if len(sweeps) > 1 else sorted(sweeps)[-1]
+    # Anchor the baseline EXPLICITLY on the last completed driver round
+    # (the newest CORRECTNESS_r*.json: the driver stamps it when a round
+    # closes), not on file-list position (r7 advice): "second-newest
+    # sweep" conflates two rounds of births the moment the current round
+    # stamps its sweep early or a past round closed without stamping.
+    # The baseline is the newest sweep at-or-before that round; if a
+    # round ever closed sweep-less, the nearest earlier sweep over-counts
+    # births — a cap trip that is loud, never a silent undercount.
+    driver_rounds = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.search(r"_r0*(\d+)\.json$", p.name))
+    ]
+    last_driver_round = max(driver_rounds) if driver_rounds else max(sweeps)
+    candidates = [r for r in sweeps if r <= last_driver_round]
+    prev_round = max(candidates) if candidates else min(sweeps)
     baseline: set = set()
     for path in sweeps[prev_round]:
         baseline |= set(json.loads(path.read_text())["results"])

@@ -29,9 +29,13 @@ from tests.conftest import SF_DIR
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "scripts"))
 
+from adversarial_data import CORPUS_VERSION  # noqa: E402
 from verify_local import compare  # noqa: E402
 
-SKEW_DIR = "/tmp/spark_graft_sf_skew_test"
+# Version-suffixed (r7 advice): a skew-column-set change must land in a
+# fresh dir — a stale corpus fails test_corpus_is_actually_skewed
+# confusingly instead of rebuilding.
+SKEW_DIR = f"/tmp/spark_graft_sf_skew_test_{CORPUS_VERSION}"
 
 # The operators whose 100 TB design is skew-motivated.
 PROBE = [
