@@ -952,3 +952,164 @@ def dq_daily_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ — NULL-rate drift monitor (r7 audit-born: the dirty-corpus
+# differential audit dirtied columns at a known 10% rate; this is the
+# monitor that would have CAUGHT such an ingest regression in production)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_null_rate_drift",
+    """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n_rows,
+         count(*) - count(event_type) AS n_event_type,
+         count(*) - count(props)      AS n_props,
+         count(*) - count(value)      AS n_value
+  FROM events GROUP BY 1
+),
+unp AS (
+  SELECT day, 'event_type' AS col, n_rows, n_event_type AS n_nulls FROM daily
+  UNION ALL SELECT day, 'props', n_rows, n_props FROM daily
+  UNION ALL SELECT day, 'value', n_rows, n_value FROM daily
+),
+corpus AS (
+  SELECT col,
+         CAST((1000000 * sum(n_nulls)) // sum(n_rows) AS BIGINT) AS corpus_ppm
+  FROM unp GROUP BY col
+)
+SELECT u.day, u.col,
+       CAST(u.n_rows AS BIGINT) AS n_rows,
+       CAST(u.n_nulls AS BIGINT) AS n_nulls,
+       CAST((1000000 * u.n_nulls) // u.n_rows AS BIGINT) AS null_ppm,
+       c.corpus_ppm,
+       CAST(abs((1000000 * u.n_nulls) // u.n_rows - c.corpus_ppm) AS BIGINT)
+         AS drift_ppm
+FROM unp u JOIN corpus c USING (col)
+ORDER BY day, col
+""",
+    ("DQ", "A*"),
+    "Per-day per-column NULL-rate monitor over the event feed's non-key "
+    "columns, each day scored against the corpus-wide rate (drift in "
+    "integer parts-per-million — exact DIV arithmetic, no float rates to "
+    "diverge between engines).  This is the ingest gate the r6/r7 "
+    "dirty-corpus audit was a manual run of: a collector that starts "
+    "emitting NULL payloads moves a column's daily ppm away from "
+    "baseline and the row surfaces with its drift magnitude.  One scan "
+    "with map-side count_if partials -> |days|-row table, unpivoted via "
+    "stack (no rescan per column, unlike the oracle's UNION ALL), corpus "
+    "baseline re-aggregated from the tiny day table and broadcast back.  "
+    "Nothing after the first aggregate scales with the corpus, so the "
+    "monitor costs one pass at 100 TB.",
+)
+def dq_null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cols = ("event_type", "props", "value")
+    daily = events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[count_if(F.col(c).isNull()).alias(f"n_{c}") for c in cols],
+    )
+    unp = daily.select(
+        "day",
+        "n_rows",
+        F.expr(
+            "stack(3, 'event_type', n_event_type, 'props', n_props, "
+            "'value', n_value) AS (col, n_nulls)"
+        ),
+    )
+    corpus = unp.groupBy("col").agg(
+        F.expr("1000000 * sum(n_nulls) DIV sum(n_rows)").alias("corpus_ppm")
+    )
+    return (
+        unp.join(F.broadcast(corpus), "col")
+        .select(
+            "day",
+            "col",
+            "n_rows",
+            "n_nulls",
+            F.expr("1000000 * n_nulls DIV n_rows").alias("null_ppm"),
+            "corpus_ppm",
+            F.expr("abs(1000000 * n_nulls DIV n_rows - corpus_ppm)").alias(
+                "drift_ppm"
+            ),
+        )
+        .orderBy("day", "col")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ — blob/table reconciliation (r7 audit-born: pins the binaryFile
+# zero-byte-drop trap, DIRTYDATA.md §2, beyond its unit test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_blob_reconciliation",
+    """
+SELECT status, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+FROM (
+  SELECT CASE WHEN text IS NULL OR text = ''
+              THEN 'quarantined_no_payload' ELSE 'ok' END AS status,
+         CASE WHEN text IS NULL OR text = ''
+              THEN 0 ELSE octet_length(encode(text)) END AS n_bytes
+  FROM documents
+) t
+GROUP BY status ORDER BY status
+""",
+    ("DQ", "S*", "X5"),
+    "Table-vs-lake reconciliation: FULL OUTER join of the documents table "
+    "against the blob-per-file listing (binaryFile metadata only — length "
+    "comes from the directory listing, no payload read), each doc "
+    "classified ok / quarantined_no_payload (NULL-or-empty text has no "
+    "file, the x5 quarantine convention) / missing_blob / orphan_blob / "
+    "size_mismatch.  The oracle enumerates the healthy statuses straight "
+    "from the table, so ANY discrepancy class appearing Spark-side fails "
+    "the hash gate — in particular the trap this query exists to pin: "
+    "Spark's binaryFile source silently DROPS zero-byte files "
+    "(DIRTYDATA.md §2), so a stager that wrote size-0 placeholders for "
+    "empty docs would surface them here as missing_blob rows, not as a "
+    "quietly smaller manifest.  At lake scale this is a metadata-sized "
+    "shuffle join (|docs| narrow rows per side), the nightly consistency "
+    "gate between a catalog and its object store.",
+)
+def dq_blob_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_sources import _stage_doc_files
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _stage_doc_files(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("b_doc_id"),
+            F.col("length").alias("blob_bytes"),  # listing metadata, no read
+        )
+    )
+    no_payload = F.col("text").isNull() | (F.col("text") == "")
+    joined = docs.join(blobs, docs.doc_id == blobs.b_doc_id, "full_outer")
+    return (
+        joined.select(
+            F.when(F.col("doc_id").isNull(), "orphan_blob")
+            .when(F.col("b_doc_id").isNull() & no_payload, "quarantined_no_payload")
+            .when(F.col("b_doc_id").isNull(), "missing_blob")
+            .when(no_payload, "orphan_blob")  # file exists for a doc with no payload
+            .when(
+                F.octet_length(F.col("text")) == F.col("blob_bytes"), "ok"
+            )
+            .otherwise("size_mismatch")
+            .alias("status"),
+            F.coalesce(F.col("blob_bytes"), F.lit(0)).alias("n_bytes"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("status")
+    )

@@ -40,6 +40,10 @@ FIXED = [
     "x5_feature_extract",
     "x5_resize",
     "x5_frame_sample",
+    # r8 audit-born monitors: the dirty corpus is the case they exist for
+    # (10% NULL injection -> non-zero drift ppm / quarantined blobs).
+    "dq_null_rate_drift",
+    "dq_blob_reconciliation",
 ]
 
 
