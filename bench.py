@@ -66,13 +66,20 @@ def build_output(
     errors: dict[str, str],
     n_queries: int,
     sf_dir: str,
+    samples: dict[str, list] | None = None,
 ) -> dict:
     """Assemble the one-line JSON artifact.  Pure, so the partial-total
     guard is unit-testable: a partial sum must NEVER be reported as
     ``value`` (it reads as a perf win to any consumer that misses the
     flag — the round-3 failure class, shifted from crash to silent
     undercount).  A warmup-only error leaves the total intact: all timed
-    queries ran."""
+    queries ran.
+
+    ``samples`` carries every timed run per query; the artifact records
+    them plus a per-query ``spread`` (max-min) so the round-over-round
+    comparison carries its own variance band (r7 verdict What's-wrong #1:
+    a 12% headline swing was judged host contention from PERF.md prose
+    because the best-of-N artifact discarded the evidence)."""
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline query wall-clock, noop sink",
@@ -83,6 +90,11 @@ def build_output(
         "n_queries": n_queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if samples:
+        out["samples"] = samples
+        out["spread"] = {
+            q: round(max(s) - min(s), 3) for q, s in samples.items() if s
+        }
     if errors:
         out["errors"] = errors
     if len(per_query) < n_queries:
@@ -94,6 +106,13 @@ def build_output(
 def main() -> None:
     spark = get_spark("bench")
     regs = queries()
+
+    # Evict staged parquet built from corpus fingerprints no live source
+    # matches (the driver regenerates testdata in place between rounds;
+    # without GC every regeneration leaks an immutable stage generation).
+    from bigdatapipeline_steamreviews_spark.sources.staging import prune_stages
+
+    prune_stages()
 
     def run_once(name: str) -> float:
         # Every timed run starts with a cold in-memory cache: queries may
@@ -108,11 +127,15 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    def run(name: str) -> float:
-        # Best-of-2: the first run pays one-time costs (codegen cache,
-        # Python-worker spawn, replay staging) that are not the query's
-        # steady-state cost; the min is the stable, comparable number.
-        return round(min(run_once(name), run_once(name)), 3)
+    def run(name: str) -> tuple[float, list[float]]:
+        # Best-of-3 (r7 verdict): the first run pays one-time costs
+        # (codegen cache, Python-worker spawn, replay staging) that are
+        # not the query's steady-state cost; the min is the stable,
+        # comparable number, and ALL samples go into the artifact so the
+        # per-query spread distinguishes host contention from a real
+        # plan regression without appealing to prose.
+        samples = [round(run_once(name), 3) for _ in range(3)]
+        return min(samples), samples
 
     # Warmup: spin up executors / codegen on a tiny query, untimed.
     # Guarded like the timed queries: one broken query must never zero out
@@ -124,13 +147,19 @@ def main() -> None:
         errors["__warmup__"] = f"{type(e).__name__}: {e}"[:300]
 
     per_query: dict[str, float] = {}
+    samples: dict[str, list] = {}
     for name in BENCH_QUERIES:
         try:
-            per_query[name] = run(name)
+            per_query[name], samples[name] = run(name)
         except Exception as e:  # noqa: BLE001 - record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+            samples.pop(name, None)
 
-    print(json.dumps(build_output(per_query, errors, len(BENCH_QUERIES), SF_DIR)))
+    print(
+        json.dumps(
+            build_output(per_query, errors, len(BENCH_QUERIES), SF_DIR, samples)
+        )
+    )
 
 
 if __name__ == "__main__":

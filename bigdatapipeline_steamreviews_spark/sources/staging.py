@@ -50,6 +50,8 @@ __all__ = [
     "staged_parquet",
     "stage_params_key",
     "publish_dir",
+    "live_fingerprints",
+    "prune_stages",
 ]
 
 
@@ -130,6 +132,82 @@ def publish_dir(tmp: str, final: str, marker: str = "_SUCCESS") -> None:
             shutil.rmtree(tmp, ignore_errors=True)
         else:
             raise
+
+
+def live_fingerprints(sf_dirs: "list[str] | None" = None) -> set:
+    """Fingerprints of every table under every live source directory.
+
+    ``None`` means the standard corpora: the three driver testdata SFs
+    plus any adversarial corpus under /tmp (``spark_graft_sf_*``) —
+    everything a sweep/bench/test run may legitimately stage from.
+    """
+    import glob as _glob
+
+    if sf_dirs is None:
+        sf_dirs = [
+            d
+            for d in (
+                "/root/testdata/sf0.001",
+                "/root/testdata/sf0.01",
+                "/root/testdata/sf0.1",
+            )
+            if os.path.isdir(d)
+        ] + [
+            d
+            for d in _glob.glob(os.path.join(tempfile.gettempdir(), "spark_graft_sf_*"))
+            if os.path.isdir(d)
+        ]
+    from .tables import TABLE_NAMES
+
+    fps = set()
+    for sf_dir in sf_dirs:
+        for t in TABLE_NAMES:
+            fps.add(source_fingerprint(sf_dir, t))
+    return fps
+
+
+def prune_stages(
+    keep_fingerprints: "set[str] | None" = None, root: str = STAGE_ROOT
+) -> list:
+    """Evict stage directories whose fingerprint no longer matches any
+    live source (r7 verdict: every corpus regeneration mints a new
+    immutable ``{name}_{fingerprint}_{version}`` directory and nothing
+    ever deleted the old ones — ephemeral-/tmp-safe, an unbounded storage
+    leak on a real lakehouse).  A directory is KEPT iff any fingerprint
+    in ``keep_fingerprints`` (default: :func:`live_fingerprints`) appears
+    in its name — stale fingerprints AND stale ``STAGE_VERSION`` builds of
+    still-live sources both go (a version bump orphans the old dirs'
+    exact name, and name-substring matching only keeps dirs some CURRENT
+    derivation can still read).  Returns the removed directory names.
+
+    Called from the long-lived entry points (bench, the verify sweep);
+    concurrent-reader safety is the same argument as :func:`publish_dir`
+    in reverse — only fingerprints no live source can produce are
+    removed, so no correct reader can be scanning them.
+    """
+    import shutil
+
+    if keep_fingerprints is None:
+        keep_fingerprints = live_fingerprints()
+    removed = []
+    if not os.path.isdir(root):
+        return removed
+    keep = {fp for fp in keep_fingerprints if fp}
+    for entry in sorted(os.listdir(root)):
+        path = os.path.join(root, entry)
+        if not os.path.isdir(path):
+            continue
+        live = any(fp in entry for fp in keep)
+        # Published stages: keep only live-fingerprint dirs built by the
+        # CURRENT code (every stager suffixes STAGE_VERSION last).
+        # ``.build*`` temps: keep live-fingerprint ones — a concurrent
+        # build may be mid-write; a stale-fingerprint temp is a crashed
+        # build of a dead corpus either way.
+        if live and (entry.endswith(f"_{STAGE_VERSION}") or ".build" in entry):
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(entry)
+    return removed
 
 
 def staged_parquet(

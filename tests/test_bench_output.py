@@ -52,3 +52,27 @@ def test_output_is_json_serializable():
     out = build_output({}, {"q1": "err"}, 1, "/root/testdata/sf0.01")
     assert json.loads(json.dumps(out)) == out
     assert out["value"] is None
+
+
+def test_samples_and_spread_are_recorded():
+    """r7 verdict What's-wrong #1: the artifact itself must carry the
+    per-query variance band (all samples + max-min spread), so a headline
+    swing can be attributed to contention vs code from BENCH_r{N}.json
+    alone.  ``value``/``queries`` stay the best-of-N minima — the
+    r1-comparable series must not change meaning."""
+    out = build_output(
+        {"q1": 1.5, "q2": 2.0},
+        {},
+        2,
+        "/root/testdata/sf0.1",
+        samples={"q1": [1.8, 1.5, 1.6], "q2": [2.0, 2.4, 2.2]},
+    )
+    assert out["value"] == 3.5  # still the sum of minima
+    assert out["samples"] == {"q1": [1.8, 1.5, 1.6], "q2": [2.0, 2.4, 2.2]}
+    assert out["spread"] == {"q1": 0.3, "q2": 0.4}
+    assert json.loads(json.dumps(out)) == out
+
+
+def test_samples_are_optional_for_backward_shape():
+    out = build_output({"q1": 1.0}, {}, 1, "/root/testdata/sf0.1")
+    assert "samples" not in out and "spread" not in out
