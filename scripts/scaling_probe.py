@@ -60,6 +60,11 @@ PROBE = [
     "j4_fuzzy_name_match",
     "j6_entity_resolution",
     "x2_ngram_jaccard",
+    # r7 verdict ask #7 — the streaming stateful family: per-key state
+    # volume is the remaining unprobed scale axis (applyInPandasWithState
+    # sessions; watermark-bounded stream-stream interval join state).
+    "stream_sessionization",
+    "stream_stream_click_purchase",
 ]
 
 
