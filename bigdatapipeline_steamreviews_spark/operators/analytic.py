@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persisted_intermediate
+
 __all__ = [
     "event_deltas",
     "sessionize",
@@ -594,14 +596,11 @@ def interval_peak_concurrency(
     deltas = starts.unionByName(ends).withColumn(
         "day", F.expr("(t DIV 86400) * 86400")
     )
-    # The ~|days|-row delta rollup feeds THREE consumers (the spine bounds,
-    # the spine join, and — via carry — the corpus-side join), and each
-    # consumer would otherwise re-execute the full upstream interval
-    # lineage (for w18 that is the sessionization window over events).
-    # Persisting the tiny table caps the corpus at the same two passes the
-    # pre-spine formulation paid; storage is |days| rows.
-    day_sums = (
-        deltas.groupBy("day").agg(F.sum("d").alias("day_delta")).persist()
+    # Three consumers (spine bounds, spine join, carry) would each re-run
+    # the full interval lineage (for w18: the sessionization window).
+    day_sums = persisted_intermediate(
+        deltas.groupBy("day").agg(F.sum("d").alias("day_delta")),
+        bound="|days| rows",
     )
     spine = (
         day_sums.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persisted_intermediate
 from .partitioning import ensure_min_parallelism
 
 __all__ = [
@@ -567,8 +568,12 @@ def bigram_pmi(
     if counts is not None:
         uni, bi_all = counts
     else:
-        uni = unigram_counts(df, text_col).persist()
-        bi_all = bigram_counts(df, text_col).persist()
+        uni = persisted_intermediate(
+            unigram_counts(df, text_col), bound="unigram vocab rows"
+        )
+        bi_all = persisted_intermediate(
+            bigram_counts(df, text_col), bound="observed-bigram vocab rows"
+        )
     bi = bi_all.filter(F.col("n_pair") >= min_count)
     # n_pairs is the PRE-filter bigram total: p(w1,w2) = n_pair / all
     # observed bigrams, not / the surviving heavy ones.
@@ -692,13 +697,11 @@ def bigram_surprisal(
     long-lived sessions should clear between pipelines.
     """
     pairs = adjacent_pairs(df, text_col, (id_col,))
-    # The vocab²-bounded pair-count table has two consumers (outw and the
-    # stats join) and each would re-execute the corpus pair explode +
-    # groupBy shuffle behind it; persisting the SMALL aggregate halves
-    # the corpus passes.  (Persisting `pairs` itself would be the wrong
-    # seam — that is corpus-sized.)
-    corpus = (
-        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")).persist()
+    # Two consumers (outw, the stats join) would each re-run the corpus
+    # pair explode; `pairs` itself is corpus-sized — the wrong seam.
+    corpus = persisted_intermediate(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair")),
+        bound="vocab^2 pair counts",
     )
     outw = corpus.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("ow"))
     stats = corpus.join(outw, "w1").select(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .caching import persisted_intermediate
 from .functions import avg_exact, sum_exact
 from .operators.serving import top_n
 from .registry import _avg_exact_sql, _min_label_sql, _sum_exact_sql, register
@@ -1581,8 +1582,10 @@ def sql_recursive_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 32)
         .select("user_id", "value", "rn")
-        .persist()
     )
+    # Spark re-executes a non-recursive CTE referenced inside the
+    # recursive member on EVERY iteration — materialize it first.
+    capped = persisted_intermediate(capped, bound="<=32 rows per user")
     capped.createOrReplaceTempView("capped_recursive_v")
     return spark.sql(
         """

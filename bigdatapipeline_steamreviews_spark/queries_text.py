@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .caching import persisted_intermediate
 from .operators.dedup import (
     MINHASH_A,
     MINHASH_B,
@@ -317,11 +318,13 @@ def x4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.selection import exact_quantile_threshold
 
     # Three consumers (the selection operator's two phases + the final
-    # filter) of a scan that re-tokenizes every document — persist the
-    # |docs|-row score projection so the text pass runs once.
-    scored = quality_score(_docs(spark, sf_dir)).select(
-        "doc_id", "n_tokens", "quality_score"
-    ).persist()
+    # filter) of a scan that re-tokenizes every document.
+    scored = persisted_intermediate(
+        quality_score(_docs(spark, sf_dir)).select(
+            "doc_id", "n_tokens", "quality_score"
+        ),
+        bound="|docs| rows, 3 narrow columns",
+    )
     thr = exact_quantile_threshold(scored, "quality_score", 0.25)
     return (
         scored.crossJoin(F.broadcast(thr))
