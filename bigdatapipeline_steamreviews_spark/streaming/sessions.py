@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["streaming_sessionize", "SESSION_OUTPUT_SCHEMA"]
+__all__ = [
+    "streaming_sessionize",
+    "streaming_sessionize_tws",
+    "SESSION_OUTPUT_SCHEMA",
+]
 
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
@@ -62,6 +66,79 @@ _STATE_SCHEMA = T.StructType(
 )
 
 _Q = 10**8  # 1e-8 quantization unit for exact value accumulation
+
+
+def _advance_open_session(
+    unix: np.ndarray,
+    vals_q: np.ndarray,
+    open_state: "tuple | None",
+    gap_seconds: int,
+) -> "tuple[tuple[list, list, list, list], tuple[int, int, int, int]]":
+    """Pure per-key session advance, shared by BOTH state APIs
+    (applyInPandasWithState below; transformWithStateInPandas twin).
+
+    Given this batch's sorted event times + quantized values and the
+    carried open-session accumulator (or None), returns
+    ``((closed_starts, closed_lasts, closed_ns, closed_tots), new_open)``
+    — every session this batch closes, and the accumulator for the one it
+    leaves open.  All O(n) numpy (run split via gap > threshold, reduceat
+    sums), no per-row Python; factoring it keeps the two operator
+    frontends trivially thin and the core unit-testable without a stream.
+    """
+    has_open = open_state is not None
+    start, last, n, tot = open_state if has_open else (0, 0, 0, 0)
+
+    is_new = np.empty(len(unix), dtype=bool)
+    is_new[1:] = (unix[1:] - unix[:-1]) > gap_seconds
+    is_new[0] = (not has_open) or (unix[0] - last > gap_seconds)
+
+    run_starts = np.flatnonzero(is_new)
+    if run_starts.size == 0 or run_starts[0] != 0:
+        run_starts = np.insert(run_starts, 0, 0)  # continuation run
+    run_last = np.append(run_starts[1:] - 1, len(unix) - 1)
+    r_start = unix[run_starts].astype("int64")
+    r_end = unix[run_last].astype("int64")
+    r_cnt = np.diff(np.append(run_starts, len(unix))).astype("int64")
+    r_sum = np.add.reduceat(vals_q, run_starts)
+
+    c_starts: list = []
+    c_lasts: list = []
+    c_ns: list = []
+    c_tots: list = []
+    if has_open:
+        if is_new[0]:
+            # The batch's first event doesn't extend the open session.
+            c_starts.append(start)
+            c_lasts.append(last)
+            c_ns.append(n)
+            c_tots.append(tot)
+        else:
+            # First run continues the open session from state.
+            r_start[0] = start
+            r_cnt[0] += n
+            r_sum[0] += tot
+
+    # Every run but the last is closed by the run after it.
+    if len(run_starts) > 1:
+        c_starts.extend(r_start[:-1].tolist())
+        c_lasts.extend(r_end[:-1].tolist())
+        c_ns.extend(r_cnt[:-1].tolist())
+        c_tots.extend(r_sum[:-1].tolist())
+
+    new_open = (int(r_start[-1]), int(r_end[-1]), int(r_cnt[-1]), int(r_sum[-1]))
+    return (c_starts, c_lasts, c_ns, c_tots), new_open
+
+
+def _batch_unix_vals(rows: pd.DataFrame) -> "tuple[np.ndarray, np.ndarray]":
+    """(epoch-seconds, half-up 1e-8-quantized values) for a sorted batch.
+    ns-normalize first: pandas may hand us datetime64[us] via Arrow."""
+    unix = (
+        rows["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+    ).to_numpy()
+    vals = np.floor(
+        rows["value"].fillna(0.0).to_numpy(dtype="float64") * _Q + 0.5
+    ).astype("int64")
+    return unix, vals
 
 
 def streaming_sessionize(
@@ -115,68 +192,19 @@ def streaming_sessionize(
                     max((last + gap_seconds) * 1000 + 1, wm0 + 1)
                 )
             return
-        # ns-normalize first: pandas may hand us datetime64[us] via Arrow.
-        unix = (
-            rows["ts"].astype("datetime64[ns]").astype("int64") // 10**9
-        ).to_numpy()
-        # Half-up quantize each value to integer 1e-8 units: accumulation
-        # below is exact int math (associative across batch boundaries).
-        vals = np.floor(
-            rows["value"].fillna(0.0).to_numpy(dtype="float64") * _Q + 0.5
-        ).astype("int64")
-
-        # Seed from the open session in state, if any.
-        has_open = state.exists
-        if has_open:
-            start, last, n, tot = state.get
-        else:
-            start, last, n, tot = 0, 0, 0, 0
-
-        # Vectorized run split: a session boundary sits wherever the gap
-        # from the previous event (or from the carried-over open session)
-        # exceeds gap_seconds.  All O(n) numpy, no per-row Python.
-        is_new = np.empty(len(unix), dtype=bool)
-        is_new[1:] = (unix[1:] - unix[:-1]) > gap_seconds
-        is_new[0] = (not has_open) or (unix[0] - last > gap_seconds)
-
-        run_starts = np.flatnonzero(is_new)
-        if run_starts.size == 0 or run_starts[0] != 0:
-            run_starts = np.insert(run_starts, 0, 0)  # continuation run
-        run_last = np.append(run_starts[1:] - 1, len(unix) - 1)
-        r_start = unix[run_starts].astype("int64")
-        r_end = unix[run_last].astype("int64")
-        r_cnt = np.diff(np.append(run_starts, len(unix))).astype("int64")
-        r_sum = np.add.reduceat(vals, run_starts)
-
-        c_starts: list = []
-        c_lasts: list = []
-        c_ns: list = []
-        c_tots: list = []
-        if has_open:
-            if is_new[0]:
-                # The batch's first event doesn't extend the open session.
-                c_starts.append(start); c_lasts.append(last)
-                c_ns.append(n); c_tots.append(tot)
-            else:
-                # First run continues the open session from state.
-                r_start[0] = start
-                r_cnt[0] += n
-                r_sum[0] += tot
-
-        # Every run but the last is closed by the run after it.
-        if len(run_starts) > 1:
-            c_starts.extend(r_start[:-1].tolist())
-            c_lasts.extend(r_end[:-1].tolist())
-            c_ns.extend(r_cnt[:-1].tolist())
-            c_tots.extend(r_sum[:-1].tolist())
+        unix, vals = _batch_unix_vals(rows)
+        open_state = tuple(state.get) if state.exists else None
+        (c_starts, c_lasts, c_ns, c_tots), new_open = _advance_open_session(
+            unix, vals, open_state, gap_seconds
+        )
 
         # The final run stays open in state, flushed by event-time timeout
         # when the watermark passes last + gap.
-        start, last = int(r_start[-1]), int(r_end[-1])
-        n, tot = int(r_cnt[-1]), int(r_sum[-1])
-        state.update((start, last, n, tot))
+        state.update(new_open)
         wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max((last + gap_seconds) * 1000 + 1, wm + 1))
+        state.setTimeoutTimestamp(
+            max((new_open[1] + gap_seconds) * 1000 + 1, wm + 1)
+        )
         if c_starts:
             yield sessions_df(user_id, c_starts, c_lasts, c_ns, c_tots)
 
@@ -187,4 +215,96 @@ def streaming_sessionize(
         _STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_sessionize_tws(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """The same sessionizer on ``transformWithStateInPandas`` — Spark 4's
+    successor state API (typed ValueState, first-class timers) and the
+    one new deployments should target.
+
+    Semantics are identical to :func:`streaming_sessionize` by
+    construction: both frontends drive the same
+    :func:`_advance_open_session` core; only the state plumbing differs
+    (ValueState + an explicit event-time timer per open session instead
+    of GroupState + setTimeoutTimestamp).
+
+    GATED, not faked: the API's driver-worker handshake needs the
+    ``protobuf`` package, absent in this container — construction raises
+    there, and ``tests/test_streaming_sessions.py``'s equivalence test
+    skips until the environment gains it (the same posture as the Kafka
+    broker e2e).  The core it shares with the shipped operator stays
+    fully covered either way.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    def sessions_df(user_id, starts, lasts, ns, tots_q) -> pd.DataFrame:
+        starts_a = np.asarray(starts, dtype="int64")
+        lasts_a = np.asarray(lasts, dtype="int64")
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(starts_a), user_id, dtype="int64"),
+                "session_start_unix": starts_a,
+                "session_end_unix": lasts_a,
+                "duration_s": lasts_a - starts_a,
+                "n_events": np.asarray(ns, dtype="int64"),
+                "total_value": np.asarray(tots_q, dtype="int64") / float(_Q),
+            }
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.open = handle.getValueState(
+                "open",
+                "start_unix BIGINT, last_unix BIGINT, "
+                "n_events BIGINT, total_q BIGINT",
+            )
+
+        def _rearm_timer(self, last_unix: int) -> None:
+            # One live timer per key: the session timeout at last+gap.
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer((last_unix + gap_seconds) * 1000 + 1)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            batch = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            if batch.empty:
+                return
+            unix, vals = _batch_unix_vals(batch)
+            open_state = (
+                tuple(self.open.get()) if self.open.exists() else None
+            )
+            closed, new_open = _advance_open_session(
+                unix, vals, open_state, gap_seconds
+            )
+            self.open.update(new_open)
+            self._rearm_timer(new_open[1])
+            if closed[0]:
+                yield sessions_df(user_id, *closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # Watermark passed last+gap: the open session is closed.
+            if self.open.exists():
+                start, last, n, tot = tuple(self.open.get())
+                self.open.clear()
+                yield sessions_df(key[0], [start], [last], [n], [tot])
+
+        def close(self) -> None:
+            pass
+
+    marked = events.withWatermark("ts", watermark)
+    return marked.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
     )

@@ -295,3 +295,74 @@ def test_builtin_session_emission_boundary(
         f"residue={residue_us} wm_delta={wm_delta_us}: spark={emitted} "
         f"oracle={oracle_admits} expected={expect_emitted}"
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin (gated on protobuf, like test_state_source)
+# ---------------------------------------------------------------------------
+
+import importlib.util  # noqa: E402
+
+_HAS_PROTOBUF = (
+    importlib.util.find_spec("google") is not None
+    and importlib.util.find_spec("google.protobuf") is not None
+)
+
+
+def test_advance_open_session_core_is_shared_and_pure():
+    """The numpy session-split core both state-API frontends drive —
+    covered here WITHOUT a stream so the gated twin's untested surface is
+    only the transformWithState plumbing itself."""
+    import numpy as np
+
+    from bigdatapipeline_steamreviews_spark.streaming.sessions import (
+        _advance_open_session,
+    )
+
+    unix = np.array([100, 200, 5000, 5100, 99999], dtype="int64")
+    vals = np.array([1, 2, 3, 4, 5], dtype="int64")
+    # no carried state: three runs at gap=1800 -> two closed, last open
+    closed, new_open = _advance_open_session(unix, vals, None, 1800)
+    assert closed == ([100, 5000], [200, 5100], [2, 2], [3, 7])
+    assert new_open == (99999, 99999, 1, 5)
+    # carried open session that the first event continues
+    closed2, open2 = _advance_open_session(
+        unix[:2], vals[:2], (50, 90, 3, 10), 1800
+    )
+    assert closed2 == ([], [], [], [])
+    assert open2 == (50, 200, 5, 13)
+    # carried open session the first event does NOT continue -> it closes
+    closed3, open3 = _advance_open_session(
+        unix[:1], vals[:1], (1, 2, 1, 9), 30
+    )
+    assert closed3 == ([1], [2], [1], [9])
+    assert open3 == (100, 100, 1, 1)
+
+
+@pytest.mark.skipif(not _HAS_PROTOBUF, reason="transformWithState needs protobuf")
+def test_tws_sessionizer_matches_batch(spark, tmp_path):
+    """The transformWithStateInPandas twin must emit the same closed
+    sessions as the batch operator — runs the moment the environment
+    gains protobuf, skips cleanly until then."""
+    from bigdatapipeline_steamreviews_spark.streaming.sessions import (
+        streaming_sessionize_tws,
+    )
+
+    stage = str(tmp_path / "tws_stage")
+    stage_events_for_replay(spark, SF_DIR, stage, chunks=4)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=1)
+    result = streaming_sessionize_tws(stream, gap_seconds=GAP, watermark="30 minutes")
+    got = run_to_memory_table(
+        result, "tws_sess_test", str(tmp_path / "tws_ckpt"), "append"
+    ).collect()
+    batch = {
+        (r.user_id, r.session_start_unix): r
+        for r in session_stats(
+            load_table(spark, SF_DIR, "events"), gap_seconds=GAP
+        ).collect()
+    }
+    assert len(got) > 0
+    for s in got:
+        b = batch.get((s.user_id, s.session_start_unix))
+        assert b is not None, f"tws session not in batch: {s}"
+        assert (s.session_end_unix, s.n_events) == (b.session_end_unix, b.n_events)
