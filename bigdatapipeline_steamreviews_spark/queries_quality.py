@@ -1006,11 +1006,18 @@ ORDER BY day, col
     "monitor costs one pass at 100 TB.",
 )
 def dq_null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .caching import persisted_intermediate
+
     events = load_table(spark, sf_dir, "events")
     cols = ("event_type", "props", "value")
-    daily = events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[count_if(F.col(c).isNull()).alias(f"n_{c}") for c in cols],
+    # Two consumers (the per-day report and the corpus baseline) would
+    # each re-scan the corpus for the same day table.
+    daily = persisted_intermediate(
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[count_if(F.col(c).isNull()).alias(f"n_{c}") for c in cols],
+        ),
+        bound="|days| rows",
     )
     unp = daily.select(
         "day",

@@ -22,6 +22,13 @@ When the source cannot be stat'ed at all, the fallback walks the whole
 ``sf_dir`` and folds every file's size and mtime into the key, so even a
 layout we cannot anticipate still invalidates on content change (a bare
 path-only key would happily serve stale stages forever).
+
+Lifecycle: stages are immutable once published and a corpus regeneration
+mints a NEW fingerprint, so without eviction the root grows one stage
+generation per regeneration — ephemeral-/tmp-safe, an unbounded storage
+leak on a real lakehouse.  :func:`prune_stages` (called from the bench
+and verify entry points) evicts every stage whose fingerprint no live
+source can produce, plus stale ``STAGE_VERSION`` builds.
 """
 
 from __future__ import annotations
