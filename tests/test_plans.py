@@ -243,3 +243,21 @@ def test_plan_shapes_match_committed_snapshot(spark):
         "physical plan shape drifted (re-bless via scripts/plan_snapshot.py "
         f"if intentional): {json.dumps(drifted, indent=1)}"
     )
+
+
+def test_blob_reconciliation_reads_listing_metadata_only(spark):
+    """dq_blob_reconciliation's scale claim: the binaryFile side is a
+    METADATA join (path + length from the directory listing), never a
+    payload read — at lake scale that is the difference between a
+    catalog-sized shuffle and re-reading every blob.  The scan's
+    ReadSchema must not include the content column."""
+    plan = _plan(spark, "dq_blob_reconciliation")
+    import re
+
+    binary_scans = [
+        m for m in re.findall(r"ReadSchema: struct<[^>]*>", plan)
+        if "path" in m
+    ]
+    assert binary_scans, "binaryFile scan missing from plan"
+    for rs in binary_scans:
+        assert "content" not in rs, f"payload read leaked into the scan: {rs}"
