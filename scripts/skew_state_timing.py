@@ -35,7 +35,6 @@ from adversarial_data import CORPUS_VERSION, _skew, write_flat  # noqa: E402
 from bigdatapipeline_steamreviews_spark import get_spark, queries  # noqa: E402
 from bigdatapipeline_steamreviews_spark.sources.tables import (  # noqa: E402
     TABLE_NAMES,
-    load_table,
 )
 
 BASE = "/root/testdata/sf0.1"
