@@ -21,6 +21,16 @@ Three variants, all flat single-file parquet (the driver's layout):
   proves correctness is skew-independent; ``tests/test_skewed_input.py``
   pins a regression subset, and DIRTYDATA.md §3 records the
   salted-vs-naive join timing at this skew.
+* ``unicode``: multibyte text injection — in ~50% of documents (and
+  customer names), every 5th word (by content hash) gains a suffix from
+  a palette spanning the interesting encodings: 2-byte Latin (``é``,
+  ``ß``), 3-byte CJK (``中``), and a 4-byte astral-plane emoji
+  (``🎮`` — a SURROGATE PAIR in UTF-16, where Java-regex Spark and
+  RE2 DuckDB can legitimately disagree).  The driver's synthetic corpus
+  is pure ASCII, so without this corpus every text operator's
+  multibyte behavior (length vs octet_length, regex char classes,
+  per-codepoint vs per-code-unit counting) is unverified.  Findings in
+  DIRTYDATA.md §4.
 
 All injection masks are derived from ROW CONTENT (xxhash64 of the
 table's contract-key columns + the target column name), never from
@@ -30,9 +40,10 @@ partitioning of the source scan, so a different core count or
 make any divergence the audit surfaces unreproducible across machines.
 
 Usage:
-    python scripts/adversarial_data.py empty [out_dir] [src_sf_dir]
-    python scripts/adversarial_data.py dirty [out_dir] [src_sf_dir]
-    python scripts/adversarial_data.py skew  [out_dir] [src_sf_dir]
+    python scripts/adversarial_data.py empty   [out_dir] [src_sf_dir]
+    python scripts/adversarial_data.py dirty   [out_dir] [src_sf_dir]
+    python scripts/adversarial_data.py skew    [out_dir] [src_sf_dir]
+    python scripts/adversarial_data.py unicode [out_dir] [src_sf_dir]
 """
 
 from __future__ import annotations
@@ -148,6 +159,38 @@ def _skew(spark, df, t, src):
     )
 
 
+# unicode mode: suffixes drawn per-WORD by content hash so the same word
+# is decorated identically everywhere (dedup/shingle structure preserved
+# within the corpus), covering 2-, 3-, and 4-byte UTF-8.
+UNI_PALETTE = ("é", "ß", "中", "\U0001f3ae")  # é ß 中 🎮
+
+
+def _unicodify(df, t):
+    col = {"documents": "text", "customer": "c_name"}.get(t)
+    if col is None:
+        return df
+
+    def decorate(w):
+        h = F.crc32(F.encode(w, "utf-8"))
+        suffix = F.element_at(
+            F.array(*[F.lit(c) for c in UNI_PALETTE]),
+            (F.pmod(h, F.lit(len(UNI_PALETTE))) + 1).cast("int"),
+        )
+        return F.when(
+            F.pmod(h, F.lit(5)) == 0, F.concat(w, suffix)
+        ).otherwise(w)
+
+    decorated = F.array_join(
+        F.transform(F.split(F.col(col), " "), decorate), " "
+    )
+    return df.withColumn(
+        col,
+        F.when(_content_mask(df, t, f"uni:{col}", 2), decorated).otherwise(
+            F.col(col)
+        ),
+    )
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "dirty"
     dst = (
@@ -156,7 +199,7 @@ def main() -> int:
         else f"/tmp/spark_graft_sf_{mode}_{CORPUS_VERSION}"
     )
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
-    assert mode in ("empty", "dirty", "skew"), mode
+    assert mode in ("empty", "dirty", "skew", "unicode"), mode
     spark = get_spark(f"adversarial-{mode}")
     os.makedirs(dst, exist_ok=True)
     for t in TABLE_NAMES:
@@ -165,6 +208,8 @@ def main() -> int:
             out = df.limit(0)
         elif mode == "dirty":
             out = _dirty(df, t)
+        elif mode == "unicode":
+            out = _unicodify(df, t)
         else:
             out = _skew(spark, df, t, src)
         write_flat(out, dst, t)
