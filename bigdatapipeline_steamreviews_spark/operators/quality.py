@@ -237,3 +237,49 @@ EVENTS_CHECKSUM_ORACLE_EXPR = """bit_xor(('0x' || substr(md5(
            || coalesce(CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR, chr(1)) || '|'
            || coalesce(CAST(floor(value * 1000) AS BIGINT)::VARCHAR, chr(1))
        ), 1, 15))::BIGINT)"""
+
+
+def blob_reconciliation(docs: DataFrame, blobs: DataFrame) -> DataFrame:
+    """Catalog-vs-object-store reconciliation: FULL OUTER join of a
+    document table ``(doc_id, text)`` against a blob listing
+    ``(b_doc_id, blob_bytes)`` (binaryFile metadata — path-derived id +
+    listing length, payload never read), every pair classified:
+
+    * ``ok``                     — payload present, byte length matches;
+    * ``quarantined_no_payload`` — NULL/empty text, no blob (the x5
+      quarantine convention: absent is honest, size-0 is a trap —
+      Spark's binaryFile source silently DROPS zero-byte files,
+      DIRTYDATA.md §2);
+    * ``missing_blob``           — payload expected, no blob found (what
+      a zero-byte placeholder would surface as, post-drop);
+    * ``orphan_blob``            — a blob with no catalog row, or one
+      for a doc the catalog says has no payload;
+    * ``size_mismatch``          — blob present, wrong byte length
+      (truncation / encoding corruption).
+
+    Returns ``(status, n_docs, total_bytes)`` sorted by status — a
+    metadata-sized shuffle join at any scale.  The registered query
+    (``dq_blob_reconciliation``) gates the healthy classes against its
+    oracle; ``tests/test_quality.py`` exercises every discrepancy class
+    with synthetic frames, since a healthy lake never produces them.
+    """
+    no_payload = F.col("text").isNull() | (F.col("text") == "")
+    joined = docs.join(blobs, docs.doc_id == blobs.b_doc_id, "full_outer")
+    return (
+        joined.select(
+            F.when(F.col("doc_id").isNull(), "orphan_blob")
+            .when(F.col("b_doc_id").isNull() & no_payload, "quarantined_no_payload")
+            .when(F.col("b_doc_id").isNull(), "missing_blob")
+            .when(no_payload, "orphan_blob")  # blob exists for a no-payload doc
+            .when(F.octet_length(F.col("text")) == F.col("blob_bytes"), "ok")
+            .otherwise("size_mismatch")
+            .alias("status"),
+            F.coalesce(F.col("blob_bytes"), F.lit(0)).alias("n_bytes"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("status")
+    )

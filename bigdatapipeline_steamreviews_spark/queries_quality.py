@@ -1083,6 +1083,7 @@ GROUP BY status ORDER BY status
     "gate between a catalog and its object store.",
 )
 def dq_blob_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import blob_reconciliation
     from .queries_sources import _stage_doc_files
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1098,25 +1099,4 @@ def dq_blob_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("length").alias("blob_bytes"),  # listing metadata, no read
         )
     )
-    no_payload = F.col("text").isNull() | (F.col("text") == "")
-    joined = docs.join(blobs, docs.doc_id == blobs.b_doc_id, "full_outer")
-    return (
-        joined.select(
-            F.when(F.col("doc_id").isNull(), "orphan_blob")
-            .when(F.col("b_doc_id").isNull() & no_payload, "quarantined_no_payload")
-            .when(F.col("b_doc_id").isNull(), "missing_blob")
-            .when(no_payload, "orphan_blob")  # file exists for a doc with no payload
-            .when(
-                F.octet_length(F.col("text")) == F.col("blob_bytes"), "ok"
-            )
-            .otherwise("size_mismatch")
-            .alias("status"),
-            F.coalesce(F.col("blob_bytes"), F.lit(0)).alias("n_bytes"),
-        )
-        .groupBy("status")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_bytes").cast("long").alias("total_bytes"),
-        )
-        .orderBy("status")
-    )
+    return blob_reconciliation(docs, blobs)

@@ -126,3 +126,48 @@ def test_sliding_distinct_count_with_gap_days(spark):
         "2024-01-02 00:00:00": 2,  # users 1,2 within trailing 7 days
         "2024-01-09 00:00:00": 1,  # day 2 is 7 days back -> outside the 7-day frame
     }
+
+
+def test_blob_reconciliation_all_discrepancy_classes(spark):
+    """A healthy lake only ever produces ok/quarantined rows (the
+    registered query's oracle gates those); the discrepancy classes the
+    operator exists to SURFACE never occur on any corpus, so exercise
+    every one synthetically: missing blob, orphan blob, orphan blob for
+    a no-payload doc, and a byte-length mismatch."""
+    from bigdatapipeline_steamreviews_spark.operators.quality import (
+        blob_reconciliation,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello"),        # ok (5 bytes)
+            (2, None),           # quarantined: NULL payload, no blob
+            (3, ""),             # quarantined: empty payload, no blob
+            (4, "lost"),         # missing_blob: payload, blob absent
+            (5, "héllo"),        # ok, multibyte: 6 UTF-8 bytes
+            (6, "truncated"),    # size_mismatch: blob shorter than text
+            (7, None),           # orphan_blob: catalog says no payload
+        ],
+        "doc_id long, text string",
+    )
+    blobs = spark.createDataFrame(
+        [
+            (1, 5),
+            (5, 6),
+            (6, 4),    # truncated write
+            (7, 3),    # blob exists though catalog has no payload
+            (99, 10),  # orphan: no catalog row at all
+        ],
+        "b_doc_id long, blob_bytes long",
+    )
+    got = {
+        r.status: (r.n_docs, r.total_bytes)
+        for r in blob_reconciliation(docs, blobs).collect()
+    }
+    assert got == {
+        "ok": (2, 11),
+        "quarantined_no_payload": (2, 0),
+        "missing_blob": (1, 0),
+        "orphan_blob": (2, 13),
+        "size_mismatch": (1, 4),
+    }
