@@ -330,3 +330,57 @@ def test_streaming_ewma_equals_sequential_fold(spark):
             n += 1
         want[int(uid)] = (acc, n)
     assert got == want  # exact float equality, not approx
+
+
+def test_displaced_replay_final_state_equals_batch(spark):
+    """Corpus-scale late-arrival audit (round 8): a content-hash-selected
+    10% of events ARRIVE one time-chunk late (arrival order != event
+    time), so populated windows receive stragglers several triggers after
+    they first aggregated.  In faithful mode (no watermark — every window
+    stays live, summarizer.py's semantics) the replayed final state must
+    equal the batch summary EXACTLY.  The crafted-row lateness tests pin
+    single-window merges; this exercises cross-trigger merge at
+    |days x types| scale through the real replay path."""
+    import os
+    import time
+
+    from pyspark.sql import Window as W
+
+    from bigdatapipeline_steamreviews_spark.sources.tables import event_ts_micros
+
+    stage = tempfile.mkdtemp(prefix="displaced_")
+    raw = event_ts_micros(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+    )
+    n = raw.count()
+    chunks = 4
+    ranked = raw.withColumn(
+        "__chunk",
+        F.least(
+            F.lit(chunks - 1),
+            F.floor(
+                F.row_number().over(W.orderBy("ts", "event_id"))
+                * chunks
+                / (n + 1)
+            ).cast("int"),
+        ),
+    )
+    late = F.pmod(F.xxhash64(F.lit("late"), F.col("event_id")), F.lit(10)) == 0
+    arrival = F.when(
+        late, F.least(F.col("__chunk") + 1, F.lit(chunks - 1))
+    ).otherwise(F.col("__chunk"))
+    staged = ranked.withColumn("__arrival", arrival)
+    n_late = staged.filter(F.col("__arrival") != F.col("__chunk")).count()
+    assert n_late > 0, "displacement mask is vacuous"
+    for i in range(chunks):
+        staged.filter(F.col("__arrival") == i).drop(
+            "__chunk", "__arrival"
+        ).coalesce(1).write.mode("append").parquet(stage)
+        time.sleep(0.05)  # strictly later mtime: replay order is mtime order
+    assert len([f for f in os.listdir(stage) if f.endswith(".parquet")]) == chunks
+
+    streamed = _stream_result(spark, stage).orderBy("event_type", "time")
+    batch = daily_summary(load_table(spark, SF_DIR, "events")).orderBy(
+        "event_type", "time"
+    )
+    assert streamed.collect() == batch.collect()
