@@ -384,3 +384,59 @@ def test_displaced_replay_final_state_equals_batch(spark):
         "event_type", "time"
     )
     assert streamed.collect() == batch.collect()
+
+
+def test_displaced_replay_watermarked_closed_windows_are_exact(spark):
+    """The production-mode half of the displaced audit: with a watermark
+    generous enough to cover the displacement (delay > the maximum
+    event-time regression a straggler can arrive with), every window the
+    stream CLOSES must already contain its stragglers — emitted rows are
+    final, exact batch values; nothing late-within-tolerance is dropped."""
+    import time
+
+    from pyspark.sql import Window as W
+
+    from bigdatapipeline_steamreviews_spark.sources.tables import event_ts_micros
+
+    stage = tempfile.mkdtemp(prefix="displaced_wm_")
+    raw = event_ts_micros(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    n = raw.count()
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span_days = (hi - lo) / 86_400_000_000
+    chunks = 4
+    ranked = raw.withColumn(
+        "__chunk",
+        F.least(
+            F.lit(chunks - 1),
+            F.floor(
+                F.row_number().over(W.orderBy("ts", "event_id")) * chunks / (n + 1)
+            ).cast("int"),
+        ),
+    )
+    late = F.pmod(F.xxhash64(F.lit("late"), F.col("event_id")), F.lit(10)) == 0
+    staged = ranked.withColumn(
+        "__arrival",
+        F.when(late, F.least(F.col("__chunk") + 1, F.lit(chunks - 1))).otherwise(
+            F.col("__chunk")
+        ),
+    )
+    for i in range(chunks):
+        staged.filter(F.col("__arrival") == i).drop("__chunk", "__arrival").coalesce(
+            1
+        ).write.mode("append").parquet(stage)
+        time.sleep(0.05)
+
+    # Max displacement: a straggler from chunk i lands among chunk i+1's
+    # rows, whose in-order maximum is up to 2 chunk spans newer — delay of
+    # half the corpus span (+1 day slack) retains every straggler while
+    # still closing the older half of the windows.
+    delay_days = int(span_days / 2) + 2
+    streamed = _stream_result(
+        spark, stage, watermark=f"{delay_days} days", output_mode="append"
+    )
+    batch = daily_summary(load_table(spark, SF_DIR, "events"))
+    s_rows = {(r.event_type, r.time): r for r in streamed.collect()}
+    b_rows = {(r.event_type, r.time): r for r in batch.collect()}
+    assert 0 < len(s_rows) < len(b_rows)  # something closed, tail open
+    for key, row in s_rows.items():
+        assert row == b_rows[key]  # stragglers merged BEFORE close, exact
