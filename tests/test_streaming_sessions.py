@@ -366,3 +366,140 @@ def test_tws_sessionizer_matches_batch(spark, tmp_path):
         b = batch.get((s.user_id, s.session_start_unix))
         assert b is not None, f"tws session not in batch: {s}"
         assert (s.session_end_unix, s.n_events) == (b.session_end_unix, b.n_events)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 disorder audit: the ordering contract and its tolerant twin
+# ---------------------------------------------------------------------------
+
+import tempfile
+import time as _time
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from bigdatapipeline_steamreviews_spark.sources.tables import event_ts_micros
+from bigdatapipeline_steamreviews_spark.streaming.sessions import (
+    streaming_sessionize_disordered,
+)
+from bigdatapipeline_steamreviews_spark.streaming.summarizer import (
+    events_file_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def displaced_stage(spark):
+    """4 time-chunk replay files where a content-hash-selected 10% of
+    events ARRIVE one chunk late (event time unchanged) — per-key
+    event-time order broken ACROSS micro-batches."""
+    raw = event_ts_micros(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    n = raw.count()
+    chunks = 4
+    ranked = raw.withColumn(
+        "__chunk",
+        F.least(
+            F.lit(chunks - 1),
+            F.floor(
+                F.row_number().over(W.orderBy("ts", "event_id")) * chunks / (n + 1)
+            ).cast("int"),
+        ),
+    )
+    late = F.pmod(F.xxhash64(F.lit("late"), F.col("event_id")), F.lit(10)) == 0
+    staged = ranked.withColumn(
+        "__arr",
+        F.when(late, F.least(F.col("__chunk") + 1, F.lit(chunks - 1))).otherwise(
+            F.col("__chunk")
+        ),
+    )
+    stage = tempfile.mkdtemp(prefix="sess_displaced_")
+    for i in range(chunks):
+        staged.filter(F.col("__arr") == i).drop("__chunk", "__arr").coalesce(
+            1
+        ).write.mode("append").parquet(stage)
+        _time.sleep(0.05)
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span_days = (hi - lo) / 86_400_000_000
+    return stage, int(span_days / 2) + 2
+
+
+def _batch_sessions(spark):
+    return {
+        (r.user_id, r.session_start_unix): (
+            r.session_end_unix,
+            r.n_events,
+            round(r.total_value, 6),
+        )
+        for r in session_stats(
+            load_table(spark, SF_DIR, "events"), gap_seconds=GAP
+        ).collect()
+    }
+
+
+def test_fixed_width_sessionizer_requires_inorder_delivery(spark, displaced_stage):
+    """The ordering contract is REAL, not theoretical: under cross-batch
+    disorder the O(1)-state operator diverges from batch (a straggler
+    older than the carried `last` cannot be placed against compressed
+    state).  If this test ever finds zero divergence, the operator became
+    disorder-tolerant and the contract text + the `_disordered` twin
+    should be revisited."""
+    stage, _ = displaced_stage
+    stream = events_file_stream(spark, stage, max_files_per_trigger=1)
+    result = streaming_sessionize(stream, gap_seconds=GAP, watermark="365 days")
+    got = run_to_memory_table(
+        result, "sess_contract", tempfile.mkdtemp(prefix="ck_"), "append"
+    ).collect()
+    batch = _batch_sessions(spark)
+    diverged = sum(
+        1
+        for s in got
+        if batch.get((s.user_id, s.session_start_unix))
+        != (s.session_end_unix, s.n_events, round(s.total_value, 6))
+    )
+    assert diverged > 0
+
+
+def test_disordered_sessionizer_is_exact_under_displacement(spark, displaced_stage):
+    """The buffered twin's whole point: with the watermark sized past the
+    displacement, every session it finalizes under disorder is the exact
+    batch session — bitwise totals included — and no phantom sessions
+    appear."""
+    stage, delay_days = displaced_stage
+    stream = events_file_stream(spark, stage, max_files_per_trigger=1)
+    result = streaming_sessionize_disordered(
+        stream, gap_seconds=GAP, watermark=f"{delay_days} days"
+    )
+    got = run_to_memory_table(
+        result, "sess_disordered", tempfile.mkdtemp(prefix="ck_"), "append"
+    ).collect()
+    batch = _batch_sessions(spark)
+    assert len(got) > 0
+    for s in got:
+        b = batch.get((s.user_id, s.session_start_unix))
+        assert b is not None, f"phantom session: {s}"
+        assert b == (s.session_end_unix, s.n_events, round(s.total_value, 6))
+
+
+def test_disordered_sessionizer_matches_inorder_operator_on_ordered_input(
+    spark, streamed_sessions, tmp_path
+):
+    """On IN-ORDER input the two operators must agree wherever both emit:
+    the buffered twin finalizes only via watermark (no in-batch-split
+    emission), so its output is a subset — but an exact one."""
+    stage = str(tmp_path / "ordered_stage")
+    stage_events_for_replay(spark, SF_DIR, stage, chunks=4)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=1)
+    result = streaming_sessionize_disordered(
+        stream, gap_seconds=GAP, watermark="30 minutes"
+    )
+    got = run_to_memory_table(
+        result, "sess_disordered_ord", str(tmp_path / "ck"), "append"
+    ).collect()
+    fixed = {
+        (r.user_id, r.session_start_unix): (r.session_end_unix, r.n_events)
+        for r in streamed_sessions
+    }
+    assert len(got) > 0
+    for s in got:
+        b = fixed.get((s.user_id, s.session_start_unix))
+        assert b is not None
+        assert b == (s.session_end_unix, s.n_events)
