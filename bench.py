@@ -110,9 +110,9 @@ def main() -> None:
     # Evict staged parquet built from corpus fingerprints no live source
     # matches (the driver regenerates testdata in place between rounds;
     # without GC every regeneration leaks an immutable stage generation).
-    from bigdatapipeline_steamreviews_spark.sources.staging import prune_stages
+    from bigdatapipeline_steamreviews_spark.sources.staging import prune_all_stages
 
-    prune_stages()
+    prune_all_stages()
 
     def run_once(name: str) -> float:
         # Every timed run starts with a cold in-memory cache: queries may

@@ -29,7 +29,7 @@ from .streaming.summarizer import (
     streaming_daily_summary,
 )
 
-_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_stream_stage")
+from .sources.staging import STREAM_STAGE_ROOT as _STAGE_ROOT
 _query_counter = 0
 
 

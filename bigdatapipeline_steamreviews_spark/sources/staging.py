@@ -42,6 +42,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_stage")
 
+# Streaming replay staging root (queries_streaming.py) — a SECOND
+# fingerprint-keyed stage family (events_{fp}_{chunks}_us, events_duped_,
+# events_flush_, events_split2_, events_displaced_, docs_{fp}_...): the
+# same one-immutable-generation-per-regeneration lifecycle, so it needs
+# the same eviction (r8 advice: prune_stages covered only STAGE_ROOT and
+# the replay root leaked forever).
+STREAM_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_stream_stage")
+
+
+def _current_suffixes(root: str) -> tuple:
+    """Stage-name suffixes a CURRENT derivation can still read, per root.
+    STAGE_ROOT stagers all end with ``_{STAGE_VERSION}``; the replay
+    root's wire-format version is the ``_us`` suffix (epoch-micros events
+    layouts, some ``_DONE``-marked) plus ``_{STAGE_VERSION}`` for the
+    docs chunk stager."""
+    if root == STREAM_STAGE_ROOT:
+        return ("_us", f"_{STAGE_VERSION}")
+    return (f"_{STAGE_VERSION}",)
+
 # Format/code version folded into every stage path.  Parameters are already
 # keyed (stage_params_key), but an IMPLEMENTATION change with identical
 # parameters — e.g. swapping the md5 base hash for xxhash64 — would
@@ -52,6 +71,7 @@ STAGE_VERSION = "v2"  # v2: doc_lines/doc_files stagers skip NULL/empty text
 
 __all__ = [
     "STAGE_ROOT",
+    "STREAM_STAGE_ROOT",
     "STAGE_VERSION",
     "source_fingerprint",
     "staged_parquet",
@@ -59,6 +79,7 @@ __all__ = [
     "publish_dir",
     "live_fingerprints",
     "prune_stages",
+    "prune_all_stages",
 ]
 
 
@@ -174,7 +195,10 @@ def live_fingerprints(sf_dirs: "list[str] | None" = None) -> set:
 
 
 def prune_stages(
-    keep_fingerprints: "set[str] | None" = None, root: str = STAGE_ROOT
+    keep_fingerprints: "set[str] | None" = None,
+    root: str = STAGE_ROOT,
+    grace_seconds: float = 900.0,
+    current_suffixes: "tuple | None" = None,
 ) -> list:
     """Evict stage directories whose fingerprint no longer matches any
     live source (r7 verdict: every corpus regeneration mints a new
@@ -182,17 +206,33 @@ def prune_stages(
     ever deleted the old ones — ephemeral-/tmp-safe, an unbounded storage
     leak on a real lakehouse).  A directory is KEPT iff any fingerprint
     in ``keep_fingerprints`` (default: :func:`live_fingerprints`) appears
-    in its name — stale fingerprints AND stale ``STAGE_VERSION`` builds of
-    still-live sources both go (a version bump orphans the old dirs'
-    exact name, and name-substring matching only keeps dirs some CURRENT
-    derivation can still read).  Returns the removed directory names.
+    in its name AND its suffix is one the current code reads — stale
+    fingerprints AND stale ``STAGE_VERSION`` builds of still-live sources
+    both go.  Returns the removed directory names.
 
-    Called from the long-lived entry points (bench, the verify sweep);
-    concurrent-reader safety is the same argument as :func:`publish_dir`
-    in reverse — only fingerprints no live source can produce are
-    removed, so no correct reader can be scanning them.
+    ``grace_seconds`` closes two r8-advice gaps at once:
+
+    * TOCTOU: the keep-set is snapshotted before the deletion loop, so a
+      corpus regenerated in-place AFTER the snapshot mints a fingerprint
+      not in the set — a stage freshly published for it by a concurrent
+      process must not be rmtree'd under a live reader.  Any directory
+      whose mtime is younger than the grace window is skipped; on the
+      next (post-grace) prune its fingerprint is in the fresh keep-set.
+    * Crashed builds of still-LIVE corpora: ``.build*`` temps used to be
+      kept unconditionally when their fingerprint was live, leaking one
+      partial directory per crashed build forever.  A ``.build*`` temp
+      OLDER than the grace window is a crashed build either way (a real
+      build finishes in minutes and its dir mtime stays fresh while part
+      files land) and is evicted regardless of fingerprint liveness.
+
+    Called from the long-lived entry points (bench, the verify sweep) via
+    :func:`prune_all_stages`; concurrent-reader safety is the same
+    argument as :func:`publish_dir` in reverse — only stages no live
+    source can produce (and are past the grace window) are removed, so no
+    correct reader can be scanning them.
     """
     import shutil
+    import time
 
     if keep_fingerprints is None:
         keep_fingerprints = live_fingerprints()
@@ -200,21 +240,47 @@ def prune_stages(
     if not os.path.isdir(root):
         return removed
     keep = {fp for fp in keep_fingerprints if fp}
+    suffixes = (
+        current_suffixes if current_suffixes is not None else _current_suffixes(root)
+    )
+    now = time.time()
     for entry in sorted(os.listdir(root)):
         path = os.path.join(root, entry)
         if not os.path.isdir(path):
             continue
+        try:
+            age = now - os.stat(path).st_mtime
+        except OSError:
+            continue  # vanished under us (concurrent prune / publish race)
+        if age < grace_seconds:
+            continue
+        if ".build" in entry:
+            # Past the grace window a temp is a crashed build — evict.
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(entry)
+            continue
         live = any(fp in entry for fp in keep)
-        # Published stages: keep only live-fingerprint dirs built by the
-        # CURRENT code (every stager suffixes STAGE_VERSION last).
-        # ``.build*`` temps: keep live-fingerprint ones — a concurrent
-        # build may be mid-write; a stale-fingerprint temp is a crashed
-        # build of a dead corpus either way.
-        if live and (entry.endswith(f"_{STAGE_VERSION}") or ".build" in entry):
+        if live and any(entry.endswith(s) for s in suffixes):
             continue
         shutil.rmtree(path, ignore_errors=True)
         removed.append(entry)
     return removed
+
+
+def prune_all_stages(
+    keep_fingerprints: "set[str] | None" = None, grace_seconds: float = 900.0
+) -> list:
+    """Prune BOTH stage families — the derived-table root and the
+    streaming-replay root (r8 advice: the latter mints the same
+    fingerprint-keyed immutable generations and was never evicted).  One
+    keep-set snapshot serves both."""
+    if keep_fingerprints is None:
+        keep_fingerprints = live_fingerprints()
+    return prune_stages(
+        keep_fingerprints, root=STAGE_ROOT, grace_seconds=grace_seconds
+    ) + prune_stages(
+        keep_fingerprints, root=STREAM_STAGE_ROOT, grace_seconds=grace_seconds
+    )
 
 
 def staged_parquet(

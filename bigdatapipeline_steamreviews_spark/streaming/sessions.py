@@ -361,8 +361,13 @@ def streaming_sessionize_disordered(
     State is O(events inside the watermark horizon) per key — bounded by
     the watermark, not the stream; the in-order operator's O(1) state is
     the reward for the stronger delivery contract, this operator's
-    correctness-under-disorder is the reward for the bigger state.  Both
-    emit identical output for in-order input.
+    correctness-under-disorder is the reward for the bigger state.  On
+    in-order input it agrees with :func:`streaming_sessionize` wherever
+    both emit, but because it finalizes ONLY via the watermark (never via
+    an in-batch split), sessions the watermark has not yet passed are
+    withheld — its bounded-replay output is a prefix-subset of the O(1)
+    operator's (pinned by ``test_disordered_sessionizer_matches_inorder_
+    operator_on_ordered_input``).
     """
 
     def sessions_df(user_id, starts, lasts, ns, tots_q) -> pd.DataFrame:
@@ -379,9 +384,15 @@ def streaming_sessionize_disordered(
             }
         )
 
-    def finalize(unix, vals, wm_sec):
+    def finalize(unix, vals, wm_ms):
         """Split the sorted buffer into gap runs; emit the prefix of runs
-        whose ``last + gap < wm_sec``; return (emit_lists, kept arrays)."""
+        whose ``(last + gap) * 1000 < wm_ms``; return (emit_lists, kept
+        arrays).  The comparison is against the UN-floored ms watermark:
+        flooring to seconds would mean a timeout firing with the
+        watermark inside ``((last+gap)*1000, (last+gap+1)*1000]``
+        finalizes nothing and re-arms — and if the watermark never
+        advances again (end of a bounded replay) the session would be
+        withheld forever even though the timeout predicate was met."""
         is_new = np.empty(len(unix), dtype=bool)
         is_new[0] = True
         is_new[1:] = (unix[1:] - unix[:-1]) > gap_seconds
@@ -389,9 +400,17 @@ def streaming_sessionize_disordered(
         run_last_idx = np.append(run_starts[1:] - 1, len(unix) - 1)
         r_start = unix[run_starts]
         r_end = unix[run_last_idx]
-        n_final = int(np.searchsorted(r_end + gap_seconds, wm_sec, side="left"))
+        n_final = int(
+            np.searchsorted((r_end + gap_seconds) * 1000, wm_ms, side="left")
+        )
+        # Timeout basis = the FIRST unfinalized run's end: arming at the
+        # last buffered event's end+gap would withhold an earlier run the
+        # watermark has already passed if the watermark parks between the
+        # two (bounded replay).  Timeouts cascade: each fire finalizes the
+        # ripe prefix and re-arms at the new first pending run.
+        next_end = int(r_end[n_final]) if n_final < len(r_end) else None
         if n_final == 0:
-            return None, (unix, vals)
+            return None, (unix, vals), next_end
         r_cnt = np.diff(np.append(run_starts, len(unix)))
         r_sum = np.add.reduceat(vals, run_starts)
         emit = (
@@ -401,22 +420,22 @@ def streaming_sessionize_disordered(
             r_sum[:n_final].tolist(),
         )
         keep_from = int(run_starts[n_final]) if n_final < len(run_starts) else len(unix)
-        return emit, (unix[keep_from:], vals[keep_from:])
+        return emit, (unix[keep_from:], vals[keep_from:]), next_end
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
-        wm_sec = state.getCurrentWatermarkMs() // 1000
+        wm_ms = state.getCurrentWatermarkMs()
 
         if state.hasTimedOut:
             unix, vals = (np.asarray(a, dtype="int64") for a in state.get)
-            emit, (ku, kv) = finalize(unix, vals, wm_sec)
+            emit, (ku, kv), next_end = finalize(unix, vals, wm_ms)
             if len(ku):
                 state.update((ku.tolist(), kv.tolist()))
-                # clamp past the UN-floored watermark: wm_sec floors ms,
-                # and a timeout <= the current watermark is rejected.
+                # clamp past the watermark: a timeout <= the current
+                # watermark is rejected by the state API.
                 state.setTimeoutTimestamp(
                     max(
-                        (int(ku[-1]) + gap_seconds) * 1000 + 1,
+                        (next_end + gap_seconds) * 1000 + 1,
                         state.getCurrentWatermarkMs() + 1,
                     )
                 )
@@ -438,12 +457,12 @@ def streaming_sessionize_disordered(
             unix, vals = new_unix, new_vals
         if not len(unix):
             return
-        emit, (ku, kv) = finalize(unix, vals, wm_sec)
+        emit, (ku, kv), next_end = finalize(unix, vals, wm_ms)
         if len(ku):
             state.update((ku.tolist(), kv.tolist()))
             state.setTimeoutTimestamp(
                 max(
-                    (int(ku[-1]) + gap_seconds) * 1000 + 1,
+                    (next_end + gap_seconds) * 1000 + 1,
                     state.getCurrentWatermarkMs() + 1,
                 )
             )

@@ -131,9 +131,9 @@ def main() -> int:
         print(f"unknown query names: {sorted(unknown)}")
         return 2
     spark = get_spark("verify-local")
-    from bigdatapipeline_steamreviews_spark.sources.staging import prune_stages
+    from bigdatapipeline_steamreviews_spark.sources.staging import prune_all_stages
 
-    removed = prune_stages()  # evict stages of dead corpus fingerprints
+    removed = prune_all_stages()  # evict stages of dead corpus fingerprints
     if removed:
         print(f"stage GC: evicted {len(removed)} stale stage dirs")
     con = duck_connect(sf_dir)
