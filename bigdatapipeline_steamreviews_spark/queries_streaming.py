@@ -1413,3 +1413,278 @@ def stream_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory_table(
         result, name, checkpoint, "complete", shuffle_partitions=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Displaced (disordered) replay — round-9 extension of the round-8
+# streaming-disorder audit (DIRTYDATA.md §5).  The staged replay above is
+# event-time-ordered; this stage breaks per-key order ACROSS micro-batches
+# (a content-hash-selected 10% of events ARRIVE one chunk late, event time
+# unchanged) and the three `_disordered` stateful operators are gated
+# against batch oracles over it.
+
+
+def _stage_events_chunks_displaced(
+    spark: SparkSession, sf_dir: str, chunks: int = 4
+) -> "tuple[str, int]":
+    """Stage the events table as ``chunks`` replay files where ~10% of
+    events (pmod(xxhash64('late', event_id), 10) == 0 — content-derived,
+    partitioning-independent) arrive one chunk later than event-time
+    order dictates.  Returns ``(stage_dir, wm_days)`` where ``wm_days``
+    is the watermark delay the disordered operators must run with so that
+    (a) no displaced event is dropped as late (one chunk span ~= span/4 <
+    wm) and (b) the finalized output is a deterministic nonempty subset:
+    ``wm_days = floor(span_days / 2) + 2``, computed identically by the
+    oracles in SQL.
+
+    The sidecar ``_WM_DAYS`` file persists the staging-time computation
+    so reuse never re-scans the source.
+    """
+    import time as _time
+
+    from pyspark.sql import Window as W
+
+    from .sources.staging import publish_dir
+    from .sources.tables import event_ts_micros
+
+    key = _source_fingerprint(sf_dir)
+    stage = os.path.join(_STAGE_ROOT, f"events_displaced_{key}_{chunks}_us")
+    marker = os.path.join(stage, "_DONE")
+    if not os.path.exists(marker):
+        raw = event_ts_micros(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        n = raw.count()
+        lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
+        if lo is None or hi is None:
+            wm_days = 2  # empty corpus: any delay works, nothing to drop
+        else:
+            import math
+
+            # Mirrored in SQL by the _disordered oracles:
+            # floor(span_us / 86400000000.0 / 2.0) + 2
+            wm_days = int(math.floor((hi - lo) / 86400000000.0 / 2.0)) + 2
+        ranked = raw.withColumn(
+            "__chunk",
+            F.least(
+                F.lit(chunks - 1),
+                F.floor(
+                    F.row_number().over(W.orderBy("ts", "event_id"))
+                    * chunks
+                    / (n + 1)
+                ).cast("int"),
+            ),
+        )
+        late = F.pmod(F.xxhash64(F.lit("late"), F.col("event_id")), F.lit(10)) == 0
+        staged = ranked.withColumn(
+            "__arr",
+            F.when(
+                late, F.least(F.col("__chunk") + 1, F.lit(chunks - 1))
+            ).otherwise(F.col("__chunk")),
+        )
+        tmp = f"{stage}.build{os.getpid()}"
+        for i in range(chunks):
+            staged.filter(F.col("__arr") == i).drop("__chunk", "__arr").coalesce(
+                1
+            ).write.mode("append").parquet(tmp)
+            _time.sleep(0.05)
+        with open(os.path.join(tmp, "_WM_DAYS"), "w") as f:
+            f.write(str(wm_days))
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        publish_dir(tmp, stage, marker="_DONE")
+    with open(os.path.join(stage, "_WM_DAYS")) as f:
+        wm_days = int(f.read().strip())
+    return stage, wm_days
+
+
+# Watermark-delay CTE shared by the three _disordered oracles — the SQL
+# mirror of the wm_days computation above, then the final-watermark ms
+# Spark reaches on a bounded replay (max event ms - delay; Spark's event
+# time stats track ms, epoch_ms() is the same floor).
+_DISPLACED_WM_CTE = """
+wm AS (
+  SELECT epoch_ms(max(ts))
+         - (CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts)))
+                       / 86400000000.0 / 2.0) AS BIGINT) + 2) * 86400000
+           AS wm_ms
+  FROM events
+)
+"""
+
+
+@register(
+    "stream_sessionization_disordered",
+    """
+WITH marked AS (
+  SELECT user_id, event_id, value, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS unix_ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, unix_ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM marked
+),
+stats AS (
+  SELECT user_id, session_id,
+         min(unix_ts) AS session_start_unix,
+         max(unix_ts) AS session_end_unix,
+         max(unix_ts) - min(unix_ts) AS duration_s,
+         count(*) AS n_events,
+         (CAST(sum(CAST(floor(coalesce(value, 0.0) * 100000000.0 + 0.5)
+                        AS BIGINT)) AS DOUBLE) / 100000000.0) AS total_value
+  FROM sessions GROUP BY user_id, session_id
+),
+""" + _DISPLACED_WM_CTE + """
+SELECT s.user_id, s.session_start_unix, s.session_end_unix, s.duration_s,
+       s.n_events, s.total_value
+FROM stats s, wm
+WHERE (s.session_end_unix + 1800) * 1000 + 1 < wm.wm_ms
+""",
+    ("W*", "T3", "X*"),
+    "The round-8 disorder audit's fix, driver-gated (r8 verdict Next #2): "
+    "the buffered watermark-bounded sessionizer over a DISPLACED replay — "
+    "10% of events arrive one chunk late with event time unchanged, the "
+    "exact disorder that corrupts the O(1)-state operator's sessions "
+    "(35/904 at sf0.1, contract pinned in tests).  Because it finalizes "
+    "only via the watermark, the emitted set is deterministic: every "
+    "batch session whose timeout ts (end + gap, ms, +1 guard) the final "
+    "watermark passed — the sessions of the first ~half of the timeline, "
+    "bitwise-exact totals, no phantoms, no corruption.  The watermark "
+    "(half the span + 2 days) strictly exceeds the one-chunk displacement "
+    "so no event is dropped as late.",
+)
+def stream_sessionization_disordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.sessions import streaming_sessionize_disordered
+
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_sessions_dis_{_query_counter}"
+    stage, wm_days = _stage_events_chunks_displaced(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=1)
+    result = streaming_sessionize_disordered(
+        stream, gap_seconds=1800, watermark=f"{wm_days} days"
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        result, name, checkpoint, "append", shuffle_partitions=16
+    )
+
+
+@register(
+    "stream_transitions_disordered",
+    """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_state,
+         event_type AS to_state,
+         epoch_ms(ts) AS to_ms
+  FROM events WHERE event_type IS NOT NULL
+),
+""" + _DISPLACED_WM_CTE + """,
+c AS (
+  SELECT from_state, to_state, count(*) AS n_transitions
+  FROM steps, wm
+  WHERE from_state IS NOT NULL AND to_ms + 1 < wm.wm_ms
+  GROUP BY 1, 2
+)
+SELECT from_state, to_state, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(CAST(sum(n_transitions) OVER (PARTITION BY from_state)
+                AS BIGINT) AS DOUBLE) AS p_transition
+FROM c
+""",
+    ("W*", "T*", "X*"),
+    "Round-9 disorder audit #2: the last-event-state transition operator "
+    "has the SAME in-order contract the sessionizer audit exposed — a "
+    "cross-batch straggler lags against the wrong neighbor and fabricates "
+    "pairs (divergence pinned in tests/test_streaming_disorder.py).  This "
+    "is its buffered fix over the displaced replay: a pair is sealed only "
+    "when the watermark passes the 'to' event (epoch_ms + 1, the timeout "
+    "convention), after which Spark drops any arrival that could still "
+    "sort between — so the emitted pairs are exactly the batch lag() "
+    "chain's pairs in the watermark-passed prefix, and the transition "
+    "matrix over them matches the oracle bitwise.",
+)
+def stream_transitions_disordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .streaming.transitions import streaming_transitions_disordered
+
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_transitions_dis_{_query_counter}"
+    stage, wm_days = _stage_events_chunks_displaced(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=1).filter(
+        F.col("event_type").isNotNull()
+    )
+    result = streaming_transitions_disordered(stream, watermark=f"{wm_days} days")
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    steps = run_to_memory_table(
+        result, name, checkpoint, "append", shuffle_partitions=16
+    )
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    per_from = W.partitionBy("from_state")
+    return counts.select(
+        "*",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_from).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+@register(
+    "stream_user_ewma_disordered",
+    """
+WITH """ + _DISPLACED_WM_CTE.strip() + """
+SELECT user_id,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma,
+       count(*) AS n_events
+FROM events, wm
+WHERE value IS NOT NULL AND epoch_ms(ts) + 1 < wm.wm_ms
+GROUP BY user_id
+""",
+    ("W*", "T*", "X*"),
+    "Round-9 disorder audit #3: the EWMA operator folds a linear "
+    "recurrence whose (ewma, n) state cannot be rewound — a cross-batch "
+    "straggler folds out of order and every later running value of the "
+    "key diverges (divergence pinned in tests/test_streaming_disorder."
+    "py).  This is its buffered fix over the displaced replay: an event "
+    "folds into the carried accumulator only once the watermark passes "
+    "its event time, so the sealed trajectory is the (ts, event_id)-"
+    "ordered fold exactly, and the last sealed row per user equals the "
+    "batch list_reduce over the watermark-passed value prefix BITWISE "
+    "(alpha = 1/2: two exact halvings + one rounded add per step).",
+)
+def stream_user_ewma_disordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .streaming.ewma import streaming_ewma_disordered
+
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_ewma_dis_{_query_counter}"
+    stage, wm_days = _stage_events_chunks_displaced(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=1).filter(
+        F.col("value").isNotNull()
+    )
+    result = streaming_ewma_disordered(stream, watermark=f"{wm_days} days")
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    trajectory = run_to_memory_table(
+        result, name, checkpoint, "append", shuffle_partitions=16
+    )
+    last = W.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        trajectory.withColumn("__rn", F.row_number().over(last))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ewma", F.col("n_seen").alias("n_events"))
+    )

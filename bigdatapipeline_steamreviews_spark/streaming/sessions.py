@@ -386,13 +386,19 @@ def streaming_sessionize_disordered(
 
     def finalize(unix, vals, wm_ms):
         """Split the sorted buffer into gap runs; emit the prefix of runs
-        whose ``(last + gap) * 1000 < wm_ms``; return (emit_lists, kept
-        arrays).  The comparison is against the UN-floored ms watermark:
-        flooring to seconds would mean a timeout firing with the
-        watermark inside ``((last+gap)*1000, (last+gap+1)*1000]``
-        finalizes nothing and re-arms — and if the watermark never
-        advances again (end of a bounded replay) the session would be
-        withheld forever even though the timeout predicate was met."""
+        whose ``(last + gap) * 1000 + 1 < wm_ms``; return (emit_lists,
+        kept arrays, first pending run's end).  The comparison is against
+        the UN-floored ms watermark: flooring to seconds would mean a
+        timeout firing with the watermark inside
+        ``((last+gap)*1000, (last+gap+1)*1000]`` finalizes nothing and
+        re-arms — and if the watermark never advances again (end of a
+        bounded replay) the session would be withheld forever even though
+        the timeout predicate was met.  The ``+1`` matches the armed
+        timeout timestamp ``(end+gap)*1000 + 1`` exactly, so "the timeout
+        fires" and "finalize emits the run" are the SAME predicate — the
+        emitted set on a bounded replay is deterministically
+        ``{runs: (end+gap)*1000+1 < final watermark}``, which is what the
+        registered query's oracle selects."""
         is_new = np.empty(len(unix), dtype=bool)
         is_new[0] = True
         is_new[1:] = (unix[1:] - unix[:-1]) > gap_seconds
@@ -401,7 +407,7 @@ def streaming_sessionize_disordered(
         r_start = unix[run_starts]
         r_end = unix[run_last_idx]
         n_final = int(
-            np.searchsorted((r_end + gap_seconds) * 1000, wm_ms, side="left")
+            np.searchsorted((r_end + gap_seconds) * 1000 + 1, wm_ms, side="left")
         )
         # Timeout basis = the FIRST unfinalized run's end: arming at the
         # last buffered event's end+gap would withhold an earlier run the
