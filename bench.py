@@ -103,6 +103,29 @@ def build_output(
     return out
 
 
+# The driver records only the LAST 2000 characters of stdout and parses the
+# final JSON line; BENCH_r08's artifact was truncated mid-JSON because the
+# samples-laden line had grown past the cap (r8 verdict ask #7).  The stdout
+# line must therefore stay compact; the full artifact (samples, spread,
+# untruncated errors) goes to a sidecar file.
+STDOUT_BYTE_BUDGET = 2000
+
+
+def compact_output(out: dict) -> dict:
+    """Strip the stdout line down to what the judge reads (headline total +
+    per-query minima) so it always fits the driver's tail capture.  samples
+    and spread live in the sidecar artifact only; error messages are
+    truncated and capped in count (a mass failure must not evict the
+    per-query numbers from the capture window)."""
+    slim = {k: v for k, v in out.items() if k not in ("samples", "spread")}
+    if "errors" in slim:
+        errs = {k: v[:80] for k, v in list(slim["errors"].items())[:5]}
+        if len(slim["errors"]) > len(errs):
+            errs["__more__"] = f"{len(slim['errors']) - len(errs)} more"
+        slim["errors"] = errs
+    return slim
+
+
 def main() -> None:
     spark = get_spark("bench")
     regs = queries()
@@ -155,11 +178,22 @@ def main() -> None:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             samples.pop(name, None)
 
-    print(
-        json.dumps(
-            build_output(per_query, errors, len(BENCH_QUERIES), SF_DIR, samples)
-        )
+    out = build_output(per_query, errors, len(BENCH_QUERIES), SF_DIR, samples)
+    # Full artifact (samples + spread + untruncated errors) to a sidecar
+    # file; the committed BENCH_r{N}_close.json is a copy of this.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_last_full.json"),
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench: could not write full artifact: {e}", file=sys.stderr)
+    # ONE compact JSON line, last on stdout: the driver keeps only the final
+    # 2000 characters, so this line alone must parse (r8 ask #7).
+    print(json.dumps(compact_output(out)))
 
 
 if __name__ == "__main__":

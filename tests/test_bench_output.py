@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 
-from bench import build_output
+from bench import BENCH_QUERIES, STDOUT_BYTE_BUDGET, build_output, compact_output
 
 
 def test_complete_run_reports_total():
@@ -76,3 +76,36 @@ def test_samples_and_spread_are_recorded():
 def test_samples_are_optional_for_backward_shape():
     out = build_output({"q1": 1.0}, {}, 1, "/root/testdata/sf0.1")
     assert "samples" not in out and "spread" not in out
+
+
+def test_stdout_line_fits_driver_tail_capture():
+    """r8 verdict ask #7: the driver keeps only the last 2000 characters of
+    stdout, and BENCH_r08.json was truncated mid-JSON (``"parsed": null``)
+    because the samples-laden line outgrew that cap.  The compact stdout
+    line for the FULL current bench set — worst-case 4-digit seconds per
+    query — must parse on its own and fit the capture window."""
+    per_query = {q: 999.999 for q in BENCH_QUERIES}
+    samples = {q: [999.999, 999.999, 999.999] for q in BENCH_QUERIES}
+    out = build_output(
+        per_query, {}, len(BENCH_QUERIES), "/root/testdata/sf0.1", samples
+    )
+    line = json.dumps(compact_output(out))
+    assert len(line) + 1 <= STDOUT_BYTE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["value"] == out["value"]
+    assert parsed["queries"] == per_query
+    assert "samples" not in parsed and "spread" not in parsed
+
+
+def test_compact_output_caps_error_verbosity():
+    """A mass failure (every query erroring with a long message) must not
+    evict the completed queries' numbers from the 2000-char window."""
+    errors = {q: "AnalysisException: " + "x" * 300 for q in BENCH_QUERIES}
+    out = build_output({}, errors, len(BENCH_QUERIES), "/root/testdata/sf0.1")
+    slim = compact_output(out)
+    assert len(slim["errors"]) == 6  # 5 truncated messages + __more__
+    assert slim["errors"]["__more__"] == f"{len(BENCH_QUERIES) - 5} more"
+    assert all(len(v) <= 80 for v in slim["errors"].values())
+    assert len(json.dumps(slim)) + 1 <= STDOUT_BYTE_BUDGET
+    # the full artifact keeps every untruncated message
+    assert len(out["errors"]) == len(BENCH_QUERIES)
