@@ -43,6 +43,7 @@ __all__ = [
     "assign_to_centroids",
     "semantic_dedup_pairs",
     "pq_adc_topk",
+    "ivf_pq_topk",
 ]
 
 
@@ -885,6 +886,117 @@ def kmeans_lloyd(
     )
 
 
+def _pq_sliced_corpus(
+    embeddings: DataFrame,
+    query_pred: Column,
+    n_sub: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared PQ front door: (vid, v, is_q) projection + per-subspace slice
+    expressions.  The n_sub=2 guard lives here so every PQ-backed operator
+    (``pq_adc_topk``, ``ivf_pq_topk``) enforces the same contract."""
+    if n_sub != 2:
+        # The encode/LUT CASE dispatch below is written for 2 subspaces
+        # (which is also what the oracle unrolls); generalizing is a
+        # mechanical loop, but an n_sub the code silently ignores would
+        # be a lie in the API.
+        raise NotImplementedError("PQ operators currently support n_sub=2")
+    sub_dim = dim // n_sub
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        query_pred.alias("is_q"),
+    )
+    subs = [(s, F.slice(F.col("v"), 1 + s * sub_dim, sub_dim)) for s in range(n_sub)]
+    return e, subs
+
+
+def _pq_codebook(e: DataFrame, subs: list, codebook_k: int) -> DataFrame:
+    """Codebook: n_sub x codebook_k centroids from the codebook_k
+    SMALLEST PRESENT vec_ids' slices (not ``vid < codebook_k``: if any
+    of ids 0..k-1 is missing or dropped by vector hygiene, that
+    formulation silently shrinks the codebook and degrades results with
+    no error).  orderBy+limit is a TakeOrderedAndProject top-k — map-side
+    partial, no corpus sort; the row_number relabel runs on k rows."""
+    from pyspark.sql import Window as _W
+
+    seeds = (
+        e.orderBy("vid")
+        .limit(codebook_k)
+        .withColumn(
+            "cid", (F.row_number().over(_W.orderBy("vid")) - 1).cast("long")
+        )
+    )
+    cb = None
+    for s, sl in subs:
+        part = seeds.select(
+            F.lit(s).alias("s"),
+            "cid",
+            sl.alias("c"),
+        )
+        cb = part if cb is None else cb.unionByName(part)
+    return cb
+
+
+def _pq_subdist(vec_slice: Column, cent: Column) -> Column:
+    diffsq = F.zip_with(vec_slice, cent, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_encode(e: DataFrame, cb: DataFrame, subs: list) -> DataFrame:
+    """Encode: one corpus scan, argmin per (vid, subspace) over the
+    broadcast codebook, pivoted to one code column per subspace."""
+    n_sub = len(subs)
+    sliced = e.select(
+        "vid", *[sl.alias(f"sl{s}") for s, sl in subs]
+    )
+    scored = sliced.join(F.broadcast(cb)).select(
+        "vid",
+        "s",
+        "cid",
+        F.when(F.col("s") == 0, _pq_subdist(F.col("sl0"), F.col("c")))
+        .otherwise(_pq_subdist(F.col("sl1"), F.col("c")))
+        .alias("dist"),
+    )
+    return (
+        scored.groupBy("vid", "s")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .groupBy("vid")
+        .pivot("s", list(range(n_sub)))
+        .agg(F.first("m.cid"))
+        .select(
+            "vid", *[F.col(str(s)).alias(f"code{s}") for s in range(n_sub)]
+        )
+    )
+
+
+def _pq_query_lut(e: DataFrame, cb: DataFrame, subs: list):
+    """Per-query lookup table: distance from each query slice to each
+    codebook centroid (|queries| x n_sub x codebook_k rows)."""
+    q = e.filter(F.col("is_q")).select(
+        F.col("vid").alias("query_id"),
+        *[sl.alias(f"qs{s}") for s, sl in subs],
+    )
+    lut = q.join(F.broadcast(cb)).select(
+        "query_id",
+        "s",
+        "cid",
+        F.when(F.col("s") == 0, _pq_subdist(F.col("qs0"), F.col("c")))
+        .otherwise(_pq_subdist(F.col("qs1"), F.col("c")))
+        .alias("ld"),
+    )
+    lut0 = lut.filter(F.col("s") == 0).select(
+        "query_id", F.col("cid").alias("code0"), F.col("ld").alias("d0")
+    )
+    lut1 = lut.filter(F.col("s") == 1).select(
+        F.col("query_id").alias("q1"), F.col("cid").alias("c1"),
+        F.col("ld").alias("d1"),
+    )
+    return lut0, lut1
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     query_pred: Column,
@@ -920,96 +1032,123 @@ def pq_adc_topk(
     Distances are deterministic sequential squared-diff folds, so the
     whole pipeline (codes, ADC values, ranking) hash-gates bitwise.
     """
-    if n_sub != 2:
-        # The encode/LUT CASE dispatch below is written for 2 subspaces
-        # (which is also what the oracle unrolls); generalizing is a
-        # mechanical loop, but an n_sub the code silently ignores would
-        # be a lie in the API.
-        raise NotImplementedError("pq_adc_topk currently supports n_sub=2")
-    sub_dim = dim // n_sub
-    e = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        query_pred.alias("is_q"),
+    e, subs = _pq_sliced_corpus(
+        embeddings, query_pred, n_sub, dim, id_col, vec_col
     )
-
-    # Codebook: n_sub x codebook_k centroids from the codebook_k
-    # SMALLEST PRESENT vec_ids' slices (not ``vid < codebook_k``: if any
-    # of ids 0..k-1 is missing or dropped by vector hygiene, that
-    # formulation silently shrinks the codebook and degrades results with
-    # no error).  orderBy+limit is a TakeOrderedAndProject top-k — map-side
-    # partial, no corpus sort; the row_number relabel runs on k rows.
-    from pyspark.sql import Window as _W
-
-    seeds = (
-        e.orderBy("vid")
-        .limit(codebook_k)
-        .withColumn(
-            "cid", (F.row_number().over(_W.orderBy("vid")) - 1).cast("long")
-        )
-    )
-    subs = [(s, F.slice(F.col("v"), 1 + s * sub_dim, sub_dim)) for s in range(n_sub)]
-    cb = None
-    for s, sl in subs:
-        part = seeds.select(
-            F.lit(s).alias("s"),
-            "cid",
-            sl.alias("c"),
-        )
-        cb = part if cb is None else cb.unionByName(part)
-
-    def subdist(vec_slice: Column, cent: Column) -> Column:
-        diffsq = F.zip_with(vec_slice, cent, lambda x, y: (x - y) * (x - y))
-        return F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x)
-
-    # Encode: one corpus scan, argmin per (vid, subspace) over the
-    # broadcast codebook, pivoted to one code column per subspace.
-    sliced = e.select(
-        "vid", *[sl.alias(f"sl{s}") for s, sl in subs]
-    )
-    scored = sliced.join(F.broadcast(cb)).select(
-        "vid",
-        "s",
-        "cid",
-        F.when(F.col("s") == 0, subdist(F.col("sl0"), F.col("c")))
-        .otherwise(subdist(F.col("sl1"), F.col("c")))
-        .alias("dist"),
-    )
-    codes = (
-        scored.groupBy("vid", "s")
-        .agg(F.min(F.struct("dist", "cid")).alias("m"))
-        .groupBy("vid")
-        .pivot("s", list(range(n_sub)))
-        .agg(F.first("m.cid"))
-        .select(
-            "vid", *[F.col(str(s)).alias(f"code{s}") for s in range(n_sub)]
-        )
-    )
-
-    # Per-query lookup table: distance from each query slice to each
-    # codebook centroid (|queries| x n_sub x codebook_k rows).
-    q = e.filter(F.col("is_q")).select(
-        F.col("vid").alias("query_id"),
-        *[sl.alias(f"qs{s}") for s, sl in subs],
-    )
-    lut = q.join(F.broadcast(cb)).select(
-        "query_id",
-        "s",
-        "cid",
-        F.when(F.col("s") == 0, subdist(F.col("qs0"), F.col("c")))
-        .otherwise(subdist(F.col("qs1"), F.col("c")))
-        .alias("ld"),
-    )
-    lut0 = lut.filter(F.col("s") == 0).select(
-        "query_id", F.col("cid").alias("code0"), F.col("ld").alias("d0")
-    )
-    lut1 = lut.filter(F.col("s") == 1).select(
-        F.col("query_id").alias("q1"), F.col("cid").alias("c1"),
-        F.col("ld").alias("d1"),
-    )
+    cb = _pq_codebook(e, subs, codebook_k)
+    codes = _pq_encode(e, cb, subs)
+    lut0, lut1 = _pq_query_lut(e, cb, subs)
 
     adc = (
         codes.join(F.broadcast(lut0), "code0")
+        .join(
+            F.broadcast(lut1),
+            (F.col("query_id") == F.col("q1")) & (F.col("code1") == F.col("c1")),
+        )
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            (F.col("d0") + F.col("d1")).alias("adc_dist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    n_sub: int = 2,
+    codebook_k: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF+PQ — the production billion-vector ANN composition: coarse
+    k-means inverted lists prune the candidate set (``cosine_topk_ivf``'s
+    machinery), then asymmetric-distance PQ scores the survivors
+    (``pq_adc_topk``'s machinery).  Queries touch corpus floats NOWHERE:
+    candidate pruning reads only the broadcast centroid table, scoring
+    reads only the per-vector code table.
+
+    Plan shape: the corpus floats are scanned exactly twice ever — once at
+    index-train/assign time (amortized: ``index`` accepts the persisted
+    ``train_ivf`` pair) and once to PQ-encode (the code table is the
+    persisted artifact; bytes per vector).  Per query: centroid ranking is
+    a broadcast of n_lists rows, probing is an equi-join of the code table
+    against a broadcast (query_id, list_id) probe set — candidates ~
+    n_probe/n_lists of the corpus — and ADC is two broadcast LUT joins +
+    a partitioned top-k window.  At 100 TB the code table is written
+    partitioned by list_id so probes prune to files, and nothing in this
+    plan shuffles the corpus.
+
+    Exhaustive-probe identity (the correctness gate): at
+    ``n_probe = n_lists`` every list is probed, each corpus vector sits in
+    exactly one list, so the candidate set is the whole corpus and the
+    result equals ``pq_adc_topk`` with the same PQ params — bitwise (ADC
+    sums are deterministic sequential folds).  The recall-vs-probes
+    property of the approximate configs is pytest-asserted
+    (tests/test_dedup_similarity.py).
+    """
+    if index is None:
+        index = train_ivf(embeddings, n_lists, seed, id_col, vec_col)
+    assignments, centroids = index
+
+    e, subs = _pq_sliced_corpus(
+        embeddings, query_pred, n_sub, dim, id_col, vec_col
+    )
+    cb = _pq_codebook(e, subs, codebook_k)
+    codes = _pq_encode(e, cb, subs)
+    lut0, lut1 = _pq_query_lut(e, cb, subs)
+
+    # Coarse probe: rank centroid distances per query, keep the n_probe
+    # nearest lists.  Same shape as cosine_topk_ivf's query side — the
+    # centroids travel as a broadcast DataFrame, never plan literals.
+    qdist = (
+        e.filter(F.col("is_q"))
+        .select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("centroid"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("dist", "list_id")
+    qprobe = (
+        qdist.withColumn("__pr", F.row_number().over(wprobe))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "list_id")
+    )
+
+    # Candidates: code table joined to its inverted-list id, pruned to the
+    # probed lists.  Each vector lives in exactly one list and each
+    # (query, list) probe pair is unique, so no (query, neighbor) pair can
+    # duplicate.  At scale ``codes`` would be co-written with list_id
+    # (partitioned by it); here the vid join is code-table-sized rows.
+    coded = codes.join(
+        assignments.select(F.col(id_col).alias("vid"), "list_id"), "vid"
+    )
+    adc = (
+        coded.join(F.broadcast(qprobe), "list_id")
+        .join(F.broadcast(lut0), ["query_id", "code0"])
         .join(
             F.broadcast(lut1),
             (F.col("query_id") == F.col("q1")) & (F.col("code1") == F.col("c1")),

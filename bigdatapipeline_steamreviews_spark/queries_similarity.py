@@ -791,10 +791,11 @@ def x3_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X3 — product quantization + asymmetric distance computation (ADC)
 # ---------------------------------------------------------------------------
 
-
-@register(
-    "x3_pq_adc_topk",
-    f"""
+# Shared by x3_pq_adc_topk and x3_ivf_pq_topk: at exhaustive probe
+# (n_probe = n_lists) the IVF composition's candidate set is the whole
+# corpus, so the two queries are value-identical by construction and gate
+# against the SAME unrolled-ADC oracle.
+_PQ_ADC_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM {_CLEAN_EMB_SQL}
 ),
@@ -852,7 +853,12 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
                                ORDER BY adc_dist, neighbor_id) AS rank
   FROM adc
 ) WHERE rank <= 5
-""",
+"""
+
+
+@register(
+    "x3_pq_adc_topk",
+    _PQ_ADC_ORACLE,
     ("X3",),
     "Product quantization + ADC top-5 for 10 queries: the vector space "
     "splits into 2 subspaces with 4-entry codebooks (deterministic "
@@ -870,6 +876,39 @@ def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pq_adc_topk(
         _clean_emb(spark, sf_dir), F.col("vec_id") < 10, k=5
+    )
+
+
+@register(
+    "x3_ivf_pq_topk",
+    _PQ_ADC_ORACLE,
+    ("X3",),
+    "IVF+PQ composed end-to-end — the production billion-vector ANN "
+    "recipe: trained k-means inverted lists prune candidates (coarse "
+    "probe over a broadcast 16-row centroid table), asymmetric-distance "
+    "PQ scores the survivors from the byte-sized code table; queries "
+    "touch corpus floats nowhere.  Registered in the EXHAUSTIVE-probe "
+    "configuration (n_probe = n_lists = 16), which runs the full "
+    "composition — staged-index load, centroid probe-rank, list-pruned "
+    "code join, LUT ADC, top-k — but covers every list, so the result "
+    "provably equals x3_pq_adc_topk and shares its unrolled oracle "
+    "(the x3_cosine_topk_ivf precedent); recall-vs-probes of the "
+    "approximate configs is pytest-asserted "
+    "(tests/test_dedup_similarity.py). operators/similarity.py::"
+    "ivf_pq_topk.",
+)
+def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_pq_topk
+
+    emb = _clean_emb(spark, sf_dir)
+    index = _staged_ivf_index(spark, sf_dir, n_lists=16, seed=7)
+    return ivf_pq_topk(
+        emb,
+        F.col("vec_id") < 10,
+        k=5,
+        n_lists=16,
+        n_probe=16,
+        index=index,
     )
 
 

@@ -656,3 +656,68 @@ def test_bloom_probe_duplicate_and_null_keys(spark):
             assert r["maybe_member"] is False
         else:
             assert r["maybe_member"] is True, r
+
+
+def test_ivf_pq_exhaustive_probe_equals_pq_adc(spark):
+    """The composed operator's correctness anchor (r8 verdict ask #3): at
+    n_probe = n_lists every inverted list is probed, each corpus vector
+    sits in exactly one list, so the candidate set is the whole corpus
+    and IVF+PQ must equal plain PQ/ADC — bitwise on adc_dist (the ADC
+    sums are the same deterministic sequential folds)."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pred = F.col("vec_id") < 10
+    plain = sorted(
+        tuple(r) for r in pq_adc_topk(emb, pred, k=5).collect()
+    )
+    composed = sorted(
+        tuple(r)
+        for r in ivf_pq_topk(
+            emb, pred, k=5, n_lists=8, n_probe=8
+        ).collect()
+    )
+    assert composed == plain
+    assert plain, "fixture produced no neighbors"
+
+
+def test_ivf_pq_recall_vs_probes(spark):
+    """Recall against the exhaustive ADC ranking is monotone in n_probe
+    and reaches 1.0 at exhaustive — the probe knob trades recall for the
+    candidate-set fraction (~n_probe/n_lists of the corpus), which is the
+    whole point of the composition at 100 TB."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        ivf_pq_topk,
+        train_ivf,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pred = F.col("vec_id") < 10
+    # Train ONCE and reuse: the recall curve must isolate the probe knob,
+    # not re-randomize k-means per point (also the persisted-index usage).
+    index = train_ivf(emb, n_lists=8, seed=7)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(
+            emb, pred, k=5, n_lists=8, n_probe=8, index=index
+        ).collect()
+    }
+    recalls = []
+    for n_probe in (1, 3, 8):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_pq_topk(
+                emb, pred, k=5, n_lists=8, n_probe=n_probe, index=index
+            ).collect()
+        }
+        recalls.append(len(got & full) / len(full))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0
+    assert recalls[0] > 0.0
