@@ -2377,3 +2377,63 @@ def x1_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — batched model-inference seam (classifier quality scoring)
+# ---------------------------------------------------------------------------
+
+# The stub model's expression tree, replayed verbatim: single-space
+# tokenize -> drop empties -> truncate to 64 -> exact integer features ->
+# fixed IEEE double dag (mul/add/div/abs only — no transcendentals, so the
+# score hashes bitwise against numpy).  Parenthesization mirrors
+# operators/inference.py::_rational_logistic_v1 exactly.
+_MODEL_LOGIT_SQL = (
+    "((-1.5 + (0.4 * (CAST(total_len AS DOUBLE) / CAST(n_tokens AS DOUBLE))))"
+    " + (1.25 * (CAST(n_long AS DOUBLE) / CAST(n_tokens AS DOUBLE))))"
+)
+
+
+@register(
+    "x4_model_scores",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE list_filter(string_split(text, ' '), t -> t <> '')[1:64]
+         END AS tk
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CASE WHEN tk IS NULL THEN NULL ELSE CAST(len(tk) AS BIGINT) END
+           AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
+              AS BIGINT) AS total_len,
+         CAST(len(list_filter(tk, t -> length(t) >= 6)) AS BIGINT) AS n_long
+  FROM toks
+)
+SELECT doc_id,
+       'rational-logistic-v1' AS model,
+       n_tokens,
+       CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN NULL
+            ELSE ({_MODEL_LOGIT_SQL} / (1.0 + abs({_MODEL_LOGIT_SQL})))
+       END AS score
+FROM feat
+""",
+    ("X4",),
+    "Batched model-inference seam (r8 verdict ask #4): classifier quality "
+    "scoring as ONE Arrow-batched mapInPandas hop — tokenize/truncate/"
+    "featurize/forward with model-batch re-chunking inside each Arrow "
+    "batch (the GPU memory bound), NULL-text quarantine, model-registry "
+    "dispatch where unknown weights raise (the codec-seam posture; real "
+    "weights are a deployment seam). The stub forward is integer features "
+    "+ a fixed IEEE-only double dag (rational logistic x/(1+|x|), no "
+    "libm), so the full Python path — Arrow in, pandas batches, Arrow "
+    "out — hash-gates BITWISE against the oracle replaying the same "
+    "expression. operators/inference.py::model_scores.",
+)
+def x4_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.inference import model_scores
+
+    return model_scores(load_table(spark, sf_dir, "documents"))
