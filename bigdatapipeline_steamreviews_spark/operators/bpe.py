@@ -1,0 +1,158 @@
+"""BPE-faithful token accounting (r8 verdict ask #8 stretch).
+
+``token_stats`` counts whitespace tokens and a regex piece-count — fine
+for rough budgeting, but packing/budget decisions for a REAL tokenizer
+need the tokenizer's own counts.  Tokenizers ship a pretrained merges
+table (``merges.txt``); a pipeline APPLIES it, it does not train one — so
+this operator takes the merges list as data (default: a small table whose
+units actually fire on the corpus vocabulary) and replays byte-pair
+encoding exactly:
+
+    symbols(word) = its codepoints
+    for each merge (a, b) in rank order:
+        one left-to-right pass, merging non-overlapping adjacent (a, b)
+
+That per-rank pass is a sequential fold — expressed with ``F.aggregate``
+over the symbol list (JVM-side, no Python), with the pair values coming
+from a broadcast single-row join per rank so merges stay DATA, not plan
+literals (the centroids-as-broadcast lesson, r1 verdict).
+
+Scale shape: BPE is O(|word| x n_merges) sequential work, so it runs on
+the DISTINCT-WORD vocabulary (Heaps-law bounded), never per occurrence —
+the corpus explode only joins each word's precomputed piece count back
+and sums per document.  The vocab-side join chain is n_merges broadcast
+crossJoins of one row each; the corpus-side join is a plain equi-join on
+word that AQE sizes (vocab is NOT hard-broadcast, per the documented
+broadcast policy for Heaps-law tables).
+
+The symbol string uses chr(1) as separator — merged symbols are
+concatenations of word codepoints, and a control char cannot collide with
+them in any corpus this engine stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["DEFAULT_MERGES", "bpe_encode_vocab", "bpe_token_stats"]
+
+# A pretrained-style merge table (rank order): common English digraphs
+# that produce real sub-word units on this corpus's vocabulary.  The
+# table is an argument everywhere — swap in a real tokenizer's merges to
+# make the accounting exact for it.
+DEFAULT_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "r"),
+    ("s", "t"),
+    ("i", "n"),
+    ("a", "r"),
+    ("l", "e"),
+    ("r", "o"),
+    ("g", "ro"),
+    ("d", "a"),
+]
+
+_SEP = "\x01"
+
+
+def _merge_pass(syms: Column, a: Column, b: Column) -> Column:
+    """One BPE merge rank: a left-to-right fold over the current symbol
+    string, merging non-overlapping adjacent (a, b) pairs.  The
+    accumulator is the rebuilt separator-joined symbol string; each step
+    either fuses the incoming symbol into the accumulator's last segment
+    or appends it.  Identical fold semantics to the oracle's
+    ``list_reduce`` (both seed with the first symbol and walk left to
+    right), so merged-symbol boundaries can never drift between engines.
+    """
+    parts = F.split(syms, _SEP)
+    init = F.element_at(parts, 1)
+    rest = F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0)))
+
+    def step(acc: Column, x: Column) -> Column:
+        last = F.element_at(F.split(acc, _SEP), -1)
+        only_segment = F.length(acc) == F.length(last)
+        drop_last = F.substring(
+            acc, F.lit(1), F.length(acc) - F.length(last) - 1
+        )
+        return F.when(
+            (last == a) & (x == b),
+            F.when(only_segment, F.concat(a, b)).otherwise(
+                F.concat(drop_last, F.lit(_SEP), a, b)
+            ),
+        ).otherwise(F.concat(acc, F.lit(_SEP), x))
+
+    return F.aggregate(rest, init, step)
+
+
+def bpe_encode_vocab(
+    vocab: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    word_col: str = "word",
+) -> DataFrame:
+    """Encode each distinct word once: returns ``vocab`` plus ``n_bpe``
+    (the word's BPE piece count under ``merges``).  One broadcast
+    crossJoin + fold per merge rank; all JVM-side."""
+    merges = DEFAULT_MERGES if merges is None else merges
+    spark = vocab.sparkSession
+    mdf = spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.substring(F.col(word_col), i, F.lit(1)),
+    )
+    enc = vocab.withColumn("syms", F.array_join(chars, _SEP))
+    for r in range(1, len(merges) + 1):
+        mrow = mdf.filter(F.col("rank") == r).select("a", "b")
+        enc = (
+            enc.crossJoin(F.broadcast(mrow))
+            .withColumn("syms", _merge_pass(F.col("syms"), F.col("a"), F.col("b")))
+            .drop("a", "b")
+        )
+    return enc.withColumn(
+        "n_bpe", F.size(F.split("syms", _SEP)).cast("long")
+    ).drop("syms")
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document tokenizer-exact accounting: whitespace word count,
+    BPE piece count under ``merges``, and fertility (pieces per word —
+    the number packing/budget math must use for a real tokenizer).
+
+    Documents with NULL text or no tokens have no tokenizer accounting
+    and are excluded (same contract as the oracle's explode)."""
+    words = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            ).alias("word"),
+        )
+    )
+    encoded = bpe_encode_vocab(
+        words.select("word").distinct(), merges=merges
+    )
+    return (
+        words.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ws_tokens"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_ws_tokens").cast("double"),
+        )
+    )

@@ -2437,3 +2437,74 @@ def x4_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.inference import model_scores
 
     return model_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# X4 — BPE-faithful token accounting
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_bpe_tokens",
+    """
+WITH RECURSIVE
+words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+vocab AS (SELECT DISTINCT word FROM words),
+merges(rank, a, b) AS (VALUES
+  (1,'t','h'), (2,'th','e'), (3,'a','n'), (4,'e','r'), (5,'o','r'),
+  (6,'s','t'), (7,'i','n'), (8,'a','r'), (9,'l','e'), (10,'r','o'),
+  (11,'g','ro'), (12,'d','a')),
+enc AS (
+  SELECT word,
+         array_to_string(list_transform(range(1, length(word) + 1),
+                                        i -> substring(word, i, 1)), chr(1)) AS syms,
+         0 AS r
+  FROM vocab
+  UNION ALL
+  SELECT enc.word,
+         list_reduce(string_split(enc.syms, chr(1)),
+           (acc, x) -> CASE
+             WHEN string_split(acc, chr(1))[-1] = m.a AND x = m.b THEN
+               CASE WHEN length(acc) = length(string_split(acc, chr(1))[-1])
+                    THEN m.a || m.b
+                    ELSE substring(acc, 1,
+                           length(acc) - length(string_split(acc, chr(1))[-1]) - 1)
+                         || chr(1) || m.a || m.b
+               END
+             ELSE acc || chr(1) || x END),
+         enc.r + 1
+  FROM enc JOIN merges m ON m.rank = enc.r + 1
+),
+pieces AS (
+  SELECT word, len(string_split(syms, chr(1)))::BIGINT AS n_bpe
+  FROM enc WHERE r = 12
+)
+SELECT w.doc_id,
+       count(*)::BIGINT AS n_ws_tokens,
+       CAST(sum(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(CAST(sum(p.n_bpe) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS fertility
+FROM words w JOIN pieces p USING (word)
+GROUP BY w.doc_id
+""",
+    ("X4",),
+    "BPE-faithful token accounting (r8 verdict ask #8): byte-pair "
+    "encoding replayed EXACTLY — per merge rank, one left-to-right fold "
+    "over each word's symbols merging non-overlapping adjacent pairs — "
+    "with the pretrained-style merges table as broadcast DATA (one "
+    "single-row crossJoin per rank, never plan literals) and the O(|word| "
+    "x n_merges) sequential work confined to the DISTINCT-WORD vocabulary "
+    "(Heaps-law bounded); the corpus explode only joins piece counts back "
+    "and sums per doc. Outputs whitespace count, BPE piece count, and "
+    "fertility (pieces/word — what packing/budget math must use for a "
+    "real tokenizer; swap in a real merges.txt to make it exact for it). "
+    "Oracle: recursive CTE replaying the identical fold per rank via "
+    "list_reduce — counts and fertility hash bitwise. "
+    "operators/bpe.py::bpe_token_stats.",
+)
+def x4_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_token_stats
+
+    return bpe_token_stats(load_table(spark, sf_dir, "documents"))

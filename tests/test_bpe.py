@@ -1,0 +1,70 @@
+"""BPE token accounting (operators/bpe.py): the merge-pass semantics that
+make the count tokenizer-exact, pinned on adversarial words."""
+
+from __future__ import annotations
+
+
+def _encode(spark, words, merges=None):
+    from bigdatapipeline_steamreviews_spark.operators.bpe import (
+        bpe_encode_vocab,
+    )
+
+    vocab = spark.createDataFrame([(w,) for w in words], "word string")
+    return {
+        r["word"]: r["n_bpe"]
+        for r in bpe_encode_vocab(vocab, merges=merges).collect()
+    }
+
+
+def test_non_overlapping_leftmost_merge(spark):
+    """BPE's within-rank rule: one left-to-right pass, merges never
+    overlap.  'ttt' under (t,t) -> [tt, t], not [t, tt] and not a
+    cascade; 'tttt' -> [tt, tt]."""
+    out = _encode(spark, ["ttt", "tttt", "t", "tt"], merges=[("t", "t")])
+    assert out == {"ttt": 2, "tttt": 2, "t": 1, "tt": 1}
+
+
+def test_rank_order_priority(spark):
+    """Earlier merges consume symbols before later ones see them: with
+    ranks [(a,b), (b,c)], 'abc' becomes [ab, c] — the rank-2 (b,c) merge
+    finds no 'b' left.  Reversing the table flips the outcome."""
+    assert _encode(spark, ["abc"], merges=[("a", "b"), ("b", "c")]) == {"abc": 2}
+    assert _encode(spark, ["abc"], merges=[("b", "c"), ("a", "b")]) == {"abc": 2}
+    # and the merged pair feeds LATER ranks as a unit:
+    assert _encode(
+        spark, ["abc"], merges=[("a", "b"), ("ab", "c")]
+    ) == {"abc": 1}
+
+
+def test_multibyte_symbols(spark):
+    """Symbols are codepoints: multibyte letters and astral-plane emoji
+    are single symbols, and merges apply to them like any other."""
+    out = _encode(
+        spark, ["naïve", "🎮🎮x"], merges=[("ï", "v"), ("🎮", "🎮")]
+    )
+    assert out == {"naïve": 4, "🎮🎮x": 2}  # n,a,ïv,e / 🎮🎮,x
+
+
+def test_default_merges_on_corpus_words(spark):
+    """The shipped table produces real sub-word units on corpus
+    vocabulary (hand-derived): the -> [the], theory -> [the,or,y],
+    order -> [or,d,er], group -> [gro,u,p]."""
+    out = _encode(spark, ["the", "theory", "order", "group"])
+    assert out == {"the": 1, "theory": 3, "order": 3, "group": 3}
+
+
+def test_stats_exclude_nulls_and_fertility(spark):
+    from bigdatapipeline_steamreviews_spark.operators.bpe import (
+        bpe_token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the data"), (1, None), (2, "  ")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bpe_token_stats(docs).collect()}
+    assert set(rows) == {0}  # NULL and token-less docs excluded
+    # the->1 piece, data->3 pieces (da,t,a)
+    assert rows[0]["n_ws_tokens"] == 2
+    assert rows[0]["n_bpe_tokens"] == 4
+    assert rows[0]["fertility"] == 2.0
