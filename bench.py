@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     # r5 fourth-session additions (29 above stay comparable):
     "x1_span_dedup",               # token-window span dedup (interval union)
     "a22_kmv_distinct_users",      # KMV sketch + mergeable rollup
+    # r9 births (31 above stay comparable):
+    "stream_sessionization_disordered",  # buffered disorder-tolerant sessions
+    "x3_ivf_pq_topk",              # IVF+PQ composed ANN (exhaustive probe)
+    "x4_model_scores",             # Arrow model-inference seam
+    "x4_bpe_tokens",               # vocab-confined BPE token accounting
 ]
 
 

@@ -65,18 +65,43 @@ PROBE = [
     # sessions; watermark-bounded stream-stream interval join state).
     "stream_sessionization",
     "stream_stream_click_purchase",
+    # r8 verdict ask #6 — COMPOSED pipelines, not just operators: staged
+    # intermediates + stage-churn under a fresh corpus fingerprint are the
+    # untested axis when 3-4 operators chain.
+    "x1_curation_pipeline",
+    "x3_ann_recall_report",
 ]
 
 
 def stage_x10(spark) -> str:
     fp = source_fingerprint(BASE, "events")
     # _v3: per-word document salt + replica-perturbed customer names;
-    # bumping the path invalidates stale replicas.
+    # _v4: embeddings replicate too (fresh vec_ids + per-replica vector
+    # perturbation) so the ANN compositions probe a 10x vector corpus;
+    # _v5: the word salt EXEMPTS function words — salting them turned
+    # every stopword into a non-stopword, Gopher's f_stopwords rejected
+    # 100% of x10 docs, and the composed-curation probe measured an empty
+    # pipeline (ratio 0.9 on 0 output rows — the cardinality-check lesson
+    # from the v2 corpus, in reverse).  Real crawl shards share function
+    # words; content words differ.  Bumping the path invalidates stale
+    # replicas.
     out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_x10_{fp}_{REPLICAS}_v3"
+        tempfile.gettempdir(), f"spark_graft_x10_{fp}_{REPLICAS}_v5"
     )
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
+    # Evict superseded probe corpora (older versions / stale base
+    # fingerprints): each is sf1-equivalent on disk, and nothing else
+    # ever reclaims them (the staging GC tracks stages, not probe
+    # corpora — three generations had accumulated by round 9).
+    import glob as _glob
+    import shutil as _shutil
+
+    for old in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "spark_graft_x10_*")
+    ):
+        if os.path.abspath(old) != os.path.abspath(out):
+            _shutil.rmtree(old, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     rep = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("rep")
 
@@ -91,13 +116,20 @@ def stage_x10(spark) -> str:
     )
     ev.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
 
+    from bigdatapipeline_steamreviews_spark.operators.text import (
+        LANG_PROFILES,
+    )
+
+    stop = LANG_PROFILES["en"]
     docs = load_table(spark, BASE, "documents").select("*", rep)
     docs = docs.select(
         (F.col("doc_id") + F.col("rep") * STRIDE).alias("doc_id"),
         F.array_join(
             F.transform(
                 F.split(F.col("text"), " "),
-                lambda w: F.concat(w, F.lit("~"), F.col("rep").cast("string")),
+                lambda w: F.when(w.isin(*stop), w).otherwise(
+                    F.concat(w, F.lit("~"), F.col("rep").cast("string"))
+                ),
             ),
             " ",
         ).alias("text"),
@@ -139,8 +171,28 @@ def stage_x10(spark) -> str:
     )
     cust.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
 
+    # embeddings: fresh vec_ids per replica; each non-zero replica's
+    # vectors get a tiny deterministic per-dimension tilt so replicas are
+    # not bitwise duplicates (identical copies would give every query ten
+    # exact-tie neighbors — a replication artifact, the c_name lesson),
+    # while magnitudes stay ~unit so bucket occupancy stays realistic.
+    # Queries keep filtering vec_id < 10, so the query set is unchanged
+    # and only the CORPUS side scales.
+    emb = load_table(spark, BASE, "embeddings").select("*", rep)
+    emb = emb.select(
+        (F.col("vec_id") + F.col("rep") * STRIDE).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x + F.col("rep").cast("double") * (i + 1) * 1e-4
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    emb.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
     # small dims: straight copies suffice for the probe set
-    for t in ("region", "nation", "supplier", "part", "embeddings"):
+    for t in ("region", "nation", "supplier", "part"):
         load_table(spark, BASE, t).write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
         )
@@ -172,10 +224,21 @@ def main() -> None:
     for name in names:
         t1 = best2(name, BASE)
         t10 = best2(name, big)
+        # Output cardinality at both scales rides in the artifact: a
+        # super-linear ratio can be the DATA (pair counts exploding — the
+        # v2 corpus lesson) and a flat one can be an EMPTY result (the v4
+        # corpus lesson: a stopword-mangling salt zeroed the curation
+        # pipeline and 0.9x read as a win).  Both misreads are visible
+        # only next to the row counts.
+        n1 = regs[name](spark, BASE).count()
+        n10 = regs[name](spark, big).count()
         out[name] = {
             "sf0.1_s": t1,
             "x10_s": t10,
             "ratio": round(t10 / t1, 2) if t1 > 0 else None,
+            "rows_sf0.1": n1,
+            "rows_x10": n10,
+            "rows_ratio": round(n10 / n1, 2) if n1 else None,
         }
         print(json.dumps({name: out[name]}))
     print(json.dumps({"probe": out}))
