@@ -2508,3 +2508,47 @@ def x4_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bpe import bpe_token_stats
 
     return bpe_token_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# X4 — model-in-the-loop curation (rules AND classifier threshold)
+# ---------------------------------------------------------------------------
+
+from .registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "x4_model_curated_corpus",
+    f"""
+WITH {_GOPHER_RULES_SQL},
+keep_docs AS (
+  SELECT doc_id FROM gopher
+  WHERE f_word_count AND f_mean_word_len AND f_symbol_ratio
+    AND f_alpha_ratio AND f_stopwords
+),
+scores AS ({_REG["x4_model_scores"].oracle})
+SELECT s.doc_id, s.n_tokens, s.score
+FROM scores s JOIN keep_docs USING (doc_id)
+WHERE s.score >= 0.35
+""",
+    ("X4",),
+    "Model-in-the-loop curation: the production two-stage filter — cheap "
+    "map-only Gopher rules first, the EXPENSIVE classifier seam "
+    "(x4_model_scores) only over rule survivors (a semi-join restriction "
+    "feeds the Arrow hop, so at 100 TB the model never sees documents "
+    "the free rules already rejected), then a score threshold gates the "
+    "final corpus.  Oracle: composes the registered Gopher fragment and "
+    "the registered model oracle as subqueries, so this gate is "
+    "definitionally consistent with both parents'. Output: surviving "
+    "doc_id with the model's n_tokens and score.",
+)
+def x4_model_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.inference import model_scores
+    from .operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = gopher_rules(docs).filter(F.col("keep")).select("doc_id")
+    survivors = docs.join(kept, "doc_id", "left_semi")
+    return model_scores(survivors).filter(F.col("score") >= 0.35).select(
+        "doc_id", "n_tokens", "score"
+    )
