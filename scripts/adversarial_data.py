@@ -44,6 +44,11 @@ Usage:
     python scripts/adversarial_data.py dirty   [out_dir] [src_sf_dir]
     python scripts/adversarial_data.py skew    [out_dir] [src_sf_dir]
     python scripts/adversarial_data.py unicode [out_dir] [src_sf_dir]
+    python scripts/adversarial_data.py shuffled [out_dir] [src_sf_dir]
+
+``shuffled`` is the scan-order-determinism corpus: the SAME rows in a
+content-hash-permuted physical order (see ``_shuffle``).  Its audit is a
+hash DIFF against the clean-corpus sweep, not just an oracle sweep.
 """
 
 from __future__ import annotations
@@ -159,6 +164,27 @@ def _skew(spark, df, t, src):
     )
 
 
+def _shuffle(df, t):
+    """Deterministic pseudo-random ROW-ORDER permutation: sort by
+    xxhash64(table-salt, contract keys), keys as collision tiebreak.  The
+    logical multiset of rows is BITWISE identical to the source — only
+    the physical order in the file changes.
+
+    Why this corpus exists: on a 1000-executor cluster the scan order of
+    a 100 TB table is arbitrary (file listing order, split assignment,
+    speculative re-execution), but every local test sees ONE fixed order,
+    so any query whose result depends on encounter order — an untied
+    LIMIT/row_number, a first()/collect_list without sort, float
+    summation outside the DECIMAL-exact recipe, an order-seeded k-means
+    init — passes locally and flaps in production.  The differential
+    audit runs the full sweep on this corpus and diffs per-query
+    ``value_hash`` against the clean-corpus sweep: any hash drift is an
+    order-dependence bug by construction (same rows, same engines, only
+    the order moved)."""
+    keys = [F.col(c) for c in df.columns if c in KEEP and c != "embedding"]
+    return df.orderBy(F.xxhash64(F.lit(f"shuffle:{t}"), *keys), *keys)
+
+
 # unicode mode: suffixes drawn per-WORD by content hash so the same word
 # is decorated identically everywhere (dedup/shingle structure preserved
 # within the corpus), covering 2-, 3-, and 4-byte UTF-8.
@@ -199,7 +225,7 @@ def main() -> int:
         else f"/tmp/spark_graft_sf_{mode}_{CORPUS_VERSION}"
     )
     src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
-    assert mode in ("empty", "dirty", "skew", "unicode"), mode
+    assert mode in ("empty", "dirty", "skew", "unicode", "shuffled"), mode
     spark = get_spark(f"adversarial-{mode}")
     os.makedirs(dst, exist_ok=True)
     for t in TABLE_NAMES:
@@ -210,6 +236,8 @@ def main() -> int:
             out = _dirty(df, t)
         elif mode == "unicode":
             out = _unicodify(df, t)
+        elif mode == "shuffled":
+            out = _shuffle(df, t)
         else:
             out = _skew(spark, df, t, src)
         write_flat(out, dst, t)

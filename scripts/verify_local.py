@@ -52,6 +52,57 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _canon_cell(v) -> str:
+    """Canonical, engine- and dtype-agnostic cell repr for value_hash.
+
+    Floats go through ``repr(float(v))`` — the shortest round-trip repr,
+    so the hash is BITWISE on doubles (two corpora that differ only in
+    float summation order hash differently, which is the point: the
+    engine claims DECIMAL-exact accumulation makes its doubles
+    order-independent, and this hash is how that claim is audited
+    corpus-to-corpus)."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+        return "∅"
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive digest of a result set: columns sorted by name,
+    rows sorted by value (the ``normalize`` canonicalization), every cell
+    rendered via ``_canon_cell``.  Equal logical results hash equal
+    regardless of the partitioning, scan order, or engine that produced
+    them; recorded per-query in the ``--json`` artifact so two sweeps
+    over logically-identical corpora (e.g. clean vs row-shuffled) can be
+    diffed without rerunning anything."""
+    import hashlib
+
+    a = normalize(df.copy())
+    h = hashlib.sha256()
+    h.update(("|".join(a.columns) + "\n").encode())
+    for row in a.itertuples(index=False, name=None):
+        h.update(("\x1f".join(_canon_cell(v) for v in row) + "\n").encode())
+    return h.hexdigest()[:16]
+
+
 def _num_family(series: pd.Series) -> str:
     """Coarse numeric dtype family, for catching int-vs-float drift.
 
@@ -156,7 +207,12 @@ def main() -> int:
             continue
         if spec.oracle is None:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            results[name] = {"match": None, "spark_rows": len(sdf), "err": None}
+            results[name] = {
+                "match": None,
+                "spark_rows": len(sdf),
+                "value_hash": value_hash(sdf),
+                "err": None,
+            }
             continue
         try:
             ddf = con.execute(spec.oracle).fetchdf()
@@ -178,6 +234,7 @@ def main() -> int:
                 "match": True,
                 "spark_rows": len(sdf),
                 "oracle_rows": len(ddf),
+                "value_hash": value_hash(sdf),
                 "sec": round(time.time() - t0, 2),
                 "err": None,
             }
