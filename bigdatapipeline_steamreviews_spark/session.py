@@ -91,6 +91,16 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" perturbs any conf from the
+    # environment (applied last, so it wins).  This is the hook the
+    # execution-decomposition audit uses (DIRTYDATA.md §8): rerun the
+    # full oracle sweep under hostile shuffle-partition / input-split /
+    # Arrow-batch-size settings and hash-diff against the clean sweep —
+    # results must not depend on HOW the plan was parallelized.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
