@@ -38,4 +38,9 @@ SPARK_GRAFT_EXTRA_CONF="spark.sql.shuffle.partitions=7;spark.sql.files.maxPartit
   python scripts/verify_local.py --json "$OUT/perturbed.json" "$SRC" | tail -1
 python scripts/hash_diff.py "$OUT/clean.json" "$OUT/perturbed.json" | tail -1
 
+echo "== §8 plan-strategy (AQE off, auto-broadcast off) =="
+SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.enabled=false;spark.sql.autoBroadcastJoinThreshold=-1;spark.sql.shuffle.partitions=64" \
+  python scripts/verify_local.py --json "$OUT/planB.json" "$SRC" | tail -1
+python scripts/hash_diff.py "$OUT/clean.json" "$OUT/planB.json" | tail -1
+
 echo "all audits green; artifacts in $OUT"
