@@ -30,8 +30,17 @@ def pack_sequences(
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every document a (shard, seq, offset_in_seq) placement.
+
+    ``sizes`` (optional): a (id_col, n_tokens) DataFrame supplying each
+    document's token count from a real tokenizer — e.g.
+    ``bpe_token_stats(...)`` — in which case ``docs``/``text_col`` are
+    not consulted for counting and the layout is TOKENIZER-EXACT (the
+    whitespace default over-packs by the tokenizer's fertility, ~1.2-3x
+    depending on language/merges, which a production budget cannot
+    absorb).  Layout math is identical either way.
 
     * shard: portable 60-bit md5 hash of the id, mod ``n_shards`` — the
       P15 deterministic-sampling recipe, identical on any engine/rerun;
@@ -50,11 +59,18 @@ def pack_sequences(
         .cast("long")
         % n_shards
     )
-    sized = docs.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        shard.alias("shard"),
-    )
+    if sizes is not None:
+        sized = sizes.select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            shard.alias("shard"),
+        )
+    else:
+        sized = docs.select(
+            F.col(id_col),
+            n_tokens.alias("n_tokens"),
+            shard.alias("shard"),
+        )
     w = (
         Window.partitionBy("shard")
         .orderBy(id_col)

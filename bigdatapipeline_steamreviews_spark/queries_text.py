@@ -2552,3 +2552,53 @@ def x4_model_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model_scores(survivors).filter(F.col("score") >= 0.35).select(
         "doc_id", "n_tokens", "score"
     )
+
+
+# ---------------------------------------------------------------------------
+# X4 — tokenizer-exact sequence packing (BPE counts feed the packer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_sequence_pack_bpe",
+    f"""
+WITH bpe AS ({_REG["x4_bpe_tokens"].oracle}),
+sized AS (
+  SELECT doc_id, n_bpe_tokens AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+  FROM bpe
+),
+placed AS (
+  SELECT doc_id, n_tokens, shard,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tokens_before
+  FROM sized
+)
+SELECT doc_id, n_tokens, shard,
+       (tokens_before // 512)::BIGINT AS seq,
+       (tokens_before % 512)::BIGINT AS offset_in_seq
+FROM placed
+""",
+    ("X4", "W*"),
+    "Tokenizer-exact packing: x4_sequence_pack's concat-and-chop layout "
+    "driven by x4_bpe_tokens' BPE piece counts instead of whitespace "
+    "counts — what a production budget actually requires (whitespace "
+    "over-packs by the tokenizer's fertility, which at a 512-token "
+    "budget means overflowing sequences, not a rounding error).  The "
+    "composition is a (doc_id, n_tokens) join: the merge fold runs on "
+    "the distinct-word vocabulary once, the packer's per-shard window "
+    "is unchanged.  Oracle: the registered BPE oracle as a CTE feeding "
+    "the registered pack layout math, so the gate is definitionally "
+    "consistent with both parents'.",
+)
+def x4_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import bpe_token_stats
+    from .operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = bpe_token_stats(docs).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=512, n_shards=8, sizes=sizes)

@@ -213,3 +213,41 @@ def test_hll_streaming_registers_equal_batch(spark):
     a = sorted(hll_finalize(whole, ["g"]).collect())
     b = sorted(hll_finalize(merged, ["g"]).collect())
     assert a == b
+
+
+def test_bpe_packing_differs_from_whitespace(spark):
+    """Non-vacuity for x4_sequence_pack_bpe: with merges active the BPE
+    piece counts exceed whitespace counts (fertility > 1), so the
+    tokenizer-exact layout must place at least one document at a
+    different (seq, offset) — and the sizes= path must still tile each
+    shard's token stream exactly."""
+    from bigdatapipeline_steamreviews_spark.operators.bpe import bpe_token_stats
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["other", "the", "standing"] * (i % 3 + 1))) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    sizes = bpe_token_stats(docs).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    ws = {r.doc_id: r for r in pack_sequences(docs, budget=25, n_shards=4).collect()}
+    bp = {r.doc_id: r for r in pack_sequences(
+        docs, budget=25, n_shards=4, sizes=sizes).collect()}
+    assert set(ws) == set(bp)
+    # fertility > 1 for every doc here (each word splits into >1 piece
+    # under the default merges), so counts must strictly exceed.
+    assert all(bp[d].n_tokens > ws[d].n_tokens for d in ws)
+    assert any(
+        (bp[d].seq, bp[d].offset_in_seq) != (ws[d].seq, ws[d].offset_in_seq)
+        for d in ws
+    )
+    by_shard: dict[int, list] = {}
+    for r in bp.values():
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        total = 0
+        for r in rows:
+            assert r.seq * 25 + r.offset_in_seq == total
+            total += r.n_tokens
