@@ -45,13 +45,27 @@ def _stage_events_as(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write the events table once as ``fmt`` under /tmp, fingerprint-keyed
     so regenerated testdata can never serve a stale staging."""
     key = _source_fingerprint(sf_dir)
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_src_{fmt}_{key}")
+    # _v2: layout version — bumped when the staged encoding changed (ORC
+    # ts switched from TIMESTAMP to epoch micros); without it a stale
+    # pre-fix stage dir would keep serving the TZ-fragile layout.
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_src_{fmt}_{key}_v2")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         df = load_table(spark, sf_dir, "events")
         if fmt == "json":
             df = df.withColumn("ts", F.unix_micros(F.col("ts")))
             df.write.mode("overwrite").json(out)
         elif fmt == "orc":
+            # Instants travel as epoch-micros integers, NOT as ORC
+            # TIMESTAMP: ORC's TIMESTAMP has LOCAL-TIME semantics — the
+            # Java reader reconstructs the stored wall-clock in the
+            # reader JVM's DEFAULT timezone, so a file written by a UTC
+            # fleet and read by a +05:45 executor shifts every instant
+            # by -5h45m (measured: the round-9 environment-perturbation
+            # audit, DIRTYDATA.md §9; parquet is immune because it
+            # stores UTC-adjusted int64).  Pinning user.timezone on the
+            # driver would only mask it in local mode — the decode
+            # happens on executors.  Same recipe as the JSON stager.
+            df = df.withColumn("ts", F.unix_micros(F.col("ts")))
             df.write.mode("overwrite").orc(out)
         else:  # pragma: no cover - registration-time typo guard
             raise ValueError(f"unknown staging format {fmt!r}")
@@ -84,13 +98,20 @@ def src_json_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLAGSHIP_ORACLE,
     ("S1", "A1"),
     "The flagship daily summary computed from an ORC source (the second "
-    "columnar format a lakehouse actually encounters): native ORC "
-    "timestamps survive the round-trip under the pinned UTC session, and "
-    "the result must hash-match the parquet oracle exactly.",
+    "columnar format a lakehouse actually encounters).  Instants travel "
+    "as epoch-micros integers because ORC TIMESTAMP has local-time "
+    "semantics — the reader JVM's default timezone shifts every value "
+    "when it differs from the writer's (found by the round-9 "
+    "environment-perturbation audit, DIRTYDATA.md §9; pinned by "
+    "tests/test_env_invariance.py).  The result must hash-match the "
+    "parquet oracle exactly.",
 )
 def src_orc_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage_events_as(spark, sf_dir, "orc")
-    return daily_summary(spark.read.orc(path))
+    events = spark.read.orc(path).withColumn(
+        "ts", F.timestamp_micros(F.col("ts"))
+    )
+    return daily_summary(events)
 
 
 @register(

@@ -43,4 +43,9 @@ SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.enabled=false;spark.sql.autoBroadcast
   python scripts/verify_local.py --json "$OUT/planB.json" "$SRC" | tail -1
 python scripts/hash_diff.py "$OUT/clean.json" "$OUT/planB.json" | tail -1
 
+echo "== §9 environment (hostile JVM timezone + Turkish locale) =="
+TZ=Asia/Kathmandu JAVA_TOOL_OPTIONS="-Duser.language=tr -Duser.country=TR -Duser.timezone=Asia/Kathmandu" \
+  python scripts/verify_local.py --json "$OUT/env.json" "$SRC" | tail -1
+python scripts/hash_diff.py "$OUT/clean.json" "$OUT/env.json" | tail -1
+
 echo "all audits green; artifacts in $OUT"
