@@ -44,11 +44,18 @@ _EVENTS_JSON_SCHEMA = T.StructType(
 def _stage_events_as(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write the events table once as ``fmt`` under /tmp, fingerprint-keyed
     so regenerated testdata can never serve a stale staging."""
+    from .sources.staging import SRC_STAGE_ROOT, SRC_STAGE_VERSION
+
     key = _source_fingerprint(sf_dir)
-    # _v2: layout version — bumped when the staged encoding changed (ORC
-    # ts switched from TIMESTAMP to epoch micros); without it a stale
-    # pre-fix stage dir would keep serving the TZ-fragile layout.
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_src_{fmt}_{key}_v2")
+    # Layout-versioned (SRC_STAGE_VERSION, bumped when the staged
+    # encoding changes — v2: ORC ts switched from TIMESTAMP to epoch
+    # micros, DIRTYDATA.md §9; without the suffix a stale pre-fix stage
+    # would keep serving the TZ-fragile layout) and rooted under
+    # SRC_STAGE_ROOT so prune_all_stages evicts dead generations.
+    os.makedirs(SRC_STAGE_ROOT, exist_ok=True)
+    out = os.path.join(
+        SRC_STAGE_ROOT, f"{fmt}_{key}_{SRC_STAGE_VERSION}"
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         df = load_table(spark, sf_dir, "events")
         if fmt == "json":

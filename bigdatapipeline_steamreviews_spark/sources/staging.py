@@ -50,15 +50,29 @@ STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_stage")
 # the replay root leaked forever).
 STREAM_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_stream_stage")
 
+# Alternate-source-format staging root (queries_sources.py: events
+# re-encoded as JSON-lines / ORC) — a THIRD fingerprint-keyed family
+# with the same one-immutable-generation-per-regeneration lifecycle
+# (round-9: previously loose `/tmp/spark_graft_src_*` dirs no GC
+# covered, the same leak class the r8 advice flagged for the replay
+# root).  Layout version: `_v2` = ORC instants as epoch-micros integers
+# (DIRTYDATA.md §9 — ORC TIMESTAMP is local-time semantics and shifts
+# under a different reader JVM timezone).
+SRC_STAGE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_src_stage")
+SRC_STAGE_VERSION = "v2"
+
 
 def _current_suffixes(root: str) -> tuple:
     """Stage-name suffixes a CURRENT derivation can still read, per root.
     STAGE_ROOT stagers all end with ``_{STAGE_VERSION}``; the replay
     root's wire-format version is the ``_us`` suffix (epoch-micros events
     layouts, some ``_DONE``-marked) plus ``_{STAGE_VERSION}`` for the
-    docs chunk stager."""
+    docs chunk stager; the source-format root carries its own layout
+    version (``_{SRC_STAGE_VERSION}``)."""
     if root == STREAM_STAGE_ROOT:
         return ("_us", f"_{STAGE_VERSION}")
+    if root == SRC_STAGE_ROOT:
+        return (f"_{SRC_STAGE_VERSION}",)
     return (f"_{STAGE_VERSION}",)
 
 # Format/code version folded into every stage path.  Parameters are already
@@ -72,6 +86,8 @@ STAGE_VERSION = "v2"  # v2: doc_lines/doc_files stagers skip NULL/empty text
 __all__ = [
     "STAGE_ROOT",
     "STREAM_STAGE_ROOT",
+    "SRC_STAGE_ROOT",
+    "SRC_STAGE_VERSION",
     "STAGE_VERSION",
     "source_fingerprint",
     "staged_parquet",
@@ -270,16 +286,21 @@ def prune_stages(
 def prune_all_stages(
     keep_fingerprints: "set[str] | None" = None, grace_seconds: float = 900.0
 ) -> list:
-    """Prune BOTH stage families — the derived-table root and the
-    streaming-replay root (r8 advice: the latter mints the same
-    fingerprint-keyed immutable generations and was never evicted).  One
-    keep-set snapshot serves both."""
+    """Prune ALL stage families — the derived-table root, the
+    streaming-replay root (r8 advice: it mints the same
+    fingerprint-keyed immutable generations and was never evicted), and
+    the source-format root (r9: the same lifecycle again).  One keep-set
+    snapshot serves all three."""
     if keep_fingerprints is None:
         keep_fingerprints = live_fingerprints()
-    return prune_stages(
-        keep_fingerprints, root=STAGE_ROOT, grace_seconds=grace_seconds
-    ) + prune_stages(
-        keep_fingerprints, root=STREAM_STAGE_ROOT, grace_seconds=grace_seconds
+    return (
+        prune_stages(keep_fingerprints, root=STAGE_ROOT, grace_seconds=grace_seconds)
+        + prune_stages(
+            keep_fingerprints, root=STREAM_STAGE_ROOT, grace_seconds=grace_seconds
+        )
+        + prune_stages(
+            keep_fingerprints, root=SRC_STAGE_ROOT, grace_seconds=grace_seconds
+        )
     )
 
 

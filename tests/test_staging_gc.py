@@ -115,6 +115,36 @@ def test_prune_all_stages_covers_both_roots():
     assert isinstance(prune_all_stages(), list)
 
 
+def test_prune_covers_source_format_layouts(tmp_path):
+    """The third stage family (queries_sources: events re-encoded as
+    JSON/ORC, `{fmt}_{fp}_{SRC_STAGE_VERSION}`): dead fingerprints and
+    stale layout versions (pre-§9 ORC TIMESTAMP encoding) are evicted,
+    live+current generations are kept."""
+    from bigdatapipeline_steamreviews_spark.sources.staging import (
+        SRC_STAGE_VERSION,
+    )
+
+    root = str(tmp_path)
+    _mk(root, f"orc_deadfp0000_{SRC_STAGE_VERSION}")
+    _mk(root, f"orc_livefp1111_{SRC_STAGE_VERSION}")
+    _mk(root, "orc_livefp1111_v1")  # pre-fix TZ-fragile layout
+    _mk(root, f"json_livefp1111_{SRC_STAGE_VERSION}")
+    removed = prune_stages(
+        {"livefp1111"},
+        root=root,
+        grace_seconds=0,
+        current_suffixes=(f"_{SRC_STAGE_VERSION}",),
+    )
+    assert sorted(removed) == [
+        f"orc_deadfp0000_{SRC_STAGE_VERSION}",
+        "orc_livefp1111_v1",
+    ]
+    assert sorted(os.listdir(root)) == [
+        f"json_livefp1111_{SRC_STAGE_VERSION}",
+        f"orc_livefp1111_{SRC_STAGE_VERSION}",
+    ]
+
+
 def test_prune_is_idempotent_and_safe_on_missing_root(tmp_path):
     assert prune_stages({"x"}, root=str(tmp_path / "absent")) == []
     root = str(tmp_path)
