@@ -125,8 +125,10 @@ def model_scores(
         )
     forward = MODEL_REGISTRY[model]
     spark = docs.sparkSession
-    spark.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_size)
+    from ..session import set_unless_pinned
+
+    set_unless_pinned(
+        spark, "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_size)
     )
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

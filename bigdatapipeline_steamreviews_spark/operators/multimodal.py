@@ -104,7 +104,11 @@ def extract_features(blobs: DataFrame, arrow_batch_size: int = 256) -> DataFrame
     model would produce an embedding the same shape/way.
     """
     spark = blobs.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_size))
+    from ..session import set_unless_pinned
+
+    set_unless_pinned(
+        spark, "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_size)
+    )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1499,15 +1499,31 @@ def _stage_events_chunks_displaced(
 # mirror of the wm_days computation above, then the final-watermark ms
 # Spark reaches on a bounded replay (max event ms - delay; Spark's event
 # time stats track ms, epoch_ms() is the same floor).
-_DISPLACED_WM_CTE = """
+#
+# ``where`` (round-10 ADVICE fix): the transitions/ewma queries filter the
+# stream on a null predicate BEFORE withWatermark (and Catalyst would push
+# a non-ts predicate below the EventTimeWatermark node regardless), so
+# Spark's final watermark derives from max(ts) over the FILTERED rows.
+# The oracle must track the same subset — if the corpus's max-ts event has
+# a NULL value/event_type (the dirty generator nulls both at ~NULL_RATE)
+# the unfiltered max would seal a longer prefix than Spark does.  The
+# DELAY term stays over the UNFILTERED table: wm_days is computed at
+# staging time from unfiltered min/max (see above) and passed to
+# withWatermark as a constant.
+def _displaced_wm_cte(where: str = "") -> str:
+    pred = f" WHERE {where}" if where else ""
+    return f"""
 wm AS (
-  SELECT epoch_ms(max(ts))
+  SELECT (SELECT epoch_ms(max(ts)) FROM events{pred})
          - (CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts)))
                        / 86400000000.0 / 2.0) AS BIGINT) + 2) * 86400000
            AS wm_ms
   FROM events
 )
 """
+
+
+_DISPLACED_WM_CTE = _displaced_wm_cte()
 
 
 @register(
@@ -1586,7 +1602,7 @@ WITH steps AS (
          epoch_ms(ts) AS to_ms
   FROM events WHERE event_type IS NOT NULL
 ),
-""" + _DISPLACED_WM_CTE + """,
+""" + _displaced_wm_cte("event_type IS NOT NULL") + """,
 c AS (
   SELECT from_state, to_state, count(*) AS n_transitions
   FROM steps, wm
@@ -1644,7 +1660,7 @@ def stream_transitions_disordered(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "stream_user_ewma_disordered",
     """
-WITH """ + _DISPLACED_WM_CTE.strip() + """
+WITH """ + _displaced_wm_cte("value IS NOT NULL").strip() + """
 SELECT user_id,
        list_reduce(list(value ORDER BY ts, event_id),
                    (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma,

@@ -104,3 +104,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def set_unless_pinned(spark, key: str, value: str) -> None:
+    """Set a session conf unless ``SPARK_GRAFT_EXTRA_CONF`` pins the key.
+
+    Operator builders that tune a session conf (the Arrow seams set
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``) must NOT override a
+    perturbation-audit pin: the env hook above is how DIRTYDATA §8 forces
+    hostile Arrow batch sizes across a whole sweep, and a builder-time
+    ``conf.set`` would silently undo it for every query that runs after
+    the first seam query (round-10 ADVICE fix)."""
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    pinned = {
+        p.partition("=")[0].strip()
+        for p in env_conf.split(";")
+        if p.strip()
+    }
+    if key not in pinned:
+        spark.conf.set(key, value)

@@ -271,7 +271,25 @@ def prune_stages(
         if age < grace_seconds:
             continue
         if ".build" in entry:
-            # Past the grace window a temp is a crashed build — evict.
+            # Past the grace window a temp is PROBABLY a crashed build —
+            # but a legitimately slow in-flight build (bigger corpus, slow
+            # disk) writes under Spark's ``_temporary/`` subtree without
+            # refreshing the top-level dir mtime, so key the liveness
+            # check on the NEWEST mtime found recursively: any write in
+            # the last grace window means the build is alive (round-10
+            # ADVICE fix — rmtree'ing a live temp corrupts the publish).
+            newest = os.stat(path).st_mtime
+            for dirpath, _dirnames, filenames in os.walk(path):
+                try:
+                    newest = max(newest, os.stat(dirpath).st_mtime)
+                    for f in filenames:
+                        newest = max(
+                            newest, os.stat(os.path.join(dirpath, f)).st_mtime
+                        )
+                except OSError:
+                    continue  # file vanished mid-walk (build progressing)
+            if now - newest < grace_seconds:
+                continue
             shutil.rmtree(path, ignore_errors=True)
             removed.append(entry)
             continue

@@ -66,7 +66,12 @@ def _canon_cell(v) -> str:
 
     import numpy as np
 
-    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+    if isinstance(v, (np.floating, float)) and v != v:
+        # Distinct from the NULL token: NaN-vs-NULL drift (e.g. a pandas
+        # seam promoting a missing value to float NaN) must be hash-
+        # visible — operators/inference.py relies on exactly this.
+        return "NaN"
+    if v is None or v is pd.NaT:
         return "∅"
     if isinstance(v, (np.floating, float)):
         return repr(float(v))

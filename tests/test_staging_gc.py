@@ -37,7 +37,13 @@ def _mk(root, name, age_seconds=_OLD):
     os.makedirs(d)
     open(os.path.join(d, "_SUCCESS"), "w").close()
     if age_seconds:
+        # Age the whole tree — the crashed-build check is keyed on the
+        # NEWEST recursive mtime (r10 advice: a slow in-flight build's
+        # top-level mtime goes stale while Spark writes under
+        # _temporary/), so a convincingly-dead fixture must be old
+        # everywhere.
         old = time.time() - age_seconds
+        os.utime(os.path.join(d, "_SUCCESS"), (old, old))
         os.utime(d, (old, old))
     return name
 
@@ -67,6 +73,32 @@ def test_prune_removes_dead_fingerprints_and_stale_versions(tmp_path):
     assert os.path.isdir(os.path.join(root, keep_current))
     assert os.path.isdir(os.path.join(root, keep_building))
     assert os.path.exists(os.path.join(root, "notes.txt"))
+
+
+def test_slow_inflight_build_with_fresh_inner_writes_survives(tmp_path):
+    """A .build temp whose TOP-LEVEL mtime is past the grace window but
+    whose ``_temporary/`` subtree has a freshly-written part file is a
+    LIVE slow build (bigger corpus, slow disk) — Spark writes under
+    subdirs without touching the root's mtime.  It must not be rmtree'd
+    mid-write (r10 advice: that corrupts the publish).  Once every write
+    in the tree is old, it is a crashed build and goes."""
+    root = str(tmp_path)
+    name = f"sigs_livefp0000_{STAGE_VERSION}.build55"
+    d = os.path.join(root, name)
+    tmp_sub = os.path.join(d, "_temporary", "0", "task_1")
+    os.makedirs(tmp_sub)
+    part = os.path.join(tmp_sub, "part-00000.parquet")
+    open(part, "w").close()  # fresh write, mtime = now
+    old = time.time() - _OLD
+    os.utime(d, (old, old))  # stale top-level dir
+    assert prune_stages({"livefp0000"}, root=root) == []
+    assert os.path.isdir(d)
+    # ...and once the inner writes age out too, it is crashed: evicted.
+    for dirpath, dirnames, filenames in os.walk(d, topdown=False):
+        for f in filenames:
+            os.utime(os.path.join(dirpath, f), (old, old))
+        os.utime(dirpath, (old, old))
+    assert prune_stages({"livefp0000"}, root=root) == [name]
 
 
 def test_grace_window_protects_fresh_stages_from_toctou(tmp_path):
