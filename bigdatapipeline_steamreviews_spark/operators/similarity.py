@@ -894,32 +894,37 @@ def _pq_sliced_corpus(
     id_col: str,
     vec_col: str,
 ):
-    """Shared PQ front door: (vid, v, is_q) projection + per-subspace slice
-    expressions.  The n_sub=2 guard lives here so every PQ-backed operator
-    (``pq_adc_topk``, ``ivf_pq_topk``) enforces the same contract."""
-    if n_sub != 2:
-        # The encode/LUT CASE dispatch below is written for 2 subspaces
-        # (which is also what the oracle unrolls); generalizing is a
-        # mechanical loop, but an n_sub the code silently ignores would
-        # be a lie in the API.
-        raise NotImplementedError("PQ operators currently support n_sub=2")
+    """Shared PQ front door: (vid, v, is_q) projection + subspace geometry.
+    ``n_sub`` is arbitrary as long as it divides ``dim`` (round-10: the
+    former n_sub=2 unroll is gone — subspaces are DATA now, see
+    ``_pq_codebook``)."""
+    if n_sub < 1 or dim % n_sub != 0:
+        raise ValueError(
+            f"n_sub must be >= 1 and divide dim: n_sub={n_sub}, dim={dim}"
+        )
     sub_dim = dim // n_sub
     e = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         query_pred.alias("is_q"),
     )
-    subs = [(s, F.slice(F.col("v"), 1 + s * sub_dim, sub_dim)) for s in range(n_sub)]
-    return e, subs
+    return e, n_sub, sub_dim
 
 
-def _pq_codebook(e: DataFrame, subs: list, codebook_k: int) -> DataFrame:
-    """Codebook: n_sub x codebook_k centroids from the codebook_k
-    SMALLEST PRESENT vec_ids' slices (not ``vid < codebook_k``: if any
-    of ids 0..k-1 is missing or dropped by vector hygiene, that
-    formulation silently shrinks the codebook and degrades results with
-    no error).  orderBy+limit is a TakeOrderedAndProject top-k — map-side
-    partial, no corpus sort; the row_number relabel runs on k rows."""
+def _pq_codebook(
+    e: DataFrame, n_sub: int, sub_dim: int, codebook_k: int
+) -> DataFrame:
+    """Codebook as LONG rows ``(s, cid, c)`` — one row per (subspace,
+    centroid), from the codebook_k SMALLEST PRESENT vec_ids' slices (not
+    ``vid < codebook_k``: if any of ids 0..k-1 is missing or dropped by
+    vector hygiene, that formulation silently shrinks the codebook and
+    degrades results with no error).  orderBy+limit is a
+    TakeOrderedAndProject top-k — map-side partial, no corpus sort; the
+    row_number relabel runs on k rows.  Subspace-as-data: ONE ``inline``
+    over an array of (s, slice) structs emits every subspace row — plan
+    depth stays O(1) at any n_sub (the expression is O(n_sub) wide,
+    bounded by the vector dim).  This long table is also the PERSISTED
+    artifact shape (n_sub x codebook_k tiny rows)."""
     from pyspark.sql import Window as _W
 
     seeds = (
@@ -929,15 +934,22 @@ def _pq_codebook(e: DataFrame, subs: list, codebook_k: int) -> DataFrame:
             "cid", (F.row_number().over(_W.orderBy("vid")) - 1).cast("long")
         )
     )
-    cb = None
-    for s, sl in subs:
-        part = seeds.select(
-            F.lit(s).alias("s"),
-            "cid",
-            sl.alias("c"),
-        )
-        cb = part if cb is None else cb.unionByName(part)
-    return cb
+    return seeds.select(
+        "cid",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("s"),
+                        F.slice(F.col("v"), 1 + s * sub_dim, sub_dim).alias(
+                            "c"
+                        ),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ),
+    ).select("s", "cid", "c")
 
 
 def _pq_subdist(vec_slice: Column, cent: Column) -> Column:
@@ -945,62 +957,127 @@ def _pq_subdist(vec_slice: Column, cent: Column) -> Column:
     return F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _pq_encode(e: DataFrame, cb: DataFrame, subs: list) -> DataFrame:
-    """Encode: one corpus scan, argmin per (vid, subspace) over the
-    broadcast codebook, pivoted to one code column per subspace."""
-    n_sub = len(subs)
-    sliced = e.select(
-        "vid", *[sl.alias(f"sl{s}") for s, sl in subs]
-    )
-    scored = sliced.join(F.broadcast(cb)).select(
-        "vid",
-        "s",
-        "cid",
-        F.when(F.col("s") == 0, _pq_subdist(F.col("sl0"), F.col("c")))
-        .otherwise(_pq_subdist(F.col("sl1"), F.col("c")))
-        .alias("dist"),
+def _pq_codebook_nested(cb: DataFrame, n_sub: int) -> DataFrame:
+    """Fold the long codebook into ONE row carrying
+    ``cb: array[s] of array<struct<cid, c>>`` (cid-ascending within each
+    subspace) — the broadcast shape the encode/LUT expressions index with
+    ``element_at``.  Runs once over n_sub x codebook_k rows."""
+    flat = F.array_sort(F.collect_list(F.struct("s", "cid", "c")))
+    per_s = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: F.transform(
+            F.filter(F.col("flat"), lambda x: x["s"] == s),
+            lambda x: F.struct(x["cid"].alias("cid"), x["c"].alias("c")),
+        ),
     )
     return (
-        scored.groupBy("vid", "s")
-        .agg(F.min(F.struct("dist", "cid")).alias("m"))
-        .groupBy("vid")
-        .pivot("s", list(range(n_sub)))
-        .agg(F.first("m.cid"))
+        cb.groupBy()
+        .agg(flat.alias("flat"))
+        .select(per_s.alias("cb"))
+    )
+
+
+def _pq_encode(
+    e: DataFrame, cb: DataFrame, n_sub: int, sub_dim: int
+) -> DataFrame:
+    """Encode: ``(vid, codes: array<long>)`` with ``codes[s]`` the argmin
+    centroid of subspace s.  The whole encode is ONE narrow expression per
+    corpus row against the one-row broadcast nested codebook — a single
+    corpus scan, ZERO shuffles (the former pivot shape shuffled the corpus
+    twice); at 100 TB this is the embarrassingly-parallel map stage it
+    should be, and the (vid, codes) table is the persisted artifact
+    (n_sub small ints per vector).
+
+    Argmin per subspace is ``array_min`` over (dist, cid) structs —
+    smallest distance, then smallest cid, exactly the oracle's
+    ``row_number() ORDER BY dist, cid`` tie-break; distances are the
+    deterministic sequential folds of :func:`_pq_subdist`, so codes are
+    bitwise-reproducible under any partitioning."""
+
+    def code_for(s: int) -> Column:
+        sl = F.slice(F.col("v"), 1 + s * sub_dim, sub_dim)
+        scored = F.transform(
+            F.element_at(F.col("cb"), s + 1),
+            lambda ent: F.struct(
+                _pq_subdist(sl, ent["c"]).alias("d"), ent["cid"].alias("cid")
+            ),
+        )
+        return F.array_min(scored)["cid"]
+
+    nested = _pq_codebook_nested(cb, n_sub)
+    return (
+        e.crossJoin(F.broadcast(nested))
+        .select("vid", F.array(*[code_for(s) for s in range(n_sub)]).alias("codes"))
+    )
+
+
+def _pq_query_lut(
+    e: DataFrame, cb: DataFrame, n_sub: int, sub_dim: int
+) -> DataFrame:
+    """Per-query lookup table ``(query_id, lut: array[s] of array<double>)``
+    — ``lut[s][cid]`` is the squared distance from the query's subspace-s
+    slice to centroid cid (cid-dense, so ADC is a positional
+    ``element_at``).  |queries| rows, each n_sub x codebook_k doubles —
+    broadcast-sized by construction."""
+
+    def lut_for(s: int) -> Column:
+        sl = F.slice(F.col("v"), 1 + s * sub_dim, sub_dim)
+        return F.transform(
+            F.element_at(F.col("cb"), s + 1),
+            lambda ent: _pq_subdist(sl, ent["c"]),
+        )
+
+    nested = _pq_codebook_nested(cb, n_sub)
+    return (
+        e.filter(F.col("is_q"))
+        .crossJoin(F.broadcast(nested))
         .select(
-            "vid", *[F.col(str(s)).alias(f"code{s}") for s in range(n_sub)]
+            F.col("vid").alias("query_id"),
+            F.array(*[lut_for(s) for s in range(n_sub)]).alias("lut"),
         )
     )
 
 
-def _pq_query_lut(e: DataFrame, cb: DataFrame, subs: list):
-    """Per-query lookup table: distance from each query slice to each
-    codebook centroid (|queries| x n_sub x codebook_k rows)."""
-    q = e.filter(F.col("is_q")).select(
-        F.col("vid").alias("query_id"),
-        *[sl.alias(f"qs{s}") for s, sl in subs],
+def _pq_adc_dist() -> Column:
+    """ADC distance from a ``codes`` array and a ``lut`` nested array:
+    sequential left fold of ``lut[s][codes[s]]`` in subspace order —
+    ``(0.0 + d0) + d1 + ...``, bitwise-identical to the oracle's
+    ``list_reduce(list(ld ORDER BY s))`` (adding 0.0 to a non-negative
+    double is exact)."""
+    per_s = F.zip_with(
+        F.col("codes"),
+        F.col("lut"),
+        lambda code, row: F.element_at(row, code.cast("int") + 1),
     )
-    lut = q.join(F.broadcast(cb)).select(
-        "query_id",
-        "s",
-        "cid",
-        F.when(F.col("s") == 0, _pq_subdist(F.col("qs0"), F.col("c")))
-        .otherwise(_pq_subdist(F.col("qs1"), F.col("c")))
-        .alias("ld"),
+    return F.aggregate(per_s, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def train_pq(
+    embeddings: DataFrame,
+    n_sub: int = 4,
+    codebook_k: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PQ pair a pipeline PERSISTS between queries: ``(codes,
+    codebook)`` — ``(vid, codes: array<long>)`` (n_sub small ints per
+    vector; the artifact that replaces the float corpus at query time)
+    and the long codebook ``(s, cid, c)`` (n_sub x codebook_k tiny rows).
+    ``ivf_pq_topk`` / ``pq_adc_topk`` accept the pair prebuilt via
+    ``pq_index`` — train once, probe many, the :func:`train_ivf`
+    convention (see ``sources/staging.py``)."""
+    e, n_sub, sub_dim = _pq_sliced_corpus(
+        embeddings, F.lit(False), n_sub, dim, id_col, vec_col
     )
-    lut0 = lut.filter(F.col("s") == 0).select(
-        "query_id", F.col("cid").alias("code0"), F.col("ld").alias("d0")
-    )
-    lut1 = lut.filter(F.col("s") == 1).select(
-        F.col("query_id").alias("q1"), F.col("cid").alias("c1"),
-        F.col("ld").alias("d1"),
-    )
-    return lut0, lut1
+    cb = _pq_codebook(e, n_sub, sub_dim, codebook_k)
+    return _pq_encode(e, cb, n_sub, sub_dim), cb
 
 
 def pq_adc_topk(
     embeddings: DataFrame,
     query_pred: Column,
-    n_sub: int = 2,
+    n_sub: int = 4,
     codebook_k: int = 4,
     k: int = 5,
     dim: int = 64,
@@ -1011,44 +1088,42 @@ def pq_adc_topk(
     — the memory-compression half of the IVF+PQ recipe behind
     billion-vector indexes.
 
-    The vector space splits into ``n_sub`` subspaces; each subspace gets a
+    The vector space splits into ``n_sub`` subspaces (ANY n_sub dividing
+    dim — real deployments run 8-96); each subspace gets a
     ``codebook_k``-entry codebook (deterministic seeding: the first
     ``codebook_k`` vectors' slices — codebook *training* is k-means,
     covered by :func:`kmeans_lloyd`; PQ's own contribution is the encode +
     ADC machinery).  Every corpus vector is encoded as ``n_sub`` small
-    codes (here 2 x 2 bits — a 512-byte float64 vector becomes 1 byte),
-    and query-to-vector distance is approximated as the SUM of
+    codes (a 512-byte float64 vector becomes n_sub log2(codebook_k)-bit
+    codes), and query-to-vector distance is approximated as the SUM of
     query-to-centroid distances looked up per code — queries never touch
     the corpus floats.
 
-    Plan shape: ONE corpus scan computes all subspace codes (the 8-row
-    codebook joins broadcast, argmin per (vector, subspace) via
-    min(struct)); the per-query lookup table (|queries| x n_sub x
-    codebook_k rows) joins broadcast onto the code table; top-k per query
-    is a partitioned window.  The corpus is never shuffled and its floats
-    are read exactly once — at 100 TB the code table (bytes per vector)
-    is what persists, the float corpus is cold storage.
+    Plan shape (round-10, subspace-as-data): ONE corpus scan computes the
+    whole ``(vid, codes: array)`` table as a narrow expression against the
+    one-row broadcast nested codebook — zero shuffles on the encode path;
+    the per-query LUT (|queries| rows of n_sub x codebook_k doubles)
+    broadcast-joins onto the code table and ADC is a positional
+    ``lut[s][codes[s]]`` fold.  The corpus is never shuffled and its
+    floats are read exactly once — at 100 TB the code table (bytes per
+    vector) is what persists, the float corpus is cold storage.
 
-    Distances are deterministic sequential squared-diff folds, so the
-    whole pipeline (codes, ADC values, ranking) hash-gates bitwise.
+    Distances are deterministic sequential squared-diff folds and the ADC
+    sum is an ordered fold, so the whole pipeline (codes, ADC values,
+    ranking) hash-gates bitwise at any n_sub.
     """
-    e, subs = _pq_sliced_corpus(
+    e, n_sub, sub_dim = _pq_sliced_corpus(
         embeddings, query_pred, n_sub, dim, id_col, vec_col
     )
-    cb = _pq_codebook(e, subs, codebook_k)
-    codes = _pq_encode(e, cb, subs)
-    lut0, lut1 = _pq_query_lut(e, cb, subs)
+    codes, cb = train_pq(embeddings, n_sub, codebook_k, dim, id_col, vec_col)
+    lut = _pq_query_lut(e, cb, n_sub, sub_dim)
 
     adc = (
-        codes.join(F.broadcast(lut0), "code0")
-        .join(
-            F.broadcast(lut1),
-            (F.col("query_id") == F.col("q1")) & (F.col("code1") == F.col("c1")),
-        )
+        codes.crossJoin(F.broadcast(lut))
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            (F.col("d0") + F.col("d1")).alias("adc_dist"),
+            _pq_adc_dist().alias("adc_dist"),
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
@@ -1066,13 +1141,14 @@ def ivf_pq_topk(
     k: int = 5,
     n_lists: int = 16,
     n_probe: int = 3,
-    n_sub: int = 2,
+    n_sub: int = 4,
     codebook_k: int = 4,
     dim: int = 64,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: tuple[DataFrame, DataFrame] | None = None,
+    pq_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF+PQ — the production billion-vector ANN composition: coarse
     k-means inverted lists prune the candidate set (``cosine_topk_ivf``'s
@@ -1083,14 +1159,17 @@ def ivf_pq_topk(
 
     Plan shape: the corpus floats are scanned exactly twice ever — once at
     index-train/assign time (amortized: ``index`` accepts the persisted
-    ``train_ivf`` pair) and once to PQ-encode (the code table is the
-    persisted artifact; bytes per vector).  Per query: centroid ranking is
-    a broadcast of n_lists rows, probing is an equi-join of the code table
-    against a broadcast (query_id, list_id) probe set — candidates ~
-    n_probe/n_lists of the corpus — and ADC is two broadcast LUT joins +
-    a partitioned top-k window.  At 100 TB the code table is written
-    partitioned by list_id so probes prune to files, and nothing in this
-    plan shuffles the corpus.
+    ``train_ivf`` pair) and once to PQ-encode (amortized the same way:
+    ``pq_index`` accepts the persisted ``(codes, codebook)`` pair from
+    :func:`train_pq` — with both supplied, the probe-side plan never
+    touches a corpus float and never fits k-means).  Per query: centroid
+    ranking is a broadcast of n_lists rows, probing is an equi-join of
+    the code table against a broadcast (query_id, list_id) probe set —
+    candidates ~ n_probe/n_lists of the corpus — and ADC is a broadcast
+    LUT join + a positional ``lut[s][codes[s]]`` fold + a partitioned
+    top-k window.  At 100 TB the code table is written partitioned by
+    list_id so probes prune to files, and nothing in this plan shuffles
+    the corpus.
 
     Exhaustive-probe identity (the correctness gate): at
     ``n_probe = n_lists`` every list is probed, each corpus vector sits in
@@ -1104,12 +1183,15 @@ def ivf_pq_topk(
         index = train_ivf(embeddings, n_lists, seed, id_col, vec_col)
     assignments, centroids = index
 
-    e, subs = _pq_sliced_corpus(
+    e, n_sub, sub_dim = _pq_sliced_corpus(
         embeddings, query_pred, n_sub, dim, id_col, vec_col
     )
-    cb = _pq_codebook(e, subs, codebook_k)
-    codes = _pq_encode(e, cb, subs)
-    lut0, lut1 = _pq_query_lut(e, cb, subs)
+    if pq_index is None:
+        pq_index = train_pq(
+            embeddings, n_sub, codebook_k, dim, id_col, vec_col
+        )
+    codes, cb = pq_index
+    lut = _pq_query_lut(e, cb, n_sub, sub_dim)
 
     # Coarse probe: rank centroid distances per query, keep the n_probe
     # nearest lists.  Same shape as cosine_topk_ivf's query side — the
@@ -1148,15 +1230,11 @@ def ivf_pq_topk(
     )
     adc = (
         coded.join(F.broadcast(qprobe), "list_id")
-        .join(F.broadcast(lut0), ["query_id", "code0"])
-        .join(
-            F.broadcast(lut1),
-            (F.col("query_id") == F.col("q1")) & (F.col("code1") == F.col("c1")),
-        )
+        .join(F.broadcast(lut), "query_id")
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            (F.col("d0") + F.col("d1")).alias("adc_dist"),
+            _pq_adc_dist().alias("adc_dist"),
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )

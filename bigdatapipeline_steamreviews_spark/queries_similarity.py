@@ -295,6 +295,47 @@ def _staged_ivf_index(spark, sf_dir, n_lists=16, seed=7):
     return spark.read.parquet(a_path), spark.read.parquet(c_path)
 
 
+def _staged_pq_index(spark, sf_dir, n_sub=4, codebook_k=4):
+    """Encode the PQ pair ONCE per (corpus fingerprint, params) and
+    persist both tables — (vid, codes array<long>) and the long codebook
+    (s, cid, c) — from the same build, under ONE atomically-published
+    stage dir (the _staged_ivf_index recipe; a codes table paired with a
+    foreign codebook would ADC against the wrong centroids).  This is the
+    train-once/probe-many artifact of the 100 TB ANN story: at scale the
+    code table (n_sub small ints per vector) replaces the float corpus at
+    query time, and the probe-side plan never reads a corpus float or
+    re-runs the encode."""
+    import os
+
+    from .operators.similarity import train_pq
+    from .sources.staging import (
+        STAGE_ROOT,
+        STAGE_VERSION,
+        publish_dir,
+        source_fingerprint,
+        stage_params_key,
+    )
+
+    fp = source_fingerprint(sf_dir, "embeddings")
+    pk = stage_params_key("pq", n_sub, codebook_k)
+    root = os.path.join(STAGE_ROOT, f"pq_{pk}_{fp}_{STAGE_VERSION}")
+    codes_path = os.path.join(root, "codes")
+    cb_path = os.path.join(root, "codebook")
+    done = all(
+        os.path.exists(os.path.join(p, "_SUCCESS"))
+        for p in (codes_path, cb_path)
+    )
+    if not done:
+        emb = _clean_emb(spark, sf_dir)
+        codes, cb = train_pq(emb, n_sub=n_sub, codebook_k=codebook_k)
+        tmp = f"{root}.build{os.getpid()}"
+        codes.write.mode("overwrite").parquet(os.path.join(tmp, "codes"))
+        cb.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
+        # codebook is written LAST, so its marker proves a complete stage.
+        publish_dir(tmp, root, marker="codebook/_SUCCESS")
+    return spark.read.parquet(codes_path), spark.read.parquet(cb_path)
+
+
 @register(
     "x3_cosine_topk_ivf",
     f"""
@@ -791,30 +832,61 @@ def x3_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X3 — product quantization + asymmetric distance computation (ADC)
 # ---------------------------------------------------------------------------
 
-# Shared by x3_pq_adc_topk and x3_ivf_pq_topk: at exhaustive probe
-# (n_probe = n_lists) the IVF composition's candidate set is the whole
-# corpus, so the two queries are value-identical by construction and gate
-# against the SAME unrolled-ADC oracle.
-_PQ_ADC_ORACLE = f"""
+# Shared by x3_pq_adc_topk / x3_ivf_pq_topk / x3_ivf_pq_persisted: at
+# exhaustive probe (n_probe = n_lists) the IVF composition's candidate set
+# is the whole corpus, so all three queries are value-identical by
+# construction and gate against the SAME generated-ADC oracle.
+#
+# Round-10: the oracle is GENERATED for any n_sub (mirror of the
+# subspace-as-data generalization in operators/similarity.py) — SQL text
+# is O(n_sub) slice columns, the rest is long-form keyed by s.  Seeds are
+# the codebook_k SMALLEST PRESENT vec_ids (row_number relabel), matching
+# _pq_codebook rather than assuming ids 0..k-1 exist.  The ADC sum is
+# list_reduce over ld ORDER BY s — the same left fold (d0 + d1 + ...) as
+# Spark's ordered aggregate (0.0 + d0 is exact), so the gate is bitwise.
+def _pq_adc_oracle(
+    n_sub: int = 4, dim: int = 64, codebook_k: int = 4, k: int = 5
+) -> str:
+    sub_dim = dim // n_sub
+    slice_cols = ", ".join(
+        f"v[{s * sub_dim + 1}:{(s + 1) * sub_dim}] AS sl{s}"
+        for s in range(n_sub)
+    )
+
+    def dist(src: str, s: int) -> str:
+        return (
+            f"list_sum([({src}.sl{s}[i] - cb.c[i]) * ({src}.sl{s}[i] - cb.c[i])"
+            f" for i in range(1, {sub_dim + 1})])"
+        )
+
+    cb_union = "\n  UNION ALL\n".join(
+        f"  SELECT {s} AS s, cid, sl{s} AS c FROM seeds" for s in range(n_sub)
+    )
+    scored_union = "\n  UNION ALL\n".join(
+        f"  SELECT t.vec_id, {s} AS s, cb.cid, {dist('t', s)} AS dist\n"
+        f"  FROM sliced t JOIN cb ON cb.s = {s}"
+        for s in range(n_sub)
+    )
+    lut_union = "\n  UNION ALL\n".join(
+        f"  SELECT q.vec_id AS query_id, {s} AS s, cb.cid, {dist('q', s)} AS ld\n"
+        f"  FROM sliced q JOIN cb ON cb.s = {s} WHERE q.vec_id < 10"
+        for s in range(n_sub)
+    )
+    return f"""
 WITH e AS (
   SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM {_CLEAN_EMB_SQL}
 ),
-sliced AS (SELECT vec_id, v[1:32] AS sl0, v[33:64] AS sl1 FROM e),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         {slice_cols}
+  FROM e ORDER BY vec_id LIMIT {codebook_k}
+),
+sliced AS (SELECT vec_id, {slice_cols} FROM e),
 cb AS (
-  SELECT 0 AS s, vec_id AS cid, sl0 AS c FROM sliced WHERE vec_id < 4
-  UNION ALL
-  SELECT 1, vec_id, sl1 FROM sliced WHERE vec_id < 4
+{cb_union}
 ),
 scored AS (
-  SELECT t.vec_id, 0 AS s, cb.cid,
-         list_sum([(t.sl0[i] - cb.c[i]) * (t.sl0[i] - cb.c[i])
-                   for i in range(1, 33)]) AS dist
-  FROM sliced t JOIN cb ON cb.s = 0
-  UNION ALL
-  SELECT t.vec_id, 1, cb.cid,
-         list_sum([(t.sl1[i] - cb.c[i]) * (t.sl1[i] - cb.c[i])
-                   for i in range(1, 33)])
-  FROM sliced t JOIN cb ON cb.s = 1
+{scored_union}
 ),
 codes AS (
   SELECT vec_id, s, cid FROM (
@@ -823,37 +895,26 @@ codes AS (
     FROM scored
   ) WHERE rn = 1
 ),
-wide AS (
-  SELECT vec_id,
-         max(CASE WHEN s = 0 THEN cid END) AS code0,
-         max(CASE WHEN s = 1 THEN cid END) AS code1
-  FROM codes GROUP BY vec_id
-),
 lut AS (
-  SELECT q.vec_id AS query_id, 0 AS s, cb.cid,
-         list_sum([(q.sl0[i] - cb.c[i]) * (q.sl0[i] - cb.c[i])
-                   for i in range(1, 33)]) AS ld
-  FROM sliced q JOIN cb ON cb.s = 0 WHERE q.vec_id < 10
-  UNION ALL
-  SELECT q.vec_id, 1, cb.cid,
-         list_sum([(q.sl1[i] - cb.c[i]) * (q.sl1[i] - cb.c[i])
-                   for i in range(1, 33)])
-  FROM sliced q JOIN cb ON cb.s = 1 WHERE q.vec_id < 10
+{lut_union}
 ),
 adc AS (
-  SELECT l0.query_id, w.vec_id AS neighbor_id, l0.ld + l1.ld AS adc_dist
-  FROM wide w
-  JOIN lut l0 ON l0.s = 0 AND l0.cid = w.code0
-  JOIN lut l1 ON l1.s = 1 AND l1.cid = w.code1
-              AND l1.query_id = l0.query_id
-  WHERE w.vec_id != l0.query_id
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list(l.ld ORDER BY l.s), (acc, x) -> acc + x) AS adc_dist
+  FROM codes c
+  JOIN lut l ON l.s = c.s AND l.cid = c.cid
+  WHERE c.vec_id != l.query_id
+  GROUP BY l.query_id, c.vec_id
 )
 SELECT query_id, neighbor_id, adc_dist, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc_dist, neighbor_id) AS rank
   FROM adc
-) WHERE rank <= 5
+) WHERE rank <= {k}
 """
+
+
+_PQ_ADC_ORACLE = _pq_adc_oracle(n_sub=4)
 
 
 @register(
@@ -861,21 +922,23 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
     _PQ_ADC_ORACLE,
     ("X3",),
     "Product quantization + ADC top-5 for 10 queries: the vector space "
-    "splits into 2 subspaces with 4-entry codebooks (deterministic "
+    "splits into 4 subspaces with 4-entry codebooks (deterministic "
     "first-4 seeding — codebook TRAINING is k-means, x3_kmeans_lloyd; "
-    "this query gates the encode + asymmetric-distance machinery).  One "
-    "corpus scan computes all codes (broadcast codebook, min-struct "
-    "argmin), the per-query centroid-distance lookup table joins "
-    "broadcast onto the code table, and queries never touch corpus "
-    "floats — the memory-compression half of the billion-scale IVF+PQ "
-    "recipe (a float64 vector becomes n_sub codes).  Codes, ADC values "
-    "and ranking all hash-gate bitwise.",
+    "this query gates the encode + asymmetric-distance machinery).  "
+    "Subspace-as-data (round-10): ONE corpus scan computes the whole "
+    "(vid, codes array) table as an expression against the one-row "
+    "broadcast nested codebook — zero shuffles on the encode path, any "
+    "n_sub dividing dim — then the per-query LUT broadcast-joins onto "
+    "the code table and ADC is a positional lut[s][codes[s]] ordered "
+    "fold; queries never touch corpus floats — the memory-compression "
+    "half of the billion-scale IVF+PQ recipe (a float64 vector becomes "
+    "n_sub codes).  Codes, ADC values and ranking all hash-gate bitwise.",
 )
 def x3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import pq_adc_topk
 
     return pq_adc_topk(
-        _clean_emb(spark, sf_dir), F.col("vec_id") < 10, k=5
+        _clean_emb(spark, sf_dir), F.col("vec_id") < 10, n_sub=4, k=5
     )
 
 
@@ -908,7 +971,43 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_lists=16,
         n_probe=16,
+        n_sub=4,
         index=index,
+    )
+
+
+@register(
+    "x3_ivf_pq_persisted",
+    _PQ_ADC_ORACLE,
+    ("X3",),
+    "The train-once/probe-many half of the IVF+PQ story (r9 verdict ask "
+    "#3): BOTH index artifacts — the IVF pair (assignments, centroids) "
+    "AND the PQ pair (codes, codebook) — load from fingerprint-keyed "
+    "staged parquet, so the probe-side plan contains no k-means fit and "
+    "no encode: corpus floats are read by the 10 query vectors only, "
+    "the corpus side reads the byte-sized code table.  Exhaustive probe "
+    "(n_probe = n_lists = 16) keeps it value-identical to x3_ivf_pq_topk "
+    "/ x3_pq_adc_topk and gated by the same generated ADC oracle — "
+    "bitwise, proving the persisted artifacts reproduce the inline "
+    "computation exactly.  tests/test_dedup_similarity.py additionally "
+    "pins that the staged probe path never re-trains (KMeans.fit "
+    "poisoned, query still runs).",
+)
+def x3_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_pq_topk
+
+    emb = _clean_emb(spark, sf_dir)
+    index = _staged_ivf_index(spark, sf_dir, n_lists=16, seed=7)
+    pq_index = _staged_pq_index(spark, sf_dir, n_sub=4, codebook_k=4)
+    return ivf_pq_topk(
+        emb,
+        F.col("vec_id") < 10,
+        k=5,
+        n_lists=16,
+        n_probe=16,
+        n_sub=4,
+        index=index,
+        pq_index=pq_index,
     )
 
 

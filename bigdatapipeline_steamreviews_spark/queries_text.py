@@ -2443,19 +2443,23 @@ def x4_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X4 — BPE-faithful token accounting
 # ---------------------------------------------------------------------------
 
-@register(
-    "x4_bpe_tokens",
-    """
+# The BPE oracle is GENERATED from the same Python merges list the Spark
+# operator broadcasts (round-10: the registered configuration is the
+# 227-rank LARGE_MERGES — the r9 ask-#2 gate), with the same
+# segment-boundary pruning guard: a rank whose SEP-delimited pair does not
+# occur in the word is one strpos probe, no fold, on BOTH engines.
+def _bpe_oracle_sql(merges: "list[tuple[str, str]]") -> str:
+    values = ", ".join(
+        f"({i + 1},'{a}','{b}')" for i, (a, b) in enumerate(merges)
+    )
+    return f"""
 WITH RECURSIVE
 words AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
   FROM documents WHERE text IS NOT NULL
 ),
 vocab AS (SELECT DISTINCT word FROM words),
-merges(rank, a, b) AS (VALUES
-  (1,'t','h'), (2,'th','e'), (3,'a','n'), (4,'e','r'), (5,'o','r'),
-  (6,'s','t'), (7,'i','n'), (8,'a','r'), (9,'l','e'), (10,'r','o'),
-  (11,'g','ro'), (12,'d','a')),
+merges(rank, a, b) AS (VALUES {values}),
 enc AS (
   SELECT word,
          array_to_string(list_transform(range(1, length(word) + 1),
@@ -2464,7 +2468,10 @@ enc AS (
   FROM vocab
   UNION ALL
   SELECT enc.word,
-         list_reduce(string_split(enc.syms, chr(1)),
+         CASE WHEN strpos(chr(1) || enc.syms || chr(1),
+                          chr(1) || m.a || chr(1) || m.b || chr(1)) = 0
+              THEN enc.syms
+              ELSE list_reduce(string_split(enc.syms, chr(1)),
            (acc, x) -> CASE
              WHEN string_split(acc, chr(1))[-1] = m.a AND x = m.b THEN
                CASE WHEN length(acc) = length(string_split(acc, chr(1))[-1])
@@ -2473,13 +2480,14 @@ enc AS (
                            length(acc) - length(string_split(acc, chr(1))[-1]) - 1)
                          || chr(1) || m.a || m.b
                END
-             ELSE acc || chr(1) || x END),
+             ELSE acc || chr(1) || x END)
+         END,
          enc.r + 1
   FROM enc JOIN merges m ON m.rank = enc.r + 1
 ),
 pieces AS (
   SELECT word, len(string_split(syms, chr(1)))::BIGINT AS n_bpe
-  FROM enc WHERE r = 12
+  FROM enc WHERE r = {len(merges)}
 )
 SELECT w.doc_id,
        count(*)::BIGINT AS n_ws_tokens,
@@ -2488,26 +2496,41 @@ SELECT w.doc_id,
          AS fertility
 FROM words w JOIN pieces p USING (word)
 GROUP BY w.doc_id
-""",
+"""
+
+
+from .operators.bpe import LARGE_MERGES as _LARGE_MERGES  # noqa: E402
+
+
+@register(
+    "x4_bpe_tokens",
+    _bpe_oracle_sql(_LARGE_MERGES),
     ("X4",),
-    "BPE-faithful token accounting (r8 verdict ask #8): byte-pair "
-    "encoding replayed EXACTLY — per merge rank, one left-to-right fold "
-    "over each word's symbols merging non-overlapping adjacent pairs — "
-    "with the pretrained-style merges table as broadcast DATA (one "
-    "single-row crossJoin per rank, never plan literals) and the O(|word| "
-    "x n_merges) sequential work confined to the DISTINCT-WORD vocabulary "
-    "(Heaps-law bounded); the corpus explode only joins piece counts back "
-    "and sums per doc. Outputs whitespace count, BPE piece count, and "
-    "fertility (pieces/word — what packing/budget math must use for a "
-    "real tokenizer; swap in a real merges.txt to make it exact for it). "
-    "Oracle: recursive CTE replaying the identical fold per rank via "
-    "list_reduce — counts and fertility hash bitwise. "
+    "BPE-faithful token accounting (r8 verdict ask #8; generalized per "
+    "r9 ask #2): byte-pair encoding replayed EXACTLY — per merge rank, "
+    "one left-to-right fold over each word's symbols merging "
+    "non-overlapping adjacent pairs — now with the 227-rank LARGE_MERGES "
+    "table applied as ONE broadcast array and a fold-WITHIN-fold "
+    "aggregate, so Catalyst plan depth is O(1) in |merges| (the former "
+    "per-rank crossJoin chain would blow plan depth at a real 50k-entry "
+    "merges.txt).  A segment-boundary contains-guard makes a non-firing "
+    "rank one substring probe (no fold) on both engines.  The O(|word| x "
+    "n_merges) sequential work stays confined to the DISTINCT-WORD "
+    "vocabulary (Heaps-law bounded); the corpus explode only joins piece "
+    "counts back and sums per doc. Outputs whitespace count, BPE piece "
+    "count, and fertility (pieces/word — what packing/budget math must "
+    "use for a real tokenizer; swap in a real merges.txt to make it "
+    "exact for it). Oracle: GENERATED from the same merges list — "
+    "recursive CTE replaying the identical guarded fold per rank via "
+    "strpos + list_reduce — counts and fertility hash bitwise. "
     "operators/bpe.py::bpe_token_stats.",
 )
 def x4_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.bpe import bpe_token_stats
+    from .operators.bpe import LARGE_MERGES, bpe_token_stats
 
-    return bpe_token_stats(load_table(spark, sf_dir, "documents"))
+    return bpe_token_stats(
+        load_table(spark, sf_dir, "documents"), merges=LARGE_MERGES
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2594,11 +2617,11 @@ FROM placed
     "consistent with both parents'.",
 )
 def x4_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.bpe import bpe_token_stats
+    from .operators.bpe import LARGE_MERGES, bpe_token_stats
     from .operators.packing import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
-    sizes = bpe_token_stats(docs).select(
+    sizes = bpe_token_stats(docs, merges=LARGE_MERGES).select(
         "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
     )
     return pack_sequences(docs, budget=512, n_shards=8, sizes=sizes)

@@ -68,3 +68,51 @@ def test_stats_exclude_nulls_and_fertility(spark):
     assert rows[0]["n_ws_tokens"] == 2
     assert rows[0]["n_bpe_tokens"] == 4
     assert rows[0]["fertility"] == 2.0
+
+
+def test_plan_depth_constant_in_merges(spark):
+    """The r9 ask-#2 gate: merge application must stay DATA at any table
+    size — the fold-within-fold plan has the SAME shape at 12 ranks and
+    at 227 (the former per-rank crossJoin chain grew one plan node per
+    merge and would blow Catalyst at a real 50k merges.txt)."""
+    from bigdatapipeline_steamreviews_spark.operators.bpe import (
+        DEFAULT_MERGES,
+        LARGE_MERGES,
+        bpe_encode_vocab,
+    )
+    from bigdatapipeline_steamreviews_spark.plans.lint import plan_text
+
+    assert len(LARGE_MERGES) >= 200
+    vocab = spark.createDataFrame([("theory",), ("data",)], "word string")
+
+    def shape(merges):
+        # node-type sequence only: strip expression payloads, which
+        # legitimately embed the (constant-folded) literals per plan
+        return [
+            line.strip().split("(")[0].split("[")[0]
+            for line in plan_text(bpe_encode_vocab(vocab, merges=merges)).splitlines()
+            if line.strip().startswith(("*", "+", ":"))
+        ]
+
+    assert shape(DEFAULT_MERGES) == shape(LARGE_MERGES)
+
+
+def test_large_merges_subsumes_default_prefix(spark):
+    """LARGE_MERGES extends DEFAULT_MERGES in rank order, so a word whose
+    pieces only involve rank<=12 units encodes identically under both —
+    and the guarded fold must not change any DEFAULT result."""
+    from bigdatapipeline_steamreviews_spark.operators.bpe import (
+        DEFAULT_MERGES,
+        LARGE_MERGES,
+    )
+
+    assert LARGE_MERGES[: len(DEFAULT_MERGES)] == DEFAULT_MERGES
+    # 'group' -> gro,u,p under DEFAULT; rank-13+ digraphs can consume the
+    # leftovers further but never un-merge: piece counts only shrink.
+    d = _encode(spark, ["the", "theory", "order", "group"])
+    big = _encode(
+        spark, ["the", "theory", "order", "group"], merges=LARGE_MERGES
+    )
+    for w in d:
+        assert big[w] <= d[w]
+    assert big["the"] == 1

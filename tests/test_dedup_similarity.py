@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -488,12 +489,15 @@ def test_prefix_filter_prunes_and_matches_plain_join(spark):
     assert cand < all_pairs
 
 
-def test_pq_adc_equals_reconstruction_distance(spark):
-    """The defining PQ/ADC identity: ADC(q, x) is EXACTLY the squared
-    euclidean distance from q to x's codebook reconstruction (the
-    concatenation of x's per-subspace centroids).  So the distributed
-    ADC ranking must equal a brute-force ranking over reconstructions,
-    ties broken by neighbor id — not approximately, bitwise."""
+@pytest.mark.parametrize("n_sub", [1, 2, 4, 8, 16])
+def test_pq_adc_equals_reconstruction_distance(spark, n_sub):
+    """The defining PQ/ADC identity, at EVERY subspace count (round-10:
+    the former n_sub=2 unroll is gone — subspaces are data): ADC(q, x) is
+    EXACTLY the squared euclidean distance from q to x's codebook
+    reconstruction (the concatenation of x's per-subspace centroids).  So
+    the distributed ADC ranking must equal a brute-force ranking over
+    reconstructions, ties broken by neighbor id — not approximately,
+    bitwise."""
     from bigdatapipeline_steamreviews_spark.operators.similarity import (
         pq_adc_topk,
     )
@@ -504,12 +508,13 @@ def test_pq_adc_equals_reconstruction_distance(spark):
         (F.size("embedding") == 64)
         & ~F.exists("embedding", lambda x: x.isNull())
     )
-    approx = pq_adc_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    approx = pq_adc_topk(emb, F.col("vec_id") < 10, n_sub=n_sub, k=5).collect()
     assert len(approx) > 0
     assert {r["rank"] for r in approx} <= {1, 2, 3, 4, 5}
 
     rows = emb.select("vec_id", "embedding").collect()
     vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    sd = 64 // n_sub
 
     def subdist(a, b):  # left-fold sum, same order as the Spark aggregate
         s = 0.0
@@ -517,11 +522,18 @@ def test_pq_adc_equals_reconstruction_distance(spark):
             s += (x - y) * (x - y)
         return s
 
-    cb = {s: {c: vecs[c][s * 32 : (s + 1) * 32] for c in range(4)} for s in (0, 1)}
+    def sl(vec, s):
+        return vec[s * sd : (s + 1) * sd]
+
+    seed_ids = sorted(vecs)[:4]
+    cb = {
+        s: {c: sl(vecs[sid], s) for c, sid in enumerate(seed_ids)}
+        for s in range(n_sub)
+    }
     codes = {
         v: tuple(
-            min(range(4), key=lambda c: (subdist(vec[s * 32 : (s + 1) * 32], cb[s][c]), c))
-            for s in (0, 1)
+            min(range(4), key=lambda c: (subdist(sl(vec, s), cb[s][c]), c))
+            for s in range(n_sub)
         )
         for v, vec in vecs.items()
     }
@@ -530,8 +542,10 @@ def test_pq_adc_equals_reconstruction_distance(spark):
         ds = sorted(
             (
                 (
-                    subdist(vecs[q][:32], cb[0][codes[n][0]])
-                    + subdist(vecs[q][32:], cb[1][codes[n][1]]),
+                    sum(
+                        subdist(sl(vecs[q], s), cb[s][codes[n][s]])
+                        for s in range(n_sub)
+                    ),
                     n,
                 )
                 for n in vecs
@@ -541,6 +555,20 @@ def test_pq_adc_equals_reconstruction_distance(spark):
         expected |= {(q, n) for _, n in ds}
     got = {(r["query_id"], r["neighbor_id"]) for r in approx}
     assert got == expected
+
+
+def test_pq_rejects_non_dividing_n_sub(spark):
+    """An n_sub that does not divide dim must be a loud ValueError, never
+    a silently-truncated slice."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="divide"):
+        pq_adc_topk(emb, F.col("vec_id") < 10, n_sub=3, dim=64)
 
 
 def test_pq_codebook_seeds_from_smallest_present_ids(spark):
@@ -559,7 +587,7 @@ def test_pq_codebook_seeds_from_smallest_present_ids(spark):
         & ~F.exists("embedding", lambda x: x.isNull())
         & (F.col("vec_id") != 0)
     )
-    approx = pq_adc_topk(emb, F.col("vec_id") < 10, k=5).collect()
+    approx = pq_adc_topk(emb, F.col("vec_id") < 10, n_sub=2, k=5).collect()
     assert len(approx) > 0
 
     rows = emb.select("vec_id", "embedding").collect()
@@ -684,6 +712,42 @@ def test_ivf_pq_exhaustive_probe_equals_pq_adc(spark):
     )
     assert composed == plain
     assert plain, "fixture produced no neighbors"
+
+
+def test_persisted_pq_probe_never_retrains(spark, monkeypatch):
+    """x3_ivf_pq_persisted's contract (r9 verdict ask #3): with both
+    staged artifacts present, the probe-side computation must not fit
+    k-means or re-run the PQ encode.  Poison every train entry point and
+    run the query end-to-end — completing proves the probe path reads
+    only the persisted tables; the plan must scan the staged codes
+    parquet."""
+    import bigdatapipeline_steamreviews_spark.operators.similarity as sim
+    from bigdatapipeline_steamreviews_spark.plans.lint import plan_text
+    from bigdatapipeline_steamreviews_spark.queries_similarity import (
+        _staged_ivf_index,
+        _staged_pq_index,
+        x3_ivf_pq_persisted,
+    )
+    from tests.conftest import SF_DIR
+
+    # Warm the stages (train exactly once, outside the poisoned section).
+    _staged_ivf_index(spark, SF_DIR, n_lists=16, seed=7)
+    _staged_pq_index(spark, SF_DIR, n_sub=4, codebook_k=4)
+
+    def boom(*a, **k):
+        raise AssertionError("probe path re-trained / re-encoded")
+
+    from pyspark.ml.clustering import KMeans
+
+    monkeypatch.setattr(sim, "train_ivf", boom)
+    monkeypatch.setattr(sim, "train_pq", boom)
+    monkeypatch.setattr(KMeans, "fit", boom)
+
+    df = x3_ivf_pq_persisted(spark, SF_DIR)
+    assert "/codes" in plan_text(df), "plan does not scan the staged codes"
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {r["rank"] for r in rows} <= {1, 2, 3, 4, 5}
 
 
 def test_ivf_pq_recall_vs_probes(spark):
