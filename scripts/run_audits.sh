@@ -48,4 +48,14 @@ TZ=Asia/Kathmandu JAVA_TOOL_OPTIONS="-Duser.language=tr -Duser.country=TR -Duser
   python scripts/verify_local.py --json "$OUT/env.json" "$SRC" | tail -1
 python scripts/hash_diff.py "$OUT/clean.json" "$OUT/env.json" | tail -1
 
+echo "== §9b arrow/pandas seam profile (r9 ask #5: tiny Arrow batches, strict conversion, pandas copy-on-write) =="
+# PANDAS_COPY_ON_WRITE needs a fresh JVM: Python workers inherit the JVM's
+# env, frozen at JVM start — which this subprocess provides.  The conf pin
+# rides SPARK_GRAFT_EXTRA_CONF so seam builders' own conf.set yields to it
+# (session.set_unless_pinned — the r9 ADVICE fix this sweep exercises).
+PANDAS_COPY_ON_WRITE=1 \
+SPARK_GRAFT_EXTRA_CONF="spark.sql.execution.arrow.maxRecordsPerBatch=16;spark.sql.execution.pandas.convertToArrowArraySafely=true" \
+  python scripts/verify_local.py --json "$OUT/seam.json" "$SRC" | tail -1
+python scripts/hash_diff.py "$OUT/clean.json" "$OUT/seam.json" | tail -1
+
 echo "all audits green; artifacts in $OUT"

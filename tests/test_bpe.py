@@ -116,3 +116,43 @@ def test_large_merges_subsumes_default_prefix(spark):
     for w in d:
         assert big[w] <= d[w]
     assert big["the"] == 1
+
+
+def test_tokenizer_seam_matches_jvm_fold(spark):
+    """r9 verdict ask #7 (stretch): the model-inference seam runs a REAL
+    tokenizer — 'bpe-fertility-v1' counts pieces with an independent
+    Python BPE scan over the same 227-rank merges table — and its
+    fertility must agree BITWISE with the JVM fold per document (the JVM
+    fold is DuckDB-oracle-gated, so it is the oracle here).  max_len is
+    raised past every document so the seam's context-window truncation
+    does not desync the token sets."""
+    from bigdatapipeline_steamreviews_spark.operators.bpe import (
+        LARGE_MERGES,
+        bpe_token_stats,
+    )
+    from bigdatapipeline_steamreviews_spark.operators.inference import (
+        model_scores,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    jvm = {
+        r["doc_id"]: r
+        for r in bpe_token_stats(docs, merges=LARGE_MERGES).collect()
+    }
+    seam = {
+        r["doc_id"]: r
+        for r in model_scores(
+            docs, model="bpe-fertility-v1", max_len=1_000_000
+        ).collect()
+    }
+    assert len(jvm) > 0
+    assert set(jvm) <= set(seam)  # seam keeps null/empty docs (score None)
+    for doc_id, j in jvm.items():
+        s = seam[doc_id]
+        assert s["n_tokens"] == j["n_ws_tokens"], doc_id
+        assert s["score"] == j["fertility"], doc_id  # bitwise
+    for doc_id, s in seam.items():
+        if doc_id not in jvm:  # NULL-text / token-less: quarantined
+            assert s["score"] is None
