@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "x3_ivf_pq_topk",              # IVF+PQ composed ANN (exhaustive probe)
     "x4_model_scores",             # Arrow model-inference seam
     "x4_bpe_tokens",               # vocab-confined BPE token accounting
+    # r10 birth (35 above stay comparable):
+    "x3_ivf_pq_persisted",         # probe-only ANN from staged index
 ]
 
 
