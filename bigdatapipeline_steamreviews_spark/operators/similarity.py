@@ -1052,6 +1052,84 @@ def _pq_adc_dist() -> Column:
     return F.aggregate(per_s, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _pq_lloyd_codebook(
+    e: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    codebook_k: int,
+    iters: int,
+    sample_n: int | None,
+) -> DataFrame:
+    """Per-subspace Lloyd's k-means over the SEEDED codebook — the
+    production PQ trainer (first-k seeding is the deterministic
+    initializer, k-means is what real PQ ships).  Runs on a bounded
+    deterministic SAMPLE (smallest ``sample_n`` vids — FAISS-style: PQ
+    codebooks train on ~1M sampled vectors, never the full corpus), with
+    the :func:`kmeans_lloyd` arithmetic discipline (1e-8-quantized
+    components, exact-decimal means) so the trained centroids are
+    partition-independent bitwise.
+
+    Empty clusters RETAIN their previous centroid (left-join + coalesce):
+    the ADC lookup is POSITIONAL (``lut[s][code]`` with cid-dense
+    arrays), so a vanished cid would misindex every later code in that
+    subspace — density is a correctness invariant, not cosmetics."""
+    from ..functions import avg_exact
+
+    sample = e.orderBy("vid").limit(sample_n) if sample_n else e
+    long = sample.select(
+        "vid",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("s"),
+                        F.slice(F.col("v"), 1 + s * sub_dim, sub_dim).alias(
+                            "sl"
+                        ),
+                    )
+                    for s in range(n_sub)
+                ]
+            )
+        ),
+    )
+    cb = _pq_codebook(e, n_sub, sub_dim, codebook_k)
+    for _ in range(iters):
+        asg = (
+            long.join(F.broadcast(cb), "s")
+            .select(
+                "vid",
+                "s",
+                "cid",
+                _pq_subdist(F.col("sl"), F.col("c")).alias("dist"),
+            )
+            .groupBy("vid", "s")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vid", "s", F.col("m.cid").alias("cid"))
+        )
+        memb = asg.join(long, ["vid", "s"]).select(
+            "s", "cid", F.posexplode(F.col("sl")).alias("pos", "val")
+        )
+        val_q = F.floor(F.col("val") * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+        means = (
+            memb.groupBy("s", "cid", "pos")
+            .agg(avg_exact(val_q).alias("m"))
+            .groupBy("s", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("c_new")
+            )
+        )
+        cb = (
+            cb.join(means, ["s", "cid"], "left")
+            .select(
+                "s", "cid", F.coalesce(F.col("c_new"), F.col("c")).alias("c")
+            )
+        )
+    return cb
+
+
 def train_pq(
     embeddings: DataFrame,
     n_sub: int = 4,
@@ -1059,6 +1137,8 @@ def train_pq(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+    train_sample: int | None = 4096,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the PQ pair a pipeline PERSISTS between queries: ``(codes,
     codebook)`` — ``(vid, codes: array<long>)`` (n_sub small ints per
@@ -1066,11 +1146,25 @@ def train_pq(
     and the long codebook ``(s, cid, c)`` (n_sub x codebook_k tiny rows).
     ``ivf_pq_topk`` / ``pq_adc_topk`` accept the pair prebuilt via
     ``pq_index`` — train once, probe many, the :func:`train_ivf`
-    convention (see ``sources/staging.py``)."""
+    convention (see ``sources/staging.py``).
+
+    ``lloyd_iters=0`` (default) keeps the deterministic first-k-seeded
+    codebook the registered queries oracle against; ``lloyd_iters>0``
+    refines it with per-subspace k-means on a ``train_sample``-bounded
+    deterministic sample (:func:`_pq_lloyd_codebook`) — the production
+    configuration.  Encode/ADC are codebook-agnostic: the
+    ADC-equals-reconstruction-distance identity and the IVF
+    exhaustive-probe identity hold for ANY codebook and are
+    pytest-pinned for the trained one (tests/test_dedup_similarity.py)."""
     e, n_sub, sub_dim = _pq_sliced_corpus(
         embeddings, F.lit(False), n_sub, dim, id_col, vec_col
     )
-    cb = _pq_codebook(e, n_sub, sub_dim, codebook_k)
+    if lloyd_iters > 0:
+        cb = _pq_lloyd_codebook(
+            e, n_sub, sub_dim, codebook_k, lloyd_iters, train_sample
+        )
+    else:
+        cb = _pq_codebook(e, n_sub, sub_dim, codebook_k)
     return _pq_encode(e, cb, n_sub, sub_dim), cb
 
 
@@ -1083,6 +1177,7 @@ def pq_adc_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation (ADC)
     — the memory-compression half of the IVF+PQ recipe behind
@@ -1115,7 +1210,9 @@ def pq_adc_topk(
     e, n_sub, sub_dim = _pq_sliced_corpus(
         embeddings, query_pred, n_sub, dim, id_col, vec_col
     )
-    codes, cb = train_pq(embeddings, n_sub, codebook_k, dim, id_col, vec_col)
+    if pq_index is None:
+        pq_index = train_pq(embeddings, n_sub, codebook_k, dim, id_col, vec_col)
+    codes, cb = pq_index
     lut = _pq_query_lut(e, cb, n_sub, sub_dim)
 
     adc = (

@@ -976,6 +976,152 @@ def x3_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trained-codebook PQ oracle generator: per-subspace Lloyd's k-means
+# unrolled as SQL CTEs (the x3_kmeans_lloyd recipe, with subspace as a
+# DATA column so one CTE block per iteration covers every subspace), then
+# the same encode/LUT/ADC pipeline as _pq_adc_oracle against the TRAINED
+# codebook.  Empty clusters keep their previous centroid via LEFT JOIN +
+# coalesce — mirroring the cid-density invariant positional ADC needs.
+def _pq_trained_oracle(
+    n_sub: int = 4,
+    dim: int = 64,
+    codebook_k: int = 4,
+    iters: int = 2,
+    sample_n: int = 4096,
+    k: int = 5,
+) -> str:
+    sd = dim // n_sub
+    slices = ", ".join(
+        f"{{'s': {s}, 'sl': v[{s * sd + 1}:{(s + 1) * sd}]}}"
+        for s in range(n_sub)
+    )
+    exact_mean = (
+        "((sum(CAST(floor(val * 100000000.0 + 0.5) / 100000000.0"
+        " AS DECIMAL(28,10)))::VARCHAR)::DOUBLE) / count(val)"
+    )
+
+    def sq(l: str, r: str) -> str:
+        return (
+            f"list_sum([({l}.sl[j] - {r}.c[j]) * ({l}.sl[j] - {r}.c[j])"
+            f" for j in range(1, {sd + 1})])"
+        )
+
+    it_blocks = []
+    for i in range(1, iters + 1):
+        it_blocks.append(f"""
+d{i} AS (
+  SELECT l.vec_id, l.s, c.cid, {sq('l', 'c')} AS dist
+  FROM slong l JOIN cb{i - 1} c ON c.s = l.s
+),
+a{i} AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dist, cid) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+),
+pos{i} AS (
+  SELECT s, cid, u['pos'] AS pos, u['val'] AS val FROM (
+    SELECT a.s, a.cid,
+           unnest([{{'pos': j-1, 'val': l.sl[j]}}
+                   for j in range(1, {sd + 1})]) AS u
+    FROM a{i} a JOIN slong l ON l.vec_id = a.vec_id AND l.s = a.s
+  )
+),
+per{i} AS (
+  SELECT s, cid, pos, {exact_mean} AS m
+  FROM pos{i} GROUP BY 1, 2, 3
+),
+m{i} AS (SELECT s, cid, list(m ORDER BY pos) AS c FROM per{i} GROUP BY s, cid),
+cb{i} AS (
+  SELECT p.s, p.cid, coalesce(m.c, p.c) AS c
+  FROM cb{i - 1} p LEFT JOIN m{i} m ON m.s = p.s AND m.cid = p.cid
+)""")
+    return f"""
+WITH e AS (
+  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM {_CLEAN_EMB_SQL}
+),
+sample AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {sample_n}),
+slong AS (
+  SELECT vec_id, u['s'] AS s, u['sl'] AS sl FROM (
+    SELECT vec_id, unnest([{slices}]) AS u FROM sample
+  )
+),
+clong AS (
+  SELECT vec_id, u['s'] AS s, u['sl'] AS sl FROM (
+    SELECT vec_id, unnest([{slices}]) AS u FROM e
+  )
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM e ORDER BY vec_id LIMIT {codebook_k}
+),
+cb0 AS (
+  SELECT u['s'] AS s, cid, u['sl'] AS c FROM (
+    SELECT cid, unnest([{slices}]) AS u FROM seeds
+  )
+),{",".join(it_blocks)},
+scored AS (
+  SELECT t.vec_id, t.s, c.cid, {sq('t', 'c')} AS dist
+  FROM clong t JOIN cb{iters} c ON c.s = t.s
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dist, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, q.s, c.cid, {sq('q', 'c')} AS ld
+  FROM clong q JOIN cb{iters} c ON c.s = q.s WHERE q.vec_id < 10
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list(l.ld ORDER BY l.s), (acc, x) -> acc + x) AS adc_dist
+  FROM codes c
+  JOIN lut l ON l.s = c.s AND l.cid = c.cid
+  WHERE c.vec_id != l.query_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
+@register(
+    "x3_pq_adc_trained",
+    _pq_trained_oracle(n_sub=4, codebook_k=4, iters=2, sample_n=4096),
+    ("X3",),
+    "PRODUCTION-configuration PQ: the codebooks are TRAINED — 2 unrolled "
+    "per-subspace Lloyd iterations over a deterministic 4096-vector "
+    "sample (FAISS-style: PQ trains on a bounded sample, never the full "
+    "corpus), with the x3_kmeans_lloyd arithmetic discipline "
+    "(1e-8-quantized components, exact-decimal means) and empty clusters "
+    "retaining their previous centroid (the cid-DENSITY invariant the "
+    "positional lut[s][codes[s]] ADC depends on — a vanished cid would "
+    "misindex every later code in its subspace).  The whole trajectory — "
+    "seeded codebook, per-iteration assignments and means, final codes, "
+    "ADC values, ranking — hash-gates BITWISE against the generated "
+    "unrolled-Lloyd oracle, because subspace-as-data makes one SQL CTE "
+    "block per iteration cover all subspaces.  "
+    "operators/similarity.py::train_pq(lloyd_iters=2).",
+)
+def x3_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_adc_topk, train_pq
+
+    emb = _clean_emb(spark, sf_dir)
+    pq_index = train_pq(
+        emb, n_sub=4, codebook_k=4, lloyd_iters=2, train_sample=4096
+    )
+    return pq_adc_topk(
+        emb, F.col("vec_id") < 10, n_sub=4, k=5, pq_index=pq_index
+    )
+
+
 @register(
     "x3_ivf_pq_persisted",
     _PQ_ADC_ORACLE,

@@ -785,3 +785,160 @@ def test_ivf_pq_recall_vs_probes(spark):
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] == 1.0
     assert recalls[0] > 0.0
+
+
+def _pq_py_model(cb_rows, vecs, n_sub, sd):
+    """Python-side PQ model from a collected (s, cid, c) codebook: per-word
+    codes by argmin (left-fold subdist, ties to smallest cid) and the
+    ADC = reconstruction-distance ranking — the oracle for trained
+    codebooks, where no SQL twin exists."""
+
+    def subdist(a, b):
+        t = 0.0
+        for x, y in zip(a, b):
+            t += (x - y) * (x - y)
+        return t
+
+    cb = {}
+    for r in cb_rows:
+        cb.setdefault(r["s"], {})[r["cid"]] = [float(x) for x in r["c"]]
+    codes = {
+        v: [
+            min(
+                sorted(cb[s]),
+                key=lambda c: (subdist(vec[s * sd : (s + 1) * sd], cb[s][c]), c),
+            )
+            for s in range(n_sub)
+        ]
+        for v, vec in vecs.items()
+    }
+    return cb, codes, subdist
+
+
+def test_trained_pq_codebook_is_dense_and_codes_match_python(spark):
+    """train_pq(lloyd_iters=2): the per-subspace k-means codebook must
+    stay cid-DENSE (positional ADC misindexes otherwise — empty clusters
+    retain their previous centroid) and the distributed codes must equal
+    an independent Python argmin against the SAME trained centroids."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        train_pq,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        (F.size("embedding") == 64)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    n_sub, k, sd = 4, 4, 16
+    codes_df, cb_df = train_pq(
+        emb, n_sub=n_sub, codebook_k=k, lloyd_iters=2
+    )
+    cb_rows = cb_df.collect()
+    per_s = {}
+    for r in cb_rows:
+        per_s.setdefault(r["s"], set()).add(r["cid"])
+    assert set(per_s) == set(range(n_sub))
+    for s, cids in per_s.items():
+        assert cids == set(range(k)), f"subspace {s} lost cids: {cids}"
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    _, py_codes, _ = _pq_py_model(cb_rows, vecs, n_sub, sd)
+    got = {r["vid"]: list(r["codes"]) for r in codes_df.collect()}
+    assert got == py_codes
+
+
+def test_trained_codebook_adc_still_equals_reconstruction(spark):
+    """The ADC machinery is codebook-agnostic: with a k-means-TRAINED
+    codebook fed through pq_index, the exhaustive-probe IVF+PQ ranking
+    must equal the brute-force reconstruction-distance ranking computed
+    in Python from the same trained centroids (the identity the seeded
+    configuration oracles in SQL)."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        ivf_pq_topk,
+        train_ivf,
+        train_pq,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        (F.size("embedding") == 64)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    n_sub, k, sd = 4, 4, 16
+    pq_index = train_pq(emb, n_sub=n_sub, codebook_k=k, lloyd_iters=2)
+    index = train_ivf(emb, n_lists=8, seed=7)
+    got_rows = ivf_pq_topk(
+        emb,
+        F.col("vec_id") < 10,
+        k=5,
+        n_lists=8,
+        n_probe=8,
+        n_sub=n_sub,
+        index=index,
+        pq_index=pq_index,
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    cb, codes, subdist = _pq_py_model(
+        pq_index[1].collect(), vecs, n_sub, sd
+    )
+    expected = set()
+    for q in [v for v in vecs if v < 10]:
+        ds = sorted(
+            (
+                (
+                    sum(
+                        subdist(
+                            vecs[q][s * sd : (s + 1) * sd], cb[s][codes[n][s]]
+                        )
+                        for s in range(n_sub)
+                    ),
+                    n,
+                )
+                for n in vecs
+                if n != q
+            )
+        )[:5]
+        expected |= {(q, n) for _, n in ds}
+    assert got == expected
+    assert len(got_rows) > 0
+
+
+def test_trained_codebook_retains_empty_clusters(spark):
+    """Force an empty cluster (two identical seed vectors: ties argmin to
+    the smaller cid, starving the other) and assert the trained codebook
+    keeps the starved cid with its seed centroid — the cid-density
+    invariant positional ADC depends on."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        train_pq,
+    )
+
+    dim, n_sub = 8, 2
+    rows = [
+        (0, [1.0] * dim),
+        (1, [1.0] * dim),  # identical to seed 0 -> cid 1 starves
+        (2, [5.0] * dim),
+        (3, [9.0] * dim),
+        (4, [5.1] * dim),
+        (5, [8.9] * dim),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    codes_df, cb_df = train_pq(
+        emb, n_sub=n_sub, codebook_k=4, dim=dim, lloyd_iters=2
+    )
+    cb = {(r["s"], r["cid"]): r["c"] for r in cb_df.collect()}
+    assert set(cb) == {(s, c) for s in range(n_sub) for c in range(4)}
+    for s in range(n_sub):
+        assert cb[(s, 1)] == [1.0] * (dim // n_sub)  # starved, kept as seed
+    assert codes_df.count() == len(rows)
