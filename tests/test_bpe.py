@@ -156,3 +156,47 @@ def test_tokenizer_seam_matches_jvm_fold(spark):
     for doc_id, s in seam.items():
         if doc_id not in jvm:  # NULL-text / token-less: quarantined
             assert s["score"] is None
+
+
+def test_jvm_fold_matches_python_scan_on_adversarial_words(spark):
+    """Cross-implementation sweep: ONE encode job over a batch of
+    adversarial generated words (overlap runs, chained merges, merges at
+    word boundaries, multibyte/astral symbols, all-fire and never-fire
+    alphabets) must agree with the independent Python left-to-right
+    scanner behind the 'bpe-fertility-v1' seam — two formulations of the
+    merge semantics, under the full 227-rank table."""
+    from bigdatapipeline_steamreviews_spark.operators.bpe import (
+        LARGE_MERGES,
+    )
+
+    def py_count(word):
+        syms = list(word)
+        for a, b in LARGE_MERGES:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    words = set()
+    # overlap runs of every merge pair, including self-pairs
+    for a, b in LARGE_MERGES[:40]:
+        words.add(a + b)
+        words.add((a + b) * 3)
+        words.add(b + a + b + a)
+        words.add(a + a + b + b)
+    # chained multi-symbol units and boundary placements
+    words.update(
+        ["the", "theory", "thethethe", "groupgroup", "dadada", "xthex",
+         "ttttttt", "erererer", "naïvethé", "🎮th🎮", "a", "", "zzz",
+         "thisisaverylongwordwithmanymergeablepairsinsideitsomewhere"]
+    )
+    words = sorted(w for w in words if w)
+    got = _encode(spark, words, merges=LARGE_MERGES)
+    want = {w: py_count(w) for w in words}
+    assert got == want
