@@ -79,11 +79,9 @@ DEFAULT_MERGES: list[tuple[str, str]] = [
 # exactly a real tokenizer's tail — and the encode cost must be bounded by
 # the ranks that FIRE, not the table size (the contains-guard below).
 _FREQ = "etaoinshrdlcumw"
+_CURATED = set(DEFAULT_MERGES)
 LARGE_MERGES: list[tuple[str, str]] = DEFAULT_MERGES + [
-    (c1, c2)
-    for c1 in _FREQ
-    for c2 in _FREQ
-    if (c1, c2) not in set(DEFAULT_MERGES)
+    (c1, c2) for c1 in _FREQ for c2 in _FREQ if (c1, c2) not in _CURATED
 ]
 
 _SEP = "\x01"

@@ -952,6 +952,38 @@ def _pq_codebook(
     ).select("s", "cid", "c")
 
 
+def _validate_pq_index(cb: DataFrame, n_sub: int, sub_dim: int, codebook_k: int) -> None:
+    """Assert a caller-supplied (prebuilt / persisted) codebook matches the
+    call's PQ geometry BEFORE any LUT is built.  Without this, a codebook
+    trained at a different ``n_sub`` silently produces garbage: the LUT
+    slices queries with the caller's sub_dim while the stored codes have a
+    different length, and the positional ``zip_with`` in the ADC fold pads
+    the shorter array with NULL — NULL adc_dist, nonsense rankings, no
+    error (round-11 ADVICE fix).  The check is one aggregate over the tiny
+    n_sub x codebook_k codebook — negligible next to the probe itself."""
+    row = cb.agg(
+        F.countDistinct("s").alias("n_sub"),
+        (F.max("s") + 1).alias("s_hi"),
+        F.min(F.size("c")).alias("dim_lo"),
+        F.max(F.size("c")).alias("dim_hi"),
+        (F.count("*") / F.countDistinct("s")).alias("k_per_s"),
+    ).first()
+    if (
+        row["n_sub"] != n_sub
+        or row["s_hi"] != n_sub
+        or row["dim_lo"] != sub_dim
+        or row["dim_hi"] != sub_dim
+        or row["k_per_s"] != codebook_k
+    ):
+        raise ValueError(
+            "supplied pq_index does not match call geometry: codebook has "
+            f"n_sub={row['n_sub']} (s up to {row['s_hi'] - 1}), "
+            f"sub_dim in [{row['dim_lo']}, {row['dim_hi']}], "
+            f"~{row['k_per_s']} centroids/subspace; call expects "
+            f"n_sub={n_sub}, sub_dim={sub_dim}, codebook_k={codebook_k}"
+        )
+
+
 def _pq_subdist(vec_slice: Column, cent: Column) -> Column:
     diffsq = F.zip_with(vec_slice, cent, lambda x, y: (x - y) * (x - y))
     return F.aggregate(diffsq, F.lit(0.0), lambda acc, x: acc + x)
@@ -1212,6 +1244,8 @@ def pq_adc_topk(
     )
     if pq_index is None:
         pq_index = train_pq(embeddings, n_sub, codebook_k, dim, id_col, vec_col)
+    else:
+        _validate_pq_index(pq_index[1], n_sub, sub_dim, codebook_k)
     codes, cb = pq_index
     lut = _pq_query_lut(e, cb, n_sub, sub_dim)
 
@@ -1287,6 +1321,8 @@ def ivf_pq_topk(
         pq_index = train_pq(
             embeddings, n_sub, codebook_k, dim, id_col, vec_col
         )
+    else:
+        _validate_pq_index(pq_index[1], n_sub, sub_dim, codebook_k)
     codes, cb = pq_index
     lut = _pq_query_lut(e, cb, n_sub, sub_dim)
 

@@ -275,20 +275,30 @@ def prune_stages(
             # but a legitimately slow in-flight build (bigger corpus, slow
             # disk) writes under Spark's ``_temporary/`` subtree without
             # refreshing the top-level dir mtime, so key the liveness
-            # check on the NEWEST mtime found recursively: any write in
-            # the last grace window means the build is alive (round-10
-            # ADVICE fix — rmtree'ing a live temp corrupts the publish).
-            newest = os.stat(path).st_mtime
-            for dirpath, _dirnames, filenames in os.walk(path):
-                try:
-                    newest = max(newest, os.stat(dirpath).st_mtime)
-                    for f in filenames:
-                        newest = max(
-                            newest, os.stat(os.path.join(dirpath, f)).st_mtime
-                        )
-                except OSError:
-                    continue  # file vanished mid-walk (build progressing)
-            if now - newest < grace_seconds:
+            # check on file mtimes found recursively: any write in the
+            # last grace window means the build is alive (round-10 ADVICE
+            # fix — rmtree'ing a live temp corrupts the publish).  The
+            # walk short-circuits on the FIRST recent mtime (round-11
+            # ADVICE fix): a large crashed build no longer costs a full
+            # O(total files) scan per prune call once any recent write is
+            # seen, and bailing out early also narrows the window between
+            # observing liveness and acting on it.
+            def _recently_written() -> bool:
+                if now - os.stat(path).st_mtime < grace_seconds:
+                    return True
+                for dirpath, _dirnames, filenames in os.walk(path):
+                    try:
+                        if now - os.stat(dirpath).st_mtime < grace_seconds:
+                            return True
+                        for f in filenames:
+                            st = os.stat(os.path.join(dirpath, f))
+                            if now - st.st_mtime < grace_seconds:
+                                return True
+                    except OSError:
+                        continue  # file vanished mid-walk (build progressing)
+                return False
+
+            if _recently_written():
                 continue
             shutil.rmtree(path, ignore_errors=True)
             removed.append(entry)

@@ -571,6 +571,51 @@ def test_pq_rejects_non_dividing_n_sub(spark):
         pq_adc_topk(emb, F.col("vec_id") < 10, n_sub=3, dim=64)
 
 
+def test_pq_rejects_mismatched_prebuilt_index(spark):
+    """A prebuilt pq_index whose codebook geometry disagrees with the
+    call's n_sub/dim/codebook_k must be a loud ValueError, never NULL
+    adc_dists from a mis-sliced LUT (round-11 ADVICE fix): the positional
+    zip_with in the ADC fold pads length-mismatched arrays with NULL, so
+    without the guard a codebook trained at n_sub=8 fed to an n_sub=4
+    call silently yields garbage rankings."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        train_ivf,
+        train_pq,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        (F.size("embedding") == 64)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    wrong_nsub = train_pq(emb, n_sub=8, codebook_k=4)
+    with pytest.raises(ValueError, match="does not match call geometry"):
+        pq_adc_topk(
+            emb, F.col("vec_id") < 10, n_sub=4, dim=64, pq_index=wrong_nsub
+        )
+    wrong_k = train_pq(emb, n_sub=4, codebook_k=8)
+    with pytest.raises(ValueError, match="does not match call geometry"):
+        ivf_pq_topk(
+            emb,
+            F.col("vec_id") < 10,
+            n_sub=4,
+            codebook_k=4,
+            index=train_ivf(emb, n_lists=8, seed=7),
+            pq_index=wrong_k,
+        )
+    # A GEOMETRY-matching trained index still passes the guard.
+    ok = train_pq(emb, n_sub=4, codebook_k=4, lloyd_iters=1)
+    assert (
+        pq_adc_topk(
+            emb, F.col("vec_id") < 3, n_sub=4, k=2, pq_index=ok
+        ).count()
+        == 6
+    )
+
+
 def test_pq_codebook_seeds_from_smallest_present_ids(spark):
     """Codebook seeding must survive missing low vec_ids: with vid 0
     filtered out (as vector hygiene routinely does), the codebook seeds
