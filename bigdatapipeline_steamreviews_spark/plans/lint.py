@@ -73,10 +73,100 @@ def _single_partition_window(plan: str) -> str | None:
     return None
 
 
+def _name_start(line: str) -> int:
+    """Index where a plan line's node name begins (past the tree-drawing
+    prefix of spaces, ``+- `` connectors and ``:``/``|`` rails)."""
+    i = 0
+    while i < len(line) and line[i] in " +-:|":
+        i += 1
+    return i
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """The contents of ``[...]`` groups opening at nesting depth 0 in
+    ``s`` — the argument lists of a plan node's simpleString.  ``Window``
+    prints ``[windowExprs], [partitionSpec], [orderSpec]``, but EMPTY
+    specs are omitted from the rendering, so two groups is ambiguous:
+    partition-only (count/sum over a partition, no order) or order-only
+    (unpartitioned ranking).  Callers disambiguate by content — an order
+    spec always carries ``ASC NULLS``/``DESC NULLS`` tokens."""
+    depth = 0
+    groups: list[str] = []
+    start = -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0 and start >= 0:
+                groups.append(s[start:i])
+                start = -1
+    return groups
+
+
+def _is_order_spec(group: str) -> bool:
+    return " ASC NULLS " in f" {group} " or " DESC NULLS " in f" {group} "
+
+
+_BOUNDED_INPUT_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "AggregateInPandas",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalLimit",
+    "WindowGroupLimit",
+)
+
+
+def _unpartitioned_window(plan: str) -> str | None:
+    # A Window with NO partition spec serializes its entire input through
+    # one task (the "WARN WindowExec: No Partition Defined" at runtime).
+    # That is fine — and common — when the input is structurally bounded:
+    # an aggregate output (vocab tables, bucket tables, day spines) or a
+    # limit.  It is a 100-TB outage when a corpus-scale frame flows in, so
+    # flag any unpartitioned Window whose input SUBTREE shows no
+    # aggregate/limit node (round-11: pins the boundedness the round-10
+    # verdict found documented-but-unenforced).  Differs from
+    # single-partition-window: that keys on the input Exchange, which
+    # vanishes when the input is already single-partition (post-limit,
+    # 1-row aggregate) — this keys on the Window node itself.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        start = _name_start(line)
+        if not line[start:].startswith("Window ") or "WindowGroupLimit" in line:
+            continue
+        groups = _top_level_bracket_groups(line[start:])
+        if len(groups) >= 3:
+            continue  # [exprs], [partitionSpec], [orderSpec]
+        if len(groups) == 2 and not _is_order_spec(groups[1]):
+            continue  # [exprs], [partitionSpec] — partitioned, no order
+        subtree = []
+        for below in lines[i + 1 :]:
+            if below.strip() and _name_start(below) <= start:
+                break
+            subtree.append(below)
+        if not any(
+            node in below for below in subtree for node in _BOUNDED_INPUT_NODES
+        ):
+            return (
+                "Window with no partition spec over a subtree containing no "
+                "aggregate/limit: the whole (possibly corpus-scale) input "
+                "funnels through ONE task — partition the window, or bound "
+                "its input, or allowlist with the boundedness documented"
+            )
+    return None
+
+
 _RULES = (
     ("cartesian-product", _cartesian_product),
     ("python-row-eval", _python_row_eval),
     ("single-partition-window", _single_partition_window),
+    ("unpartitioned-window", _unpartitioned_window),
 )
 
 
