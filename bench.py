@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "x4_bpe_tokens",               # vocab-confined BPE token accounting
     # r10 birth (35 above stay comparable):
     "x3_ivf_pq_persisted",         # probe-only ANN from staged index
+    # r11 birth (36 above stay comparable):
+    "x3_ivf_pq_incremental",       # streaming ANN index maintenance
 ]
 
 

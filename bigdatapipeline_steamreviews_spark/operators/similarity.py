@@ -41,9 +41,11 @@ __all__ = [
     "cluster_inertia",
     "scalar_quantize",
     "assign_to_centroids",
+    "seeded_centroids",
     "semantic_dedup_pairs",
     "pq_adc_topk",
     "ivf_pq_topk",
+    "train_pq",
 ]
 
 
@@ -542,6 +544,40 @@ def cosine_topk_ivf(
     return _topk(pairs, k).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+def seeded_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-quantizer seeding: the ``n_lists`` SMALLEST
+    present ids' vectors as ``(list_id, centroid)`` — the ``_pq_codebook``
+    seeding recipe at full dimensionality.  Oracle-expressible (ORDER BY
+    id LIMIT n + row_number relabel, no MLlib randomness), which is what
+    lets an index built on these centroids hash-gate end to end; k-means
+    REFINEMENT of a frozen quantizer is the separately-gated
+    ``kmeans_lloyd`` / ``train_pq(lloyd_iters=...)`` machinery.  orderBy +
+    limit compiles to TakeOrderedAndProject (map-side partial top-k, no
+    corpus sort) and the relabel window runs on n_lists rows."""
+    from pyspark.sql import Window as _W
+
+    return (
+        embeddings.select(
+            F.col(id_col).alias("__sid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+        )
+        .orderBy("__sid")
+        .limit(n_lists)
+        .withColumn(
+            "list_id",
+            (F.row_number().over(_W.orderBy("__sid")) - 1).cast("long"),
+        )
+        .select("list_id", "centroid")
+    )
+
+
 def assign_to_centroids(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -1026,21 +1062,35 @@ def _pq_encode(
     deterministic sequential folds of :func:`_pq_subdist`, so codes are
     bitwise-reproducible under any partitioning."""
 
-    def code_for(s: int) -> Column:
-        sl = F.slice(F.col("v"), 1 + s * sub_dim, sub_dim)
-        scored = F.transform(
-            F.element_at(F.col("cb"), s + 1),
-            lambda ent: F.struct(
-                _pq_subdist(sl, ent["c"]).alias("d"), ent["cid"].alias("cid")
-            ),
-        )
-        return F.array_min(scored)["cid"]
-
     nested = _pq_codebook_nested(cb, n_sub)
     return (
         e.crossJoin(F.broadcast(nested))
-        .select("vid", F.array(*[code_for(s) for s in range(n_sub)]).alias("codes"))
+        .select(
+            "vid",
+            F.array(
+                *[
+                    _pq_code_col(F.col("v"), s, sub_dim)
+                    for s in range(n_sub)
+                ]
+            ).alias("codes"),
+        )
     )
+
+
+def _pq_code_col(v: Column, s: int, sub_dim: int) -> Column:
+    """The PQ code of subspace ``s`` for vector column ``v`` — argmin
+    centroid via ``array_min`` over (dist, cid) structs against the
+    joined-in nested codebook column ``cb`` (see ``_pq_encode``, whose
+    encode expression this is; shared so the batch index build and the
+    streaming incremental append can never drift)."""
+    sl = F.slice(v, 1 + s * sub_dim, sub_dim)
+    scored = F.transform(
+        F.element_at(F.col("cb"), s + 1),
+        lambda ent: F.struct(
+            _pq_subdist(sl, ent["c"]).alias("d"), ent["cid"].alias("cid")
+        ),
+    )
+    return F.array_min(scored)["cid"]
 
 
 def _pq_query_lut(

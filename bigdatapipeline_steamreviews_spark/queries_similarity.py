@@ -1157,6 +1157,286 @@ def x3_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental index maintenance (round-11): the oracle is the BATCH
+# formulation over the union corpus — seeded coarse centroids + seeded PQ
+# codebook, both frozen on the BASE slice (vec_id % 4 != 3), then every
+# vector (base AND newly-arrived) assigned/encoded against those frozen
+# artifacts.  The registered query builds the same state incrementally
+# (staged base index + streaming append of the new slice), so a hash-green
+# row IS the final-state == batch-over-union equivalence.
+def _pq_incremental_oracle(
+    n_lists: int = 8, n_sub: int = 4, dim: int = 64, codebook_k: int = 4
+) -> str:
+    sub_dim = dim // n_sub
+    slice_cols = ", ".join(
+        f"v[{s * sub_dim + 1}:{(s + 1) * sub_dim}] AS sl{s}"
+        for s in range(n_sub)
+    )
+
+    def dist(src: str, s: int) -> str:
+        return (
+            f"list_sum([({src}.sl{s}[i] - cb.c[i]) * ({src}.sl{s}[i] - cb.c[i])"
+            f" for i in range(1, {sub_dim + 1})])"
+        )
+
+    cb_union = "\n  UNION ALL\n".join(
+        f"  SELECT {s} AS s, cid, sl{s} AS c FROM seeds" for s in range(n_sub)
+    )
+    scored_union = "\n  UNION ALL\n".join(
+        f"  SELECT t.vec_id, {s} AS s, cb.cid, {dist('t', s)} AS dist\n"
+        f"  FROM sliced t JOIN cb ON cb.s = {s}"
+        for s in range(n_sub)
+    )
+    piv_cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN cid END) AS c{s}" for s in range(n_sub)
+    )
+    final_cols = ", ".join(f"p.c{s}" for s in range(n_sub))
+    return f"""
+WITH e AS (
+  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM {_CLEAN_EMB_SQL}
+),
+base AS (SELECT * FROM e WHERE vec_id % 4 != 3),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS c
+  FROM base ORDER BY vec_id LIMIT {n_lists}
+),
+ad AS (
+  SELECT e.vec_id, c.list_id,
+         list_sum([(e.v[i] - c.c[i]) * (e.v[i] - c.c[i])
+                   for i in range(1, {dim + 1})]) AS dist
+  FROM e, cents c
+),
+assigned AS (
+  SELECT vec_id, list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, list_id) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, {slice_cols}
+  FROM base ORDER BY vec_id LIMIT {codebook_k}
+),
+cb AS (
+{cb_union}
+),
+sliced AS (SELECT vec_id, {slice_cols} FROM e),
+scored AS (
+{scored_union}
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dist, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+piv AS (SELECT vec_id, {piv_cols} FROM codes GROUP BY vec_id)
+SELECT e.vec_id,
+       CASE WHEN e.vec_id % 4 = 3 THEN 'stream' ELSE 'base' END AS origin,
+       a.list_id, {final_cols}
+FROM e
+JOIN assigned a USING (vec_id)
+JOIN piv p USING (vec_id)
+"""
+
+
+def _incremental_index_rows(
+    rows: DataFrame, cents: DataFrame, cb: DataFrame, n_sub: int, sub_dim: int
+) -> DataFrame:
+    """Raw ``(vec_id, embedding, ...)`` rows → index rows ``(vec_id,
+    list_id, c0..c{n_sub-1})`` against FROZEN artifacts: coarse assignment
+    via ``assign_to_centroids`` (argmin over the broadcast centroid
+    array, zero shuffle) and PQ codes via the ``_pq_code_col`` encode
+    expression against the broadcast nested codebook.  Works identically
+    on a batch frame (base-index build) and a STREAMING frame (the
+    incremental append): both static sides join in as broadcast one-row
+    arrays — the stream-static join shape — so base rows and streamed
+    rows can never be indexed by different arithmetic."""
+    from .operators.similarity import (
+        _pq_code_col,
+        _pq_codebook_nested,
+        assign_to_centroids,
+    )
+
+    assigned = assign_to_centroids(
+        rows, cents, cluster_col="list_id", centroid_col="centroid"
+    )
+    nested = _pq_codebook_nested(cb, n_sub)
+    return assigned.crossJoin(F.broadcast(nested)).select(
+        "vec_id",
+        "list_id",
+        *[
+            _pq_code_col(F.col("__v"), s, sub_dim).alias(f"c{s}")
+            for s in range(n_sub)
+        ],
+    )
+
+
+def _staged_incremental_base(
+    spark, sf_dir, n_lists=8, n_sub=4, codebook_k=4, dim=64
+):
+    """Build the FROZEN index artifacts over the BASE corpus slice
+    (vec_id % 4 != 3) once per (corpus fingerprint, params) and persist
+    all three tables — centroids, codebook, and the base index rows —
+    under ONE atomically-published stage dir (the _staged_ivf_index
+    recipe).  The incremental query only ever READS these: new arrivals
+    are assigned/encoded against them with no retrain, the
+    train-once/refresh-on-ingest contract of a production ANN pipeline."""
+    import os
+
+    from .operators.similarity import (
+        _pq_codebook,
+        _pq_sliced_corpus,
+        seeded_centroids,
+    )
+    from .sources.staging import (
+        STAGE_ROOT,
+        STAGE_VERSION,
+        publish_dir,
+        source_fingerprint,
+        stage_params_key,
+    )
+
+    fp = source_fingerprint(sf_dir, "embeddings")
+    pk = stage_params_key("ivfincr", n_lists, n_sub, codebook_k)
+    root = os.path.join(STAGE_ROOT, f"ivfincr_{pk}_{fp}_{STAGE_VERSION}")
+    paths = {
+        name: os.path.join(root, name)
+        for name in ("centroids", "codebook", "base_index")
+    }
+    done = all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in paths.values()
+    )
+    if not done:
+        base = _clean_emb(spark, sf_dir).filter((F.col("vec_id") % 4) != 3)
+        cents = seeded_centroids(base, n_lists=n_lists)
+        e_base, _, sub_dim = _pq_sliced_corpus(
+            base, F.lit(False), n_sub, dim, "vec_id", "embedding"
+        )
+        cb = _pq_codebook(e_base, n_sub, sub_dim, codebook_k)
+        tmp = f"{root}.build{os.getpid()}"
+        cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        cb.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
+        base_index = _incremental_index_rows(
+            base,
+            spark.read.parquet(os.path.join(tmp, "centroids")),
+            spark.read.parquet(os.path.join(tmp, "codebook")),
+            n_sub,
+            sub_dim,
+        )
+        # base_index is written LAST — and from the just-written frozen
+        # artifacts, not the in-memory lineage, so the staged index is
+        # provably a function of the staged centroids/codebook.
+        base_index.write.mode("overwrite").parquet(
+            os.path.join(tmp, "base_index")
+        )
+        publish_dir(tmp, root, marker="base_index/_SUCCESS")
+    return (
+        spark.read.parquet(paths["centroids"]),
+        spark.read.parquet(paths["codebook"]),
+        spark.read.parquet(paths["base_index"]),
+    )
+
+
+def _stage_new_embedding_chunks(spark, sf_dir, chunks: int = 2) -> str:
+    """Stage the NEW-arrival slice (clean vectors with vec_id % 4 == 3) as
+    vec_id-ordered replay chunks — the continuously-arriving embeddings an
+    ANN pipeline folds into its index between rebuilds.  Staged once per
+    source fingerprint, published atomically."""
+    import os
+
+    from .sources.staging import (
+        STAGE_ROOT,
+        STAGE_VERSION,
+        publish_dir,
+        source_fingerprint,
+    )
+
+    fp = source_fingerprint(sf_dir, "embeddings")
+    stage = os.path.join(
+        STAGE_ROOT, f"embnew_{fp}_{chunks}_{STAGE_VERSION}"
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        fresh = (
+            _clean_emb(spark, sf_dir)
+            .filter((F.col("vec_id") % 4) == 3)
+            .select("vec_id", "embedding")
+        )
+        n = fresh.count()
+        per = max(1, (n + chunks - 1) // chunks)
+        bucket = (F.col("vec_id") / F.lit(4 * per)).cast("int")
+        tmp = f"{stage}.build{os.getpid()}"
+        fresh.withColumn("__b", bucket).repartitionByRange(
+            chunks, "__b"
+        ).drop("__b").write.mode("overwrite").parquet(tmp)
+        publish_dir(tmp, stage)
+    return stage
+
+
+_incr_counter = 0
+
+
+@register(
+    "x3_ivf_pq_incremental",
+    _pq_incremental_oracle(n_lists=8, n_sub=4, dim=64, codebook_k=4),
+    ("X3", "S3", "T7"),
+    "Streaming ANN index maintenance — the refresh-on-ingest half of the "
+    "train-once/probe-many story (r10 verdict ask #5): newly-arriving "
+    "embeddings stream in micro-batches and are folded into the index "
+    "against the FROZEN staged artifacts — coarse assignment is a "
+    "stream-static broadcast argmin over the staged centroids, PQ codes "
+    "a stream-static join against the staged nested codebook (the exact "
+    "_pq_encode expression, shared via _pq_code_col) — appended in "
+    "update-free append mode (per-row, no state).  Result = staged base "
+    "index UNION streamed increments, and the oracle is the from-scratch "
+    "BATCH index over the union corpus, so the hash gate IS the "
+    "incremental == batch equivalence; no retrain is structurally "
+    "possible (tests poison the seeding paths after the stage exists).  "
+    "At 100 TB: the frozen artifacts are KB-sized broadcasts, each "
+    "arriving vector costs O(n_lists + n_sub*k) FLOPs map-side, and the "
+    "append shuffles nothing.",
+)
+def x3_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .streaming.summarizer import run_to_memory_table
+
+    global _incr_counter
+    _incr_counter += 1
+    name = f"x3_incr_index_{_incr_counter}"
+    n_sub, dim = 4, 64
+    sub_dim = dim // n_sub
+
+    cents, cb, base_index = _staged_incremental_base(
+        spark, sf_dir, n_lists=8, n_sub=n_sub, codebook_k=4, dim=dim
+    )
+    stage = _stage_new_embedding_chunks(spark, sf_dir)
+    # Schema from the SOURCE table, not the staged files — an empty
+    # corpus stages zero part files, which schema inference can't read.
+    schema = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    increments = _incremental_index_rows(stream, cents, cb, n_sub, sub_dim)
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    streamed = run_to_memory_table(
+        increments, name, checkpoint, "append", shuffle_partitions=8
+    )
+    cols = ["vec_id", "origin", "list_id"] + [f"c{s}" for s in range(n_sub)]
+    return (
+        base_index.withColumn("origin", F.lit("base"))
+        .select(*cols)
+        .unionByName(streamed.withColumn("origin", F.lit("stream")).select(*cols))
+    )
+
+
 # Evaluation-as-a-query: the oracle composes the two already-registered
 # oracles as subqueries, so the recall statement is definitionally
 # consistent with what those queries are gated against.

@@ -795,6 +795,63 @@ def test_persisted_pq_probe_never_retrains(spark, monkeypatch):
     assert {r["rank"] for r in rows} <= {1, 2, 3, 4, 5}
 
 
+def test_incremental_index_never_rederives_frozen_artifacts(
+    spark, monkeypatch
+):
+    """x3_ivf_pq_incremental's contract (r10 verdict ask #5): with the
+    staged base artifacts present, folding new arrivals into the index
+    must never re-derive the frozen centroids/codebook (poison every
+    seeding/training entry point, run end-to-end), and the final state
+    must equal the batch index over the union corpus — computed here
+    directly with the shared index-row builder against the same staged
+    artifacts (the DuckDB oracle additionally pins it from scratch)."""
+    import bigdatapipeline_steamreviews_spark.operators.similarity as sim
+    from bigdatapipeline_steamreviews_spark.queries_similarity import (
+        _clean_emb,
+        _incremental_index_rows,
+        _staged_incremental_base,
+        x3_ivf_pq_incremental,
+    )
+    from tests.conftest import SF_DIR
+
+    # Warm the stage (seed exactly once, outside the poisoned section).
+    cents, cb, _ = _staged_incremental_base(spark, SF_DIR)
+
+    def boom(*a, **k):
+        raise AssertionError("incremental path re-derived frozen artifacts")
+
+    from pyspark.ml.clustering import KMeans
+
+    monkeypatch.setattr(sim, "seeded_centroids", boom)
+    monkeypatch.setattr(sim, "_pq_codebook", boom)
+    monkeypatch.setattr(sim, "train_ivf", boom)
+    monkeypatch.setattr(sim, "train_pq", boom)
+    monkeypatch.setattr(KMeans, "fit", boom)
+
+    got = {
+        tuple(r)
+        for r in x3_ivf_pq_incremental(spark, SF_DIR).collect()
+    }
+    origins = {r[1] for r in got}
+    assert origins == {"base", "stream"}
+
+    union = _clean_emb(spark, SF_DIR)
+    batch = _incremental_index_rows(union, cents, cb, n_sub=4, sub_dim=16)
+    expected = {
+        (
+            r["vec_id"],
+            "stream" if r["vec_id"] % 4 == 3 else "base",
+            r["list_id"],
+            r["c0"],
+            r["c1"],
+            r["c2"],
+            r["c3"],
+        )
+        for r in batch.collect()
+    }
+    assert got == expected
+
+
 def test_ivf_pq_recall_vs_probes(spark):
     """Recall against the exhaustive ADC ranking is monotone in n_probe
     and reaches 1.0 at exhaustive — the probe knob trades recall for the
