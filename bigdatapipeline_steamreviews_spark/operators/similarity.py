@@ -996,7 +996,15 @@ def _validate_pq_index(cb: DataFrame, n_sub: int, sub_dim: int, codebook_k: int)
     different length, and the positional ``zip_with`` in the ADC fold pads
     the shorter array with NULL — NULL adc_dist, nonsense rankings, no
     error (round-11 ADVICE fix).  The check is one aggregate over the tiny
-    n_sub x codebook_k codebook — negligible next to the probe itself."""
+    n_sub x codebook_k codebook — negligible next to the probe itself.
+
+    An EMPTY codebook passes: it is what training on an empty corpus
+    legitimately yields (seeds = top-k of zero rows), and the pinned
+    empty-input contract (DIRTYDATA §1, tests/test_empty_input.py) is
+    empty index -> empty result set, not a crash.  Geometry can only
+    MISMATCH where geometry exists — the round-11 empty-corpus audit
+    caught the first version of this guard rejecting empty stages (and
+    its error message doing ``NULL - 1`` arithmetic on the empty max)."""
     row = cb.agg(
         F.countDistinct("s").alias("n_sub"),
         (F.max("s") + 1).alias("s_hi"),
@@ -1004,6 +1012,8 @@ def _validate_pq_index(cb: DataFrame, n_sub: int, sub_dim: int, codebook_k: int)
         F.max(F.size("c")).alias("dim_hi"),
         (F.count("*") / F.countDistinct("s")).alias("k_per_s"),
     ).first()
+    if row["n_sub"] == 0:
+        return
     if (
         row["n_sub"] != n_sub
         or row["s_hi"] != n_sub
@@ -1013,7 +1023,7 @@ def _validate_pq_index(cb: DataFrame, n_sub: int, sub_dim: int, codebook_k: int)
     ):
         raise ValueError(
             "supplied pq_index does not match call geometry: codebook has "
-            f"n_sub={row['n_sub']} (s up to {row['s_hi'] - 1}), "
+            f"n_sub={row['n_sub']} (s up to {row['s_hi']} - 1), "
             f"sub_dim in [{row['dim_lo']}, {row['dim_hi']}], "
             f"~{row['k_per_s']} centroids/subspace; call expects "
             f"n_sub={n_sub}, sub_dim={sub_dim}, codebook_k={codebook_k}"

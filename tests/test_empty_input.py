@@ -45,6 +45,13 @@ PROBE = [
     "x1_span_dedup",
     "x2_minhash_lsh",
     "x3_pq_adc_topk",
+    # the prebuilt/persisted-index path: these hand _validate_pq_index a
+    # STAGED codebook, which on an empty corpus is an EMPTY codebook —
+    # the guard must pass it through (empty index -> empty results), not
+    # reject it (the round-11 empty-audit regression).
+    "x3_pq_adc_trained",
+    "x3_ivf_pq_persisted",
+    "x3_ivf_pq_incremental",
     "x4_ccnet_buckets",
     "x5_shard_manifest",
     "serving_upsert_compaction",
