@@ -43,6 +43,11 @@ SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.enabled=false;spark.sql.autoBroadcast
   python scripts/verify_local.py --json "$OUT/planB.json" "$SRC" | tail -1
 python scripts/hash_diff.py "$OUT/clean.json" "$OUT/planB.json" | tail -1
 
+echo "== §8c evaluation path (codegen off, vectorized readers off) =="
+SPARK_GRAFT_EXTRA_CONF="spark.sql.codegen.wholeStage=false;spark.sql.codegen.factoryMode=NO_CODEGEN;spark.sql.parquet.enableVectorizedReader=false;spark.sql.orc.enableVectorizedReader=false" \
+  python scripts/verify_local.py --json "$OUT/evalpath.json" "$SRC" | tail -1
+python scripts/hash_diff.py "$OUT/clean.json" "$OUT/evalpath.json" | tail -1
+
 echo "== §9 environment (hostile JVM timezone + Turkish locale) =="
 TZ=Asia/Kathmandu JAVA_TOOL_OPTIONS="-Duser.language=tr -Duser.country=TR -Duser.timezone=Asia/Kathmandu" \
   python scripts/verify_local.py --json "$OUT/env.json" "$SRC" | tail -1

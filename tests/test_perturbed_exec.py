@@ -107,3 +107,99 @@ def test_perturbation_actually_changes_decomposition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation-path invariance (round-11, DIRTYDATA.md §8c): the same plans
+# with whole-stage codegen DISABLED (interpreted Catalyst expression
+# evaluation, including the interpreted Projection/Predicate fallbacks) and
+# the vectorized parquet/ORC readers DISABLED (row-at-a-time scan decode).
+# Production clusters land on these paths without asking — codegen falls
+# back when generated code exceeds the JIT's 8KB/64KB method limits or the
+# constant pool overflows (classic on very wide aggregates), and the
+# vectorized reader bails on schema evolution corner cases — so a result
+# that differs interpreted-vs-compiled is a heisenbug that appears only on
+# wide plans in production.  Float arithmetic ORDER is the usual suspect;
+# the DECIMAL-exact recipe must make it moot.
+EVALPATH = {
+    "spark.sql.codegen.wholeStage": "false",
+    "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+    "spark.sql.parquet.enableVectorizedReader": "false",
+    "spark.sql.orc.enableVectorizedReader": "false",
+}
+
+EVALPATH_PINNED = [
+    # DECIMAL-exact accumulator tree through the interpreted agg path
+    "q1_pricing_summary",
+    # higher-order array lambdas (zip_with / aggregate folds) interpreted
+    "x3_pq_adc_topk",
+    # xxhash64 + scan-heavy dedup through the row-based parquet reader
+    "x1_exact_dedup",
+    # two-level window/sort pipeline
+    "w18_peak_concurrency",
+    # string/regex-heavy
+    "x4_fingerprint",
+    # Spark-4 VARIANT expressions
+    "p19_variant_props",
+]
+
+
+@pytest.mark.parametrize("name", EVALPATH_PINNED)
+def test_result_is_evaluation_path_invariant(spark, name):
+    spec = REGISTRY[name]
+    saved = {k: spark.conf.get(k, None) for k in EVALPATH}
+    base = spec.fn(spark, SF_DIR).toPandas()
+    spark.catalog.clearCache()
+    try:
+        for k, v in EVALPATH.items():
+            spark.conf.set(k, v)
+        interp = spec.fn(spark, SF_DIR).toPandas()
+        spark.catalog.clearCache()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert len(base) == len(interp), (len(base), len(interp))
+    assert value_hash(base) == value_hash(interp), (
+        f"{name}: result depends on the evaluation path — interpreted "
+        "expressions / row-based scan changed the value hash vs "
+        "codegen + vectorized"
+    )
+
+
+def _final_plan(df) -> str:
+    """Executed plan AFTER materialization — under AQE the codegen spans
+    only appear in the final adaptive plan, so inspecting before running
+    shows `isFinalPlan=false` with no spans either way (vacuous)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_evalpath_actually_disables_codegen(spark):
+    """Guard: under the EVALPATH confs an aggregate's FINAL executed plan
+    must contain no WholeStageCodegen span — otherwise §8c tests the same
+    compiled path twice and the module is vacuous."""
+    saved = {k: spark.conf.get(k, None) for k in EVALPATH}
+    agg = lambda: (  # noqa: E731
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("source")
+        .count()
+    )
+    try:
+        for k, v in EVALPATH.items():
+            spark.conf.set(k, v)
+        plan = _final_plan(agg())
+        assert "isFinalPlan=true" in plan, plan[:200]
+        # AQE's final-plan rendering marks each codegen span as `*(n) Node`
+        assert "WholeStageCodegen" not in plan and "*(" not in plan, plan[:500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # and with the confs restored, codegen is back (the default path)
+    plan2 = _final_plan(agg())
+    assert "WholeStageCodegen" in plan2 or "*(" in plan2, plan2[:500]
