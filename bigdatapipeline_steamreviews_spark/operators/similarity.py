@@ -1004,13 +1004,29 @@ def _validate_pq_index(cb: DataFrame, n_sub: int, sub_dim: int, codebook_k: int)
     empty index -> empty result set, not a crash.  Geometry can only
     MISMATCH where geometry exists — the round-11 empty-corpus audit
     caught the first version of this guard rejecting empty stages (and
-    its error message doing ``NULL - 1`` arithmetic on the empty max)."""
-    row = cb.agg(
-        F.countDistinct("s").alias("n_sub"),
+    its error message doing ``NULL - 1`` arithmetic on the empty max).
+
+    An UNDERSIZED codebook also passes, as long as every subspace has
+    the SAME count <= codebook_k: ``_pq_codebook`` seeds min(n, k)
+    centroids per subspace by design, so a corpus with 1-3 clean
+    vectors legitimately trains k_per_s < codebook_k (round-12 ADVICE
+    fix — the first version rejected these on the prebuilt-index
+    paths).  Per-subspace counts are checked as min/max, not a global
+    average: a corrupted codebook with e.g. 3 and 5 centroids in two
+    subspaces averages 4 and would slip an average-based check while
+    still degrading ADC rankings silently."""
+    per_s = cb.groupBy("s").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.size("c")).alias("dlo"),
+        F.max(F.size("c")).alias("dhi"),
+    )
+    row = per_s.agg(
+        F.count("*").alias("n_sub"),
         (F.max("s") + 1).alias("s_hi"),
-        F.min(F.size("c")).alias("dim_lo"),
-        F.max(F.size("c")).alias("dim_hi"),
-        (F.count("*") / F.countDistinct("s")).alias("k_per_s"),
+        F.min("cnt").alias("k_lo"),
+        F.max("cnt").alias("k_hi"),
+        F.min("dlo").alias("dim_lo"),
+        F.max("dhi").alias("dim_hi"),
     ).first()
     if row["n_sub"] == 0:
         return
@@ -1019,14 +1035,16 @@ def _validate_pq_index(cb: DataFrame, n_sub: int, sub_dim: int, codebook_k: int)
         or row["s_hi"] != n_sub
         or row["dim_lo"] != sub_dim
         or row["dim_hi"] != sub_dim
-        or row["k_per_s"] != codebook_k
+        or row["k_lo"] != row["k_hi"]
+        or row["k_hi"] > codebook_k
     ):
         raise ValueError(
             "supplied pq_index does not match call geometry: codebook has "
             f"n_sub={row['n_sub']} (s up to {row['s_hi']} - 1), "
             f"sub_dim in [{row['dim_lo']}, {row['dim_hi']}], "
-            f"~{row['k_per_s']} centroids/subspace; call expects "
-            f"n_sub={n_sub}, sub_dim={sub_dim}, codebook_k={codebook_k}"
+            f"centroids/subspace in [{row['k_lo']}, {row['k_hi']}]; call "
+            f"expects n_sub={n_sub}, sub_dim={sub_dim}, uniform "
+            f"centroids/subspace <= codebook_k={codebook_k}"
         )
 
 

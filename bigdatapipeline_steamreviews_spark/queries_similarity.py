@@ -1299,7 +1299,10 @@ def _staged_incremental_base(
     )
 
     fp = source_fingerprint(sf_dir, "embeddings")
-    pk = stage_params_key("ivfincr", n_lists, n_sub, codebook_k)
+    # dim is part of the key: a stage built at another dim would hold
+    # codes/codebook slices of a different sub_dim, and reusing it would
+    # produce wrong codes with no error (round-12 ADVICE fix).
+    pk = stage_params_key("ivfincr", n_lists, n_sub, codebook_k, dim)
     root = os.path.join(STAGE_ROOT, f"ivfincr_{pk}_{fp}_{STAGE_VERSION}")
     paths = {
         name: os.path.join(root, name)
@@ -1332,9 +1335,16 @@ def _staged_incremental_base(
             os.path.join(tmp, "base_index")
         )
         publish_dir(tmp, root, marker="base_index/_SUCCESS")
+    cb_staged = spark.read.parquet(paths["codebook"])
+    # Geometry-validate the staged codebook like the other prebuilt-index
+    # paths (pq_adc_topk / ivf_pq_topk) — a stale or foreign stage must
+    # fail loudly, not ADC against mismatched slices (round-12 ADVICE).
+    from .operators.similarity import _validate_pq_index
+
+    _validate_pq_index(cb_staged, n_sub, dim // n_sub, codebook_k)
     return (
         spark.read.parquet(paths["centroids"]),
-        spark.read.parquet(paths["codebook"]),
+        cb_staged,
         spark.read.parquet(paths["base_index"]),
     )
 

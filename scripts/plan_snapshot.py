@@ -5,9 +5,11 @@ The plan lint (`plans/lint.py`) checks invariants (no cartesian products,
 no row-Python, broadcasts where asserted) but not DRIFT: a lost broadcast
 or a new exchange that the lint rules don't name slips through silently,
 visible only as a bench regression with no artifact to diff.  This script
-records, for every batch query in the bench headline set, the normalized
-physical-plan operator skeleton and its hash into ``PLANS.json`` at the
-repo root.  Commit the file each round: `git diff PLANS.json` then shows
+records, for EVERY batch query in the registry (round 12 — previously
+the 34-query bench headline set; the round-11 uniform-noise diagnosis
+leaned on plan identity, which then covered 15% of the registry), the
+normalized physical-plan operator skeleton and its hash into
+``PLANS.json`` at the repo root.  Commit the file each round: `git diff PLANS.json` then shows
 exactly which query's plan changed shape and how (the `ops` list), before
 any timing number moves.
 
@@ -27,7 +29,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import BENCH_QUERIES  # noqa: E402
 from bigdatapipeline_steamreviews_spark import get_spark, queries  # noqa: E402
 from bigdatapipeline_steamreviews_spark.plans.lint import plan_text  # noqa: E402
 
@@ -73,20 +74,29 @@ def op_skeleton(plan: str) -> list[str]:
     return ops
 
 
-def compute_snapshots(spark, sf_dir: str) -> dict[str, dict]:
-    """{query: {hash, ops}} for every batch query in the bench headline
-    set.  Importable so ``tests/test_plans.py`` can re-derive the shapes
-    and diff them against the committed PLANS.json (the drift GATE; this
-    script is the re-bless step)."""
+def snapshot_names() -> list[str]:
+    """Every registry query the snapshot covers: all batch entries.
+    ``stream_*`` fns execute a replay when invoked and return a
+    memory-table scan with no plan worth diffing; everything else —
+    including the staged/incremental ANN paths whose builds are one-time
+    and fingerprint-cached — is gated."""
+    return sorted(n for n in queries() if not n.startswith("stream_"))
+
+
+def compute_snapshots(
+    spark, sf_dir: str, names: list[str] | None = None
+) -> dict[str, dict]:
+    """{query: {hash, ops}} for every batch query in the registry (or
+    the given subset).  Importable so ``tests/test_plans.py`` can
+    re-derive the shapes and diff them against the committed PLANS.json
+    (the drift GATE; this script is the re-bless step)."""
     # Untruncated scan metadata: the default 100-char cut moves with the
     # (session-global) lambda-variable ordinal width, so a truncated
     # DataFilters string is order-sensitive even after normalization.
     spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
     regs = queries()
     out: dict[str, dict] = {}
-    for name in BENCH_QUERIES:
-        if name.startswith("stream_"):
-            continue
+    for name in names if names is not None else snapshot_names():
         df = regs[name](spark, sf_dir)
         norm = normalize(plan_text(df))
         out[name] = {

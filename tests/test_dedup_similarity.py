@@ -616,6 +616,53 @@ def test_pq_rejects_mismatched_prebuilt_index(spark):
     )
 
 
+def test_pq_guard_accepts_undersized_rejects_uneven(spark):
+    """Two adjacent holes in the round-11 geometry guard (round-12 ADVICE
+    fix).  (1) A corpus with fewer clean vectors than codebook_k trains
+    min(n, k) centroids per subspace BY DESIGN (_pq_codebook docstring),
+    so the prebuilt-index path must accept an undersized-but-uniform
+    codebook — the first guard rejected it and broke x3_pq_adc_trained /
+    x3_ivf_pq_persisted on tiny corpora.  (2) A corrupted codebook with
+    UNEVEN centroid counts per subspace must be rejected even when its
+    average slips a global count/countDistinct check — uneven cid spaces
+    silently degrade ADC rankings."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        pq_adc_topk,
+        train_pq,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    clean = load_table(spark, SF_DIR, "embeddings").filter(
+        (F.size("embedding") == 64)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    # (1) 3 clean vectors, codebook_k=4 -> 3 centroids/subspace: accepted,
+    # and the probe returns real rankings (2 queries x top-2 of 3).
+    tiny = clean.filter(F.col("vec_id") < 3)
+    tiny_index = train_pq(tiny, n_sub=4, codebook_k=4)
+    got = pq_adc_topk(
+        tiny, F.col("vec_id") < 2, n_sub=4, k=2, pq_index=tiny_index
+    )
+    assert got.count() == 4
+
+    # (2) counts {3, 5} with codebook_k=8 average to 4 <= 8 (an
+    # average-based guard accepts); per-subspace min != max must reject.
+    codes, cb = train_pq(clean, n_sub=2, codebook_k=8)
+    cb_uneven = cb.filter(
+        ~(((F.col("s") == 0) & (F.col("cid") >= 3))
+          | ((F.col("s") == 1) & (F.col("cid") >= 5)))
+    )
+    with pytest.raises(ValueError, match="does not match call geometry"):
+        pq_adc_topk(
+            clean,
+            F.col("vec_id") < 10,
+            n_sub=2,
+            codebook_k=8,
+            pq_index=(codes, cb_uneven),
+        )
+
+
 def test_pq_codebook_seeds_from_smallest_present_ids(spark):
     """Codebook seeding must survive missing low vec_ids: with vid 0
     filtered out (as vector hygiene routinely does), the codebook seeds
