@@ -381,6 +381,38 @@ def test_plan_shapes_match_committed_snapshot(spark):
     )
 
 
+def test_rank_topk_windows_are_pruned(spark):
+    """Round-11 verdict watch item, now pinned: the two corpus-derived
+    rank-filter windows must show their prune node in the physical plan
+    — nothing merely documented.
+
+    * ``x4_vocab_stats`` (global top-100 tokens): Spark pushes the rank
+      filter through the UNPARTITIONED window as a
+      ``TakeOrderedAndProject(limit=100)`` BELOW it
+      (LimitPushDownThroughWindow), so the single-task window sorts 100
+      pre-merged rows, never the vocabulary.
+    * ``x4_tfidf_top_terms`` (top-3 terms per doc): the rank filter
+      becomes a ``WindowGroupLimit ... row_number(), 3`` node under the
+      doc-partitioned window (InferWindowGroupLimit), pruning each
+      group to 3 rows before the sort buffers them.
+
+    If either prune node vanishes (an optimizer-rule regression or a
+    query rewrite that breaks the rank-filter pattern), the top-k plans
+    silently revert to full-input windows — fail HERE, not at 100 TB.
+    """
+    vocab = _plan(spark, "x4_vocab_stats")
+    w = vocab.index("Window ")
+    prune = vocab.index("TakeOrderedAndProject(limit=100")
+    assert w < prune, "limit not pushed BELOW the global rank window"
+
+    tfidf = _plan(spark, "x4_tfidf_top_terms")
+    assert "WindowGroupLimit" in tfidf, "per-doc top-k prune node missing"
+    gl = next(
+        l for l in tfidf.splitlines() if "WindowGroupLimit" in l
+    )
+    assert "row_number(), 3" in gl, f"prune bound drifted: {gl.strip()}"
+
+
 def test_blob_reconciliation_reads_listing_metadata_only(spark):
     """dq_blob_reconciliation's scale claim: the binaryFile side is a
     METADATA join (path + length from the directory listing), never a
