@@ -101,10 +101,23 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
 
     if bits * len(cols) > 63:
         raise ValueError("zorder key exceeds 63 bits")
+
+    types = dict(df.dtypes)
+
+    def numeric(c: str):
+        # Time columns are the canonical z-order dimension (cluster the
+        # fact table on event date, prune any date predicate) but don't
+        # cast to double directly — route them through epoch micros
+        # (round-12: the layout probe hit this on lineitem.l_shipdate,
+        # TIMESTAMP_NTZ).
+        if types[c].startswith("timestamp") or types[c] == "date":
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        return F.col(c).cast("double")
+
     n_cells = 1 << bits
     probs = [i / n_cells for i in range(1, n_cells)]
     all_bounds = df.select(
-        *[F.col(c).cast("double").alias(c) for c in cols]
+        *[numeric(c).alias(c) for c in cols]
     ).approxQuantile(cols, probs, 1.0 / (4 * n_cells))
     z = F.lit(0).cast("long")
     for d, c in enumerate(cols):
@@ -116,7 +129,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8):
             F.lit(bnds),
             F.lit(0).cast("long"),
             lambda acc, b: acc
-            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0).cast("long"),
+            + F.when(numeric(c) >= b, 1).otherwise(0).cast("long"),
         )
         # Low-cardinality columns collapse to few cells; stretch them over
         # the full bit range so their HIGH interleave bits still vary —

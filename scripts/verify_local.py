@@ -33,9 +33,17 @@ from bigdatapipeline_steamreviews_spark.sources.tables import TABLE_NAMES  # noq
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # The driver's testdata tables are single parquet FILES; Spark-
+        # written corpora (the x10/x30 scale-probe replicas) are
+        # DIRECTORIES of part files — glob those so the same oracle gate
+        # runs at probe scale (round-12: hash-gating the 30x outputs).
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 
 

@@ -127,3 +127,89 @@ def test_salted_join_equals_naive_join_under_skew(spark, skew_dir):
         }
 
     assert agg(salted_join(e, c, "user_id", n_salts=8)) == agg(e.join(c, "user_id"))
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, skew_dir):
+    """AQE's automatic skew-join split — the runtime complement to the
+    explicit ``salted_join`` (round-12 verdict ask #6): on the skewed
+    corpus, a PLAIN shuffled join with
+    ``spark.sql.adaptive.skewJoin.enabled`` must (a) mark the join
+    ``SortMergeJoin(skew=true)`` over an ``AQEShuffleRead skewed`` in
+    the FINAL adaptive plan — i.e. the OptimizeSkewedJoin rule actually
+    fired and split the hot partition — and (b) produce the identical
+    aggregate as the salted formulation.  Thresholds are scaled down to
+    the test corpus (the rule keys on absolute COMPRESSED partition
+    bytes, default 256 MB; the production default fires at real scale —
+    see PERF.md's x30 skew probe).  Two non-obvious preconditions this
+    test documents by needing them:
+
+    * a skewed reduce partition is split along MAP-side shuffle-block
+      boundaries, so the big side must arrive from >1 map task — a
+      single-file single-row-group parquet scan is one map task and the
+      hot partition is one unsplittable block (hence the
+      ``repartition(16)``; at real scale thousands of input splits make
+      this automatic);
+    * AQE decides from runtime shuffle statistics, so the final plan
+      exists only after materialization (the §8c lesson).
+    """
+    from pyspark.sql import functions as F
+
+    from bigdatapipeline_steamreviews_spark.functions import sum_exact
+    from bigdatapipeline_steamreviews_spark.operators.partitioning import (
+        salted_join,
+    )
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        e = (
+            spark.read.parquet(f"{skew_dir}/events.parquet")
+            .select("user_id", "value")
+            .repartition(16)  # >1 map task, see docstring
+        )
+        c = spark.read.parquet(f"{skew_dir}/customer.parquet").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+
+        def agg(joined):
+            return joined.groupBy(
+                F.col("c_mktsegment").alias("segment")
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                sum_exact("value").alias("total_value"),
+            )
+
+        naive = agg(e.join(c, "user_id"))
+        got = {
+            r.segment: (r.n_events, str(r.total_value))
+            for r in naive.collect()
+        }
+        plan = naive._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan, (
+            "AQE did not split the hot partition — check thresholds vs "
+            "corpus size:\n" + plan[:2000]
+        )
+
+        want = {
+            r.segment: (r.n_events, str(r.total_value))
+            for r in agg(salted_join(e, c, "user_id", n_salts=8)).collect()
+        }
+        assert got == want, "AQE skew split changed the aggregate"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
