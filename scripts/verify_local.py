@@ -36,6 +36,19 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
+    # Probe-scale oracles (the x30 corpora) can materialize exploded
+    # intermediates far past RAM — span windows at sf3-equivalent OOM-
+    # killed the whole sweep (124 GB RSS, round 12).  A bounded oracle
+    # SPILLS instead: opt in via e.g. SPARK_GRAFT_DUCKDB_MEMLIMIT=48GB.
+    memlimit = os.environ.get("SPARK_GRAFT_DUCKDB_MEMLIMIT")
+    if memlimit:
+        import tempfile
+
+        con.execute(f"SET memory_limit='{memlimit}'")
+        con.execute(
+            "SET temp_directory="
+            f"'{os.path.join(tempfile.gettempdir(), 'duck_spill')}'"
+        )
     for t in TABLE_NAMES:
         p = f"{sf_dir}/{t}.parquet"
         # The driver's testdata tables are single parquet FILES; Spark-
