@@ -988,7 +988,13 @@ def _pq_codebook(
     ).select("s", "cid", "c")
 
 
-def _validate_pq_index(cb: DataFrame, n_sub: int, sub_dim: int, codebook_k: int) -> None:
+def _validate_pq_index(
+    cb: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    codebook_k: int,
+    codes: DataFrame | None = None,
+) -> None:
     """Assert a caller-supplied (prebuilt / persisted) codebook matches the
     call's PQ geometry BEFORE any LUT is built.  Without this, a codebook
     trained at a different ``n_sub`` silently produces garbage: the LUT
@@ -1007,16 +1013,33 @@ def _validate_pq_index(cb: DataFrame, n_sub: int, sub_dim: int, codebook_k: int)
     its error message doing ``NULL - 1`` arithmetic on the empty max).
 
     An UNDERSIZED codebook also passes, as long as every subspace has
-    the SAME count <= codebook_k: ``_pq_codebook`` seeds min(n, k)
-    centroids per subspace by design, so a corpus with 1-3 clean
-    vectors legitimately trains k_per_s < codebook_k (round-12 ADVICE
-    fix — the first version rejected these on the prebuilt-index
-    paths).  Per-subspace counts are checked as min/max, not a global
-    average: a corrupted codebook with e.g. 3 and 5 centroids in two
-    subspaces averages 4 and would slip an average-based check while
-    still degrading ADC rankings silently."""
+    the SAME count <= codebook_k AND its cid space is DENSE (cids
+    exactly 0..cnt-1): ``_pq_codebook`` seeds min(n, k) centroids per
+    subspace by design, so a corpus with 1-3 clean vectors legitimately
+    trains k_per_s < codebook_k (round-12 ADVICE fix — the first
+    version rejected these on the prebuilt-index paths).  Per-subspace
+    counts are checked as min/max, not a global average: a corrupted
+    codebook with e.g. 3 and 5 centroids in two subspaces averages 4
+    and would slip an average-based check while still degrading ADC
+    rankings silently.  The density check (max cid == cnt-1, distinct
+    cids == cnt) exists because ``_pq_query_lut`` indexes LUT rows
+    POSITIONALLY via ``element_at`` — a codebook missing cid 0 would
+    shift every lookup by one with no error.
+
+    ``codes`` (the paired code table), when supplied, is cross-checked
+    too: every stored code must index an existing centroid
+    (per-subspace max code < that subspace's count).  This is what
+    distinguishes a legitimately-undersized TRAINED codebook from a
+    TRUNCATED one (e.g. a lost parquet row group holding the high-cid
+    rows): both are uniform and dense, but only the truncated one has
+    codes pointing past the end of the LUT — NULL adc_dist, nonsense
+    rankings, the exact silent failure this guard exists to prevent.
+    One extra aggregate over the (tiny-int) code table, probe-side
+    only."""
     per_s = cb.groupBy("s").agg(
         F.count("*").alias("cnt"),
+        F.countDistinct("cid").alias("ncid"),
+        F.max("cid").alias("cid_hi"),
         F.min(F.size("c")).alias("dlo"),
         F.max(F.size("c")).alias("dhi"),
     )
@@ -1027,6 +1050,13 @@ def _validate_pq_index(cb: DataFrame, n_sub: int, sub_dim: int, codebook_k: int)
         F.max("cnt").alias("k_hi"),
         F.min("dlo").alias("dim_lo"),
         F.max("dhi").alias("dim_hi"),
+        F.max(
+            F.when(
+                (F.col("ncid") != F.col("cnt"))
+                | (F.col("cid_hi") != F.col("cnt") - 1),
+                1,
+            ).otherwise(0)
+        ).alias("sparse_cids"),
     ).first()
     if row["n_sub"] == 0:
         return
@@ -1037,15 +1067,29 @@ def _validate_pq_index(cb: DataFrame, n_sub: int, sub_dim: int, codebook_k: int)
         or row["dim_hi"] != sub_dim
         or row["k_lo"] != row["k_hi"]
         or row["k_hi"] > codebook_k
+        or row["sparse_cids"] == 1
     ):
         raise ValueError(
             "supplied pq_index does not match call geometry: codebook has "
             f"n_sub={row['n_sub']} (s up to {row['s_hi']} - 1), "
             f"sub_dim in [{row['dim_lo']}, {row['dim_hi']}], "
-            f"centroids/subspace in [{row['k_lo']}, {row['k_hi']}]; call "
-            f"expects n_sub={n_sub}, sub_dim={sub_dim}, uniform "
-            f"centroids/subspace <= codebook_k={codebook_k}"
+            f"centroids/subspace in [{row['k_lo']}, {row['k_hi']}], "
+            f"sparse_cids={row['sparse_cids']}; call expects "
+            f"n_sub={n_sub}, sub_dim={sub_dim}, uniform DENSE "
+            f"(0..cnt-1) centroids/subspace <= codebook_k={codebook_k}"
         )
+    if codes is not None:
+        k_cnt = int(row["k_lo"])
+        hi = codes.agg(
+            F.max(F.array_max("codes")).alias("code_hi")
+        ).first()["code_hi"]
+        if hi is not None and hi >= k_cnt:
+            raise ValueError(
+                f"pq_index codes reference cid {hi} but the codebook has "
+                f"only {k_cnt} centroids/subspace — the codebook is "
+                "truncated relative to the codes (ADC lookups would "
+                "return NULL); retrain or re-stage the pair together"
+            )
 
 
 def _pq_subdist(vec_slice: Column, cent: Column) -> Column:
@@ -1323,7 +1367,9 @@ def pq_adc_topk(
     if pq_index is None:
         pq_index = train_pq(embeddings, n_sub, codebook_k, dim, id_col, vec_col)
     else:
-        _validate_pq_index(pq_index[1], n_sub, sub_dim, codebook_k)
+        _validate_pq_index(
+            pq_index[1], n_sub, sub_dim, codebook_k, codes=pq_index[0]
+        )
     codes, cb = pq_index
     lut = _pq_query_lut(e, cb, n_sub, sub_dim)
 
@@ -1400,7 +1446,9 @@ def ivf_pq_topk(
             embeddings, n_sub, codebook_k, dim, id_col, vec_col
         )
     else:
-        _validate_pq_index(pq_index[1], n_sub, sub_dim, codebook_k)
+        _validate_pq_index(
+            pq_index[1], n_sub, sub_dim, codebook_k, codes=pq_index[0]
+        )
     codes, cb = pq_index
     lut = _pq_query_lut(e, cb, n_sub, sub_dim)
 

@@ -159,15 +159,29 @@ def _subtree_bounded(lines: list[str], i: int) -> bool:
     - a JOIN (any flavor, incl. CartesianProduct) is bounded iff ALL its
       children are: bounded x bounded stays bounded (the day-spine /
       bucket-table pattern), anything x corpus does not;
+    - a UNION is a sum of its children — bounded iff ALL of them are
+      (an aggregate unioned with a corpus scan bounds nothing);
     - a Generate is bounded only for a ``sequence(...)`` spine over a
       bounded input — a value-range expansion (calendar days), not a
       data re-expansion; ``explode(collect_list(...))`` re-inflates to
-      corpus scale and is unbounded no matter what sits below it;
+      corpus scale and is unbounded no matter what sits below it.
+      (Known approximation: a sequence computed in an upstream Project
+      and exploded as a named column prints ``Generate explode(col)``
+      and is conservatively treated as unbounded — a false POSITIVE,
+      fixed by an allowlist entry, never a silent pass);
     - leaves (file scans, stream sources) are unbounded; other nodes
       pass their child's verdict through.
+
+    Node names are read past any whole-stage-codegen star (``*(5)
+    SortMergeJoin``) — non-AQE and final adaptive plans render them
+    starred, and a head parse that stopped at ``*`` would silently
+    degrade the Join/Generate/Union rules to the permissive
+    any-child fallback.
     """
     line = lines[i]
     name = line[_name_start(line):]
+    if name.startswith("*("):
+        name = name.split(") ", 1)[1] if ") " in name else name
     if any(node in name for node in _BOUNDED_INPUT_NODES):
         return True
     kids = _children(lines, i)
@@ -176,7 +190,7 @@ def _subtree_bounded(lines: list[str], i: int) -> bool:
         return "sequence(" in name and all(
             _subtree_bounded(lines, k) for k in kids
         )
-    if "Join" in head or head == "CartesianProduct":
+    if "Join" in head or head in ("CartesianProduct", "Union"):
         return bool(kids) and all(_subtree_bounded(lines, k) for k in kids)
     if not kids:
         return False

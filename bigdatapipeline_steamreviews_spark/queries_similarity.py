@@ -1336,16 +1336,27 @@ def _staged_incremental_base(
         )
         publish_dir(tmp, root, marker="base_index/_SUCCESS")
     cb_staged = spark.read.parquet(paths["codebook"])
+    base_staged = spark.read.parquet(paths["base_index"])
     # Geometry-validate the staged codebook like the other prebuilt-index
     # paths (pq_adc_topk / ivf_pq_topk) — a stale or foreign stage must
     # fail loudly, not ADC against mismatched slices (round-12 ADVICE).
+    # The staged base-index codes ride along so a TRUNCATED codebook
+    # (codes referencing cids past the LUT) is caught too.
     from .operators.similarity import _validate_pq_index
 
-    _validate_pq_index(cb_staged, n_sub, dim // n_sub, codebook_k)
+    _validate_pq_index(
+        cb_staged,
+        n_sub,
+        dim // n_sub,
+        codebook_k,
+        codes=base_staged.select(
+            F.array(*[f"c{i}" for i in range(n_sub)]).alias("codes")
+        ),
+    )
     return (
         spark.read.parquet(paths["centroids"]),
         cb_staged,
-        spark.read.parquet(paths["base_index"]),
+        base_staged,
     )
 
 

@@ -95,7 +95,7 @@ def main() -> None:
             sum_exact("value").alias("total_value"),
         )
 
-    def run(label, build, skew_on):
+    def run(build, skew_on):
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
                        "true" if skew_on else "false")
         spark.catalog.clearCache()
@@ -122,15 +122,10 @@ def main() -> None:
         "corpus": base,
         "hot_key": hot,
         "confs": CONFS,
-        "naive_skewjoin_off": run(
-            "off", lambda: e.join(c, "user_id"), skew_on=False
-        ),
-        "naive_skewjoin_on": run(
-            "on", lambda: e.join(c, "user_id"), skew_on=True
-        ),
+        "naive_skewjoin_off": run(lambda: e.join(c, "user_id"), skew_on=False),
+        "naive_skewjoin_on": run(lambda: e.join(c, "user_id"), skew_on=True),
         "salted": run(
-            "salted", lambda: salted_join(e, c, "user_id", n_salts=8),
-            skew_on=False,
+            lambda: salted_join(e, c, "user_id", n_salts=8), skew_on=False
         ),
     }
     out["same_answer"] = (

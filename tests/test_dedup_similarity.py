@@ -662,6 +662,34 @@ def test_pq_guard_accepts_undersized_rejects_uneven(spark):
             pq_index=(codes, cb_uneven),
         )
 
+    # (3) a TRUNCATED codebook (high-cid rows lost in every subspace —
+    # e.g. a dropped parquet row group) is uniform AND dense, geometry-
+    # indistinguishable from a legitimately-undersized trained one; the
+    # paired CODES give it away — they reference cids past the LUT end
+    # (round-12 review fix).
+    cb_truncated = cb.filter(F.col("cid") < 4)
+    with pytest.raises(ValueError, match="truncated"):
+        pq_adc_topk(
+            clean,
+            F.col("vec_id") < 10,
+            n_sub=2,
+            codebook_k=8,
+            pq_index=(codes, cb_truncated),
+        )
+
+    # (4) a NON-DENSE cid space (cid 0 missing) would shift every
+    # positional element_at lookup by one — must reject even though
+    # counts are uniform.
+    cb_shifted = cb.filter(F.col("cid") != 0)
+    with pytest.raises(ValueError, match="does not match call geometry"):
+        pq_adc_topk(
+            clean,
+            F.col("vec_id") < 10,
+            n_sub=2,
+            codebook_k=8,
+            pq_index=(codes, cb_shifted),
+        )
+
 
 def test_pq_codebook_seeds_from_smallest_present_ids(spark):
     """Codebook seeding must survive missing low vec_ids: with vid 0

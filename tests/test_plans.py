@@ -204,6 +204,47 @@ def test_unpartitioned_window_lint_discriminates(spark):
     )
     assert "unpartitioned-window" not in rules(seq_spine)
 
+    # Round-12 review fix: a UNION is the SUM of its children —
+    # bounded-union-corpus must flag, bounded-union-bounded must pass.
+    bounded = df.groupBy("g").agg(F.sum("id").alias("v")).select("v")
+    union_corpus = (
+        bounded.union(df.select(F.col("id").alias("v")))
+        .withColumn("rn", F.row_number().over(W.orderBy("v")))
+    )
+    assert "unpartitioned-window" in rules(union_corpus)
+    union_bounded = (
+        bounded.union(df.limit(3).select(F.col("id").alias("v")))
+        .withColumn("rn", F.row_number().over(W.orderBy("v")))
+    )
+    assert "unpartitioned-window" not in rules(union_bounded)
+
+    # Round-12 review fix: with AQE off the plan renders whole-stage-
+    # codegen stars (*(5) SortMergeJoin ...) — the Join/Generate/Union
+    # rules must read past the star, or a starred corpus-fanout join
+    # silently degrades to the permissive any-child fallback.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        starred_join = (
+            df.limit(5)
+            .select(F.col("g").alias("jg"))
+            .join(df, F.col("jg") == F.col("g"))
+            .withColumn("rn", F.row_number().over(W.orderBy("id")))
+        )
+        from bigdatapipeline_steamreviews_spark.plans.lint import plan_text
+
+        assert "*(" in plan_text(starred_join), "expected a starred plan"
+        assert "unpartitioned-window" in rules(starred_join)
+        starred_exploded = (
+            df.groupBy("g")
+            .agg(F.collect_list("id").alias("ids"))
+            .select("g", F.explode("ids").alias("id"))
+            .withColumn("rn", F.row_number().over(W.orderBy("id")))
+        )
+        assert "unpartitioned-window" in rules(starred_exploded)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
 
 def test_registry_wide_plan_lint(spark):
     """Registry-wide plan lint (plans.audit): no batch query may compile

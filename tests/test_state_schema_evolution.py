@@ -13,7 +13,7 @@ stateSchemaCheck``, default on) compares the new schema against
 ``<ckpt>/state/0/_metadata/schema`` and raises, rather than
 null-initializing the new column or (worse) misreading old fixed-width
 rows positionally.  The operational playbook this pins is documented in
-DIRTYDATA.md §5: evolve by draining (run old code with availableNow
+DIRTYDATA.md §10: evolve by draining (run old code with availableNow
 until state empties), by new-checkpoint backfill, or by migrating to
 ``transformWithStateInPandas`` (whose value-state encoding supports
 additive evolution; its twin here is env-gated on protobuf).
@@ -134,8 +134,12 @@ def _chunk_files(stage: str) -> list[str]:
 
 def _copy_in(files: list[str], dest: str) -> None:
     for f in files:
-        shutil.copy2(f, os.path.join(dest, os.path.basename(f)))
-        time.sleep(0.05)  # distinct mtimes -> deterministic replay order
+        # plain copy (NOT copy2): mtime = copy time, so the sleep really
+        # does space the files for the source's mtime-ordered replay —
+        # copy2 would preserve the SOURCE mtimes and make the sleep a
+        # no-op that merely inherits the stage's own spacing.
+        shutil.copy(f, os.path.join(dest, os.path.basename(f)))
+        time.sleep(0.05)
 
 
 @pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
@@ -192,7 +196,7 @@ def test_state_schema_widening_fails_loudly_on_restart(
             pytest.fail(
                 "state-schema widening restart SUCCEEDED — Spark now "
                 "supports applyInPandasWithState state evolution; "
-                "re-document DIRTYDATA.md §5 and pin the null-init "
+                "re-document DIRTYDATA.md §10 and pin the null-init "
                 "semantics of the new field here instead"
             )
         msg = str(exc_info.value).lower()
