@@ -470,3 +470,63 @@ def test_blob_reconciliation_reads_listing_metadata_only(spark):
     assert binary_scans, "binaryFile scan missing from plan"
     for rs in binary_scans:
         assert "content" not in rs, f"payload read leaked into the scan: {rs}"
+
+
+def test_subtree_bounded_parser_on_synthetic_plans():
+    """Unit-pin the indent-tree parser behind the unpartitioned-window
+    rule (round 12) on hand-written plan text — the integration cases
+    above exercise real plans, these pin the PARSING itself: direct-child
+    resolution across sibling rails, blank lines, codegen stars, and the
+    per-node boundedness verdicts."""
+    from bigdatapipeline_steamreviews_spark.plans.lint import (
+        _children,
+        _subtree_bounded,
+    )
+
+    plan = "\n".join([
+        "Project [a]",                                    # 0
+        "+- SortMergeJoin [k], [k], Inner",               # 1
+        "   :- HashAggregate(keys=[k])",                  # 2
+        "   :  +- FileScan parquet",                      # 3
+        "",                                               # 4 blank line
+        "   +- Sort [k]",                                 # 5
+        "      +- FileScan parquet",                      # 6
+    ]).splitlines()
+    assert _children(plan, 0) == [1]
+    assert _children(plan, 1) == [2, 5]      # siblings across the rail
+    assert _children(plan, 3) == []
+    assert _subtree_bounded(plan, 2)         # aggregate bounds
+    assert not _subtree_bounded(plan, 5)     # sort over scan does not
+    assert not _subtree_bounded(plan, 1)     # join needs ALL children
+    assert not _subtree_bounded(plan, 0)     # verdict propagates up
+
+    bounded_join = "\n".join([
+        "*(3) BroadcastHashJoin [k], [k], Inner",
+        "   :- *(1) HashAggregate(keys=[k])",
+        "   :  +- FileScan parquet",
+        "   +- *(2) GlobalLimit 5",
+        "      +- FileScan parquet",
+    ]).splitlines()
+    assert _subtree_bounded(bounded_join, 0)  # stars stripped, all bounded
+
+    union_mixed = "\n".join([
+        "Union",
+        ":- HashAggregate(keys=[k])",
+        ":  +- FileScan parquet",
+        "+- FileScan parquet",
+    ]).splitlines()
+    assert not _subtree_bounded(union_mixed, 0)  # sum of children
+
+    gen_spine = "\n".join([
+        "Generate explode(sequence(lo#1, hi#2)), false, [day#3]",
+        "+- HashAggregate(keys=[])",
+        "   +- FileScan parquet",
+    ]).splitlines()
+    assert _subtree_bounded(gen_spine, 0)
+
+    gen_data = "\n".join([
+        "*(2) Generate explode(ids#9), [g#1], false, [id#10]",
+        "+- HashAggregate(keys=[g#1])",
+        "   +- FileScan parquet",
+    ]).splitlines()
+    assert not _subtree_bounded(gen_data, 0)  # collect_list re-expansion

@@ -72,3 +72,33 @@ def test_empty_frames_do_not_false_positive():
     # names are compared (both sides routinely default to object/empty
     # dtypes that would false-positive a family check).
     assert compare("t", a, b) == []
+
+
+def test_duck_connect_globs_directory_tables(tmp_path):
+    """Round 12: the oracle gate runs on Spark-written probe corpora,
+    whose tables are DIRECTORIES of part files — duck_connect must glob
+    those while still reading the driver's single-FILE testdata tables
+    directly."""
+    import duckdb  # noqa: F401  (import guard: same env as verify_local)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from verify_local import duck_connect
+    from bigdatapipeline_steamreviews_spark.sources.tables import TABLE_NAMES
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    t = pa.table({"x": [1, 2, 3]})
+    for i, name in enumerate(TABLE_NAMES):
+        if i % 2 == 0:  # single file, the driver-testdata layout
+            pq.write_table(t, sf / f"{name}.parquet")
+        else:  # directory of parts, the Spark-written layout
+            d = sf / f"{name}.parquet"
+            d.mkdir()
+            pq.write_table(t, d / "part-00000.parquet")
+            pq.write_table(t, d / "part-00001.parquet")
+            (d / "_SUCCESS").touch()  # non-parquet sidecars must not break
+    con = duck_connect(str(sf))
+    for i, name in enumerate(TABLE_NAMES):
+        n = con.execute(f"SELECT count(*) FROM {name}").fetchone()[0]
+        assert n == (3 if i % 2 == 0 else 6), name
