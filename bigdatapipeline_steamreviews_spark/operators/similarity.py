@@ -1059,6 +1059,20 @@ def _validate_pq_index(
         ).alias("sparse_cids"),
     ).first()
     if row["n_sub"] == 0:
+        # An empty codebook is legitimate ONLY with an empty (or absent)
+        # code table — the empty-corpus staging contract.  Non-empty
+        # codes paired with a zero-row codebook are the truncation case
+        # in its most extreme form (the whole LUT lost, every ADC lookup
+        # NULL), and must fail the same way a partially-truncated pair
+        # does (round-13 ADVICE fix — the early return used to skip the
+        # codes cross-check entirely here).
+        if codes is not None and codes.limit(1).count() > 0:
+            raise ValueError(
+                "pq_index codes are non-empty but the codebook has zero "
+                "rows — the codebook is truncated (fully lost) relative "
+                "to the codes (every ADC lookup would return NULL); "
+                "retrain or re-stage the pair together"
+            )
         return
     if (
         row["n_sub"] != n_sub

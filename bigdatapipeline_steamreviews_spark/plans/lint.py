@@ -122,6 +122,27 @@ _BOUNDED_INPUT_NODES = (
     "WindowGroupLimit",
 )
 
+# Python/Arrow stages with ARBITRARY fan-out: the UDF may return any
+# number of rows per input group/batch, so nothing below them can
+# vouch for the output's row count — a bounded aggregate under a
+# MapInPandas proves nothing about what the pandas fn emits above it.
+# Treated like Generate: conservatively UNBOUNDED (round-13 ADVICE fix
+# — the pass-through fallback let these silence the unpartitioned-
+# window rule, the same false-negative class the round-12 fix closed
+# for Generate/Join/Union).  False positives go to the allowlist with
+# the boundedness documented, never a silent pass.  AggregateInPandas
+# is NOT here: it is a grouped reduction (one row per key) and sits in
+# _BOUNDED_INPUT_NODES, which is checked first.
+_REEXPANDING_PYTHON_NODES = (
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "FlatMapGroupsInPandasWithState",
+    "TransformWithStateInPandas",
+    "MapInPandas",
+    "MapInArrow",
+    "EvalPythonUDTF",  # BatchEvalPythonUDTF / ArrowEvalPythonUDTF
+)
+
 
 def _children(lines: list[str], i: int) -> list[int]:
     """Indices of the DIRECT children of the plan node at ``lines[i]``:
@@ -169,6 +190,12 @@ def _subtree_bounded(lines: list[str], i: int) -> bool:
       and exploded as a named column prints ``Generate explode(col)``
       and is conservatively treated as unbounded — a false POSITIVE,
       fixed by an allowlist entry, never a silent pass);
+    - a pandas/Arrow map or flatMap stage (MapInPandas,
+      FlatMapGroupsInPandas*, MapInArrow, python UDTF eval) has
+      arbitrary fan-out — the UDF decides the output row count — so it
+      is conservatively unbounded regardless of its input (round-13
+      ADVICE fix; AggregateInPandas, a one-row-per-key reduction, stays
+      in the bounded set);
     - leaves (file scans, stream sources) are unbounded; other nodes
       pass their child's verdict through.
 
@@ -184,6 +211,8 @@ def _subtree_bounded(lines: list[str], i: int) -> bool:
         name = name.split(") ", 1)[1] if ") " in name else name
     if any(node in name for node in _BOUNDED_INPUT_NODES):
         return True
+    if any(node in name for node in _REEXPANDING_PYTHON_NODES):
+        return False
     kids = _children(lines, i)
     head = name.split(" ", 1)[0].split("(", 1)[0]
     if head == "Generate":
@@ -222,10 +251,12 @@ def _unpartitioned_window(plan: str) -> str | None:
             continue  # [exprs], [partitionSpec] — partitioned, no order
         if not all(_subtree_bounded(lines, k) for k in _children(lines, i)):
             return (
-                "Window with no partition spec over a subtree containing no "
-                "aggregate/limit: the whole (possibly corpus-scale) input "
-                "funnels through ONE task — partition the window, or bound "
-                "its input, or allowlist with the boundedness documented"
+                "Window with no partition spec over a subtree that is not "
+                "structurally bounded (an aggregate/limit below may be "
+                "re-expanded by an explode/join/union/pandas-flatMap above "
+                "it): the whole (possibly corpus-scale) input funnels "
+                "through ONE task — partition the window, or bound its "
+                "input, or allowlist with the boundedness documented"
             )
     return None
 

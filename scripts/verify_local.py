@@ -55,7 +55,11 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
         # written corpora (the x10/x30 scale-probe replicas) are
         # DIRECTORIES of part files — glob those so the same oracle gate
         # runs at probe scale (round-12: hash-gating the 30x outputs).
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        # Recursive ** so partitionBy layouts (part files nested under
+        # key=value subdirs) are read too, not silently matched as zero
+        # files (round-13 ADVICE fix); ** also matches zero directories,
+        # so flat part-file dirs still resolve.
+        src = f"{p}/**/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     return con
 

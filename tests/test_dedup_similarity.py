@@ -677,6 +677,20 @@ def test_pq_guard_accepts_undersized_rejects_uneven(spark):
             pq_index=(codes, cb_truncated),
         )
 
+    # (3b) the EXTREME truncation — a fully-lost codebook (zero rows)
+    # paired with non-empty codes — must fail the same contract, not
+    # slip through the empty-codebook early return that exists for the
+    # empty-corpus staging case (round-13 ADVICE fix).
+    cb_lost = cb.filter(F.lit(False))
+    with pytest.raises(ValueError, match="truncated"):
+        pq_adc_topk(
+            clean,
+            F.col("vec_id") < 10,
+            n_sub=2,
+            codebook_k=8,
+            pq_index=(codes, cb_lost),
+        )
+
     # (4) a NON-DENSE cid space (cid 0 missing) would shift every
     # positional element_at lookup by one — must reject even though
     # counts are uniform.

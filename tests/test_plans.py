@@ -530,3 +530,28 @@ def test_subtree_bounded_parser_on_synthetic_plans():
         "   +- FileScan parquet",
     ]).splitlines()
     assert not _subtree_bounded(gen_data, 0)  # collect_list re-expansion
+
+    # Round-13 ADVICE pin: pandas/Arrow map-flatMap stages have
+    # arbitrary fan-out — an aggregate BELOW them bounds nothing, so
+    # they must be conservatively unbounded, not child-pass-through.
+    pandas_fanout = "\n".join([
+        "MapInPandas <lambda>(c#1), [out#2]",
+        "+- HashAggregate(keys=[k#0])",
+        "   +- FileScan parquet",
+    ]).splitlines()
+    assert not _subtree_bounded(pandas_fanout, 0)
+
+    flatmap_fanout = "\n".join([
+        "FlatMapGroupsInPandas [g#1], fn(c#2), [out#3]",
+        "+- GlobalLimit 5",
+        "   +- FileScan parquet",
+    ]).splitlines()
+    assert not _subtree_bounded(flatmap_fanout, 0)
+
+    # ...but AggregateInPandas is a one-row-per-key grouped reduction
+    # and stays bounded (it sits in _BOUNDED_INPUT_NODES).
+    agg_pandas = "\n".join([
+        "AggregateInPandas [g#1], [fn(c#2)], [out#3]",
+        "+- FileScan parquet",
+    ]).splitlines()
+    assert _subtree_bounded(agg_pandas, 0)
