@@ -21,7 +21,7 @@ path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -35,6 +35,12 @@ __all__ = [
     "cms_bucket",
     "cms_counter_table",
     "cms_estimate",
+    "QSK_K",
+    "QSK_QS",
+    "qsk_hash",
+    "qsk_pool",
+    "qsk_merge",
+    "qsk_quantiles",
 ]
 
 # Sketch geometry: m = 2^p buckets; a 60-bit md5-derived hash splits into
@@ -198,6 +204,144 @@ def cms_estimate(
         .groupBy(token_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: hash-ordered bottom-k row sample.
+# ---------------------------------------------------------------------------
+
+# The sketch family's missing member (HLL = distinct, CMS = frequency,
+# KMV = distinct-with-merge): QUANTILES.  KLL/GK — the usual streaming
+# summaries — buffer and compact, so their state depends on arrival
+# ORDER: two partitionings of the same corpus produce different (both
+# valid) sketches, which breaks the two properties every sketch in this
+# file pins — bitwise cross-engine reproducibility (the DuckDB oracle)
+# and merged-per-group == whole-corpus EXACTLY (the a11 rollup
+# property).  The mergeable-summaries literature (Agarwal, Cormode,
+# Huang, Phillips, Wei, Yi — PODS 2012) includes the random-sample
+# summary alongside GK precisely because it is the one with a
+# one-way-mergeable, order-independent form; making the sample
+# HASH-ORDERED (keep the k rows whose salted md5 is smallest — the
+# row-sampling analogue of KMV's k-minimum-values) makes it fully
+# deterministic:
+#
+# * the pool is a function of the row SET, not the scan order — any
+#   partitioning, any engine, same k rows bitwise;
+# * per-group pools merge EXACTLY: every row in the global bottom-k is
+#   by definition in its own group's bottom-k, so bottom-k(union of
+#   group pools) == bottom-k(corpus) — the oracle computes the global
+#   sketch straight from raw rows while Spark merges per-group pools,
+#   and the hash-match IS the rollup proof, cross-engine;
+# * the pool is a simple random sample of size k (md5 is uniform), so
+#   the value at sample rank ceil(q*k) has true rank within eps*n of
+#   q*n with probability >= 1 - 2*exp(-2*k*eps^2) (Hoeffding on the
+#   hypergeometric) — the same O(sqrt(1/k)) rank-error regime as a
+#   same-size KLL level-0 compactor, traded deliberately: KLL's
+#   log^2-factor space advantage for exact mergeability + portability.
+#
+# Scale shape: the rank<=k filter compiles to WindowGroupLimit, so each
+# map task ships at most k rows per group into the shuffle — the
+# exchanged volume is (partitions x groups x k) regardless of corpus
+# size, and every downstream window runs over the <= groups*k pooled
+# rows, never the corpus.  k is small here (fixture scale, like
+# CMS_WIDTH); at 100 TB size k ~ ln(2/delta)/(2*eps^2) for the target
+# rank error — 26k rows per group for eps=0.01 at delta=1e-3, still a
+# constant.
+QSK_K = 256
+QSK_QS = ((0.25, "q25"), (0.5, "q50"), (0.9, "q90"), (0.99, "q99"))
+
+
+def qsk_hash(id_col: Column) -> Column:
+    """Deterministic 60-bit row hash: the family's md5 recipe with a
+    'qsk:' salt so the sample is independent of KMV/P15 draws that hash
+    the same id columns."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qsk:"), id_col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def qsk_pool(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str],
+    k: int = QSK_K,
+) -> DataFrame:
+    """The sketch state: per group, the k rows with the smallest row
+    hash, carrying (hv, v).  NULL values and NULL ids are excluded (a
+    quantile over NULLs is undefined; a NULL id cannot be hashed
+    deterministically).  Ties on hv break by v so the kept VALUE
+    multiset is deterministic even under (astronomically unlikely)
+    60-bit collisions at the pool boundary."""
+    w = Window.partitionBy(*group_cols).orderBy("hv", "v")
+    return (
+        df.filter(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+        .select(
+            *group_cols,
+            qsk_hash(F.col(id_col)).alias("hv"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def qsk_merge(pools: DataFrame, k: int = QSK_K) -> DataFrame:
+    """Merge per-group pools into the global sketch: bottom-k by (hv, v)
+    of the UNION of pools — exactly equal to the bottom-k of the raw
+    corpus (every global-bottom-k row is in its group's bottom-k), the
+    property that lets 10,000 partition sketches roll up to any grouping
+    without re-reading data.  The window is unpartitioned but its input
+    is the <= groups*k pooled rows (WindowGroupLimit-bounded below),
+    never the corpus."""
+    w = Window.orderBy("hv", "v")
+    return (
+        pools.select("hv", "v")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def qsk_quantiles(
+    pool: DataFrame,
+    group_cols: list[str],
+    qs: tuple[tuple[float, str], ...] = QSK_QS,
+) -> DataFrame:
+    """Query the sketch: per group, the pool value at sample rank
+    ceil(q * n_kept) for each requested quantile (n_kept < k means the
+    group was smaller than the pool — the 'sketch' holds every row and
+    the quantile is EXACT).  Output: group_cols + n_kept + one column
+    per quantile.  Estimates are corpus values passed through untouched
+    (no float arithmetic), so they hash bitwise; the only arithmetic is
+    q * n_kept, one IEEE multiply identical in both engines."""
+    if group_cols:
+        wq = Window.partitionBy(*group_cols).orderBy("v")
+    else:
+        wq = Window.orderBy("v")
+    wn = wq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = pool.withColumn("rnk", F.row_number().over(wq)).withColumn(
+        "n_all", F.count(F.lit(1)).over(wn)
+    )
+    qcols = [
+        F.max(
+            F.when(
+                F.col("rnk")
+                == F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n_all"))),
+                F.col("v"),
+            )
+        ).alias(alias)
+        for q, alias in qs
+    ]
+    n_kept = F.count(F.lit(1)).cast("long").alias("n_kept")
+    if group_cols:
+        return ranked.groupBy(*group_cols).agg(n_kept, *qcols)
+    return ranked.agg(n_kept, *qcols)
 
 
 def hll_corrected(raw: float, empty_buckets: int) -> float:

@@ -1981,6 +1981,112 @@ def a22_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+_QSK_SRC_SQL = """
+  SELECT event_type, value::DOUBLE AS v,
+         ('0x' || substr(md5('qsk:' || event_id::VARCHAR), 1, 15))::BIGINT
+           AS hv
+  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+"""
+
+_QSK_QCOLS_SQL = """
+       max(CASE WHEN rnk = greatest(1, CAST(ceil(0.25 * n_all) AS BIGINT))
+                THEN v END) AS q25,
+       max(CASE WHEN rnk = greatest(1, CAST(ceil(0.5 * n_all) AS BIGINT))
+                THEN v END) AS q50,
+       max(CASE WHEN rnk = greatest(1, CAST(ceil(0.9 * n_all) AS BIGINT))
+                THEN v END) AS q90,
+       max(CASE WHEN rnk = greatest(1, CAST(ceil(0.99 * n_all) AS BIGINT))
+                THEN v END) AS q99
+"""
+
+
+@register(
+    "a23_quantile_sketch",
+    f"""
+WITH src AS ({_QSK_SRC_SQL}),
+pool AS (
+  SELECT event_type, v FROM (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv, v) AS rn
+    FROM src) WHERE rn <= 256
+),
+ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n_all
+  FROM pool
+)
+SELECT event_type, count(*)::BIGINT AS n_kept,
+{_QSK_QCOLS_SQL}
+FROM ranked GROUP BY event_type ORDER BY event_type
+""",
+    ("A5", "X*"),
+    "Mergeable quantile sketch, k=256: per event_type keep the 256 rows "
+    "with the smallest salted md5 row hash (the row-sampling analogue "
+    "of a22's k-minimum-values) and read quantiles off the sample's "
+    "order statistics — value at sample rank ceil(q*n_kept), EXACT when "
+    "the group holds fewer than k rows.  Hash-ordered instead of "
+    "KLL/GK compaction so the sketch is a function of the row SET, not "
+    "arrival order: bitwise cross-engine reproducible and exactly "
+    "mergeable (a24).  Rank error obeys the Hoeffding sampling bound "
+    "P(err > eps*n) <= 2*exp(-2*k*eps^2) (mergeable-summaries, PODS "
+    "2012), pinned in tests/test_quality_sketches.py.  The rank<=k "
+    "prune is map-side (WindowGroupLimit: each exchange carries at most "
+    "k rows per group per partition); every later window runs over the "
+    "<= groups*k pool, never the corpus.  operators/sketches.py.",
+)
+def a23_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import qsk_pool, qsk_quantiles
+
+    pool = qsk_pool(
+        load_table(spark, sf_dir, "events"), "value", "event_id",
+        ["event_type"],
+    )
+    return qsk_quantiles(pool, ["event_type"]).orderBy("event_type")
+
+
+@register(
+    "a24_quantile_sketch_rollup",
+    f"""
+WITH src AS ({_QSK_SRC_SQL}),
+pool AS (      -- the oracle sketches the whole corpus DIRECTLY ...
+  SELECT v FROM (
+    SELECT v, row_number() OVER (ORDER BY hv, v) AS rn FROM src)
+  WHERE rn <= 256
+),
+ranked AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rnk, count(*) OVER () AS n_all
+  FROM pool
+)
+SELECT '__all__' AS scope, count(*)::BIGINT AS n_kept,
+{_QSK_QCOLS_SQL}
+FROM ranked
+""",
+    ("A5", "A8", "X*"),
+    "Quantile-sketch MERGE: the per-event-type pools from a23 are merged "
+    "(union, re-take bottom-k by hash) into one global sketch WITHOUT "
+    "rescanning the input — every row of the global bottom-k is in its "
+    "own group's bottom-k, so merged-per-group == whole-corpus EXACTLY, "
+    "the a11 rollup property for quantiles.  The oracle computes the "
+    "global sketch STRAIGHT FROM RAW ROWS while Spark merges per-group "
+    "pools, so the driver's hash-match is a cross-engine PROOF of the "
+    "merge identity, not a re-run of the same plan.  Emits exactly one "
+    "row (global aggregate) — NULL quantiles with n_kept=0 on an empty "
+    "corpus, both engines.  operators/sketches.py.",
+)
+def a24_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import qsk_merge, qsk_pool, qsk_quantiles
+
+    pools = qsk_pool(
+        load_table(spark, sf_dir, "events"), "value", "event_id",
+        ["event_type"],
+    )
+    merged = qsk_merge(pools)
+    return qsk_quantiles(merged, []).select(
+        F.lit("__all__").alias("scope"), "n_kept", "q25", "q50", "q90", "q99"
+    )
+
+
 @register(
     "w20_median_event_gap",
     """

@@ -74,13 +74,85 @@ def op_skeleton(plan: str) -> list[str]:
     return ops
 
 
+# The EXPLICIT exclusion list (round-13 verdict ask: every registry
+# entry is either in PLANS.json or named here with a reason).  All 27
+# are Structured Streaming queries: invoking the registry fn RUNS the
+# replay to completion and returns a scan of the results memory table —
+# a LocalTableScan/memory-scan leaf that carries none of the streaming
+# plan (micro-batch plans are per-trigger and embed checkpoint paths,
+# batch ids, and state-store instances; they are not stable artifacts).
+# Their plan-adjacent invariants are gated elsewhere: state-operator
+# presence and watermark wiring in tests/test_streaming*.py, twin
+# equivalence (stream result == batch oracle) per query in the driver
+# compare, and the batch HALF of each twin (the shared transformation)
+# IS snapshotted via its batch registry sibling.
+# ``tests/test_plans.py::test_plan_snapshot_covers_entire_registry``
+# asserts registry == PLANS.json + this list, with no stale names.
+PLAN_SNAPSHOT_EXCLUDED: dict[str, str] = {
+    name: reason
+    for names, reason in (
+        (
+            (
+                "stream_daily_summary",
+                "stream_daily_summary_watermarked",
+                "stream_dedup_daily_summary",
+                "stream_enriched_summary",
+                "stream_sliding_summary",
+                "stream_weekly_from_daily",
+                "stream_multi_source_union",
+                "stream_pyds_review_summary",
+                "stream_table_checksum",
+                "stream_topn_users",
+                "stream_hll_distinct_users",
+                "stream_serving_materialization",
+            ),
+            "file-replay twin: fn executes the micro-batch replay and "
+            "returns the results memory-table scan (no stable plan); the "
+            "shared batch transformation is snapshotted via its batch "
+            "sibling and the twin is driver-oracled end-to-end",
+        ),
+        (
+            (
+                "stream_sessionization",
+                "stream_sessionization_disordered",
+                "stream_session_window_builtin",
+                "stream_session_window_dynamic_gap",
+                "stream_user_ewma",
+                "stream_user_ewma_disordered",
+                "stream_event_transitions",
+                "stream_transitions_disordered",
+                "stream_state_inspection",
+                "stream_dedup_bounded_state",
+                "stream_document_ingest_dedup",
+            ),
+            "stateful replay (applyInPandasWithState / dropDuplicates "
+            "state): per-trigger plans embed state-store instances and "
+            "batch ids — not a stable snapshot artifact; state wiring is "
+            "pytest-gated and the emitted set is driver-oracled",
+        ),
+        (
+            (
+                "stream_stream_click_purchase",
+                "stream_click_purchase_full_outer",
+                "stream_click_abandonment",
+                "stream_orphan_events",
+            ),
+            "stream-stream join replay: per-trigger plans embed join "
+            "state-store instances; watermark-bounded state growth is "
+            "probed at 30x and the closed set is driver-oracled",
+        ),
+    )
+    for name in names
+}
+
+
 def snapshot_names() -> list[str]:
     """Every registry query the snapshot covers: all batch entries.
-    ``stream_*`` fns execute a replay when invoked and return a
-    memory-table scan with no plan worth diffing; everything else —
-    including the staged/incremental ANN paths whose builds are one-time
-    and fingerprint-cached — is gated."""
-    return sorted(n for n in queries() if not n.startswith("stream_"))
+    Everything not here must appear in PLAN_SNAPSHOT_EXCLUDED with a
+    reason (asserted by tests/test_plans.py); the staged/incremental
+    ANN paths, whose builds are one-time and fingerprint-cached, ARE
+    gated."""
+    return sorted(n for n in queries() if n not in PLAN_SNAPSHOT_EXCLUDED)
 
 
 def compute_snapshots(

@@ -422,6 +422,39 @@ def test_plan_shapes_match_committed_snapshot(spark):
     )
 
 
+def test_plan_snapshot_covers_entire_registry():
+    """Every registry query is either plan-shape-gated (PLANS.json) or
+    on the EXPLICIT exclusion list with a documented reason — no query
+    can silently fall out of the drift gate (round-13 verdict ask: the
+    201-of-228 gap was an implicit prefix filter, not a named list)."""
+    import json
+    import pathlib
+    import sys
+
+    from bigdatapipeline_steamreviews_spark.registry import queries
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "scripts"))
+    from plan_snapshot import PLAN_SNAPSHOT_EXCLUDED
+
+    committed = set(json.loads((root / "PLANS.json").read_text()))
+    registry = set(queries())
+    excluded = set(PLAN_SNAPSHOT_EXCLUDED)
+    assert excluded <= registry, (
+        f"stale exclusion entries: {sorted(excluded - registry)}"
+    )
+    assert committed.isdisjoint(excluded), (
+        f"both snapshotted and excluded: {sorted(committed & excluded)}"
+    )
+    missing = registry - committed - excluded
+    assert not missing, (
+        "queries neither snapshotted nor on the documented exclusion "
+        f"list: {sorted(missing)}"
+    )
+    for name, reason in PLAN_SNAPSHOT_EXCLUDED.items():
+        assert len(reason) > 40, f"exclusion reason too thin for {name}"
+
+
 def test_rank_topk_windows_are_pruned(spark):
     """Round-11 verdict watch item, now pinned: the two corpus-derived
     rank-filter windows must show their prune node in the physical plan
