@@ -1720,3 +1720,79 @@ def stream_user_ewma_disordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "ewma", F.col("n_seen").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# In-flight observability: df.observe metrics, DuckDB-oracled (round 13).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "obs_ingest_metrics",
+    """
+SELECT count(*)::BIGINT AS n_rows,
+       count(CASE WHEN user_id IS NULL THEN 1 END)::BIGINT AS n_null_user,
+       count(CASE WHEN value IS NULL THEN 1 END)::BIGINT AS n_null_value,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT
+         AS n_purchase,
+       ((sum(CAST(value AS DECIMAL(28,10)))::VARCHAR)::DOUBLE) AS sum_value
+FROM events
+""",
+    ("A3", "A4", "X*"),
+    "In-flight observability (df.observe / CollectMetrics): the ingest "
+    "health counters — rows, null rates on join/aggregate keys, "
+    "conversion count, exact-DECIMAL value total — measured as "
+    "ACCUMULATORS riding the flagship aggregation's own pass (one noop-"
+    "sink materialization, ZERO additional scans; at 100 TB a separate "
+    "count query is a second multi-hour scan).  The returned one-row "
+    "frame is the Observation's result — driver-side by construction, "
+    "exactly as Spark surfaces observed metrics — and the DuckDB oracle "
+    "recomputes the same counters from raw rows, so the hash match "
+    "proves the accumulator path equals a real aggregate.  The decimal "
+    "total converts to double via the sum_exact string recipe, keeping "
+    "it partition-order-independent and bitwise.  Streaming twin: the "
+    "same metric exprs attach to streaming_daily_summary(observe_name=) "
+    "and per-batch listener captures are asserted to sum to this "
+    "query's totals (tests/test_observability.py).  streaming/metrics.py.",
+)
+def obs_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal
+
+    from pyspark.sql import Observation
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .operators.aggregations import daily_summary
+    from .streaming.metrics import ingest_metric_exprs
+
+    events = load_table(spark, sf_dir, "events")
+    obs = Observation()
+    observed = events.observe(obs, *ingest_metric_exprs())
+    # One full-materialization action so every row flows through the
+    # CollectMetrics node; noop sink = distributed, nothing collected.
+    daily_summary(observed).write.format("noop").mode("overwrite").save()
+    m = obs.get
+    total = m["sum_value_dec"]
+    row = (
+        int(m["n_rows"]),
+        int(m["n_null_user"]),
+        int(m["n_null_value"]),
+        int(m["n_purchase"]),
+        # Decimal -> shortest-correct double via the string round-trip
+        # (host-side mirror of sum_exact's VARCHAR::DOUBLE recipe).
+        float(str(total)) if isinstance(total, Decimal) else total,
+    )
+    schema = StructType(
+        [
+            StructField("n_rows", LongType(), False),
+            StructField("n_null_user", LongType(), False),
+            StructField("n_null_value", LongType(), False),
+            StructField("n_purchase", LongType(), False),
+            StructField("sum_value", DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame([row], schema=schema)

@@ -114,13 +114,26 @@ def streaming_daily_summary(
     events: DataFrame,
     window_duration: str = "1 day",
     watermark: str | None = None,
+    observe_name: str | None = None,
 ) -> DataFrame:
     """The reference's windowed aggregation over a *streaming* events frame.
 
     ``watermark=None`` is the faithful mode (unbounded state, late rows
     always merge — summarizer.py keeps every window live); pass e.g.
     ``"1 day"`` for the bounded-state production mode.
+
+    ``observe_name`` attaches the standard ingest metrics
+    (``streaming.metrics.ingest_metric_exprs``) as a named observation
+    BEFORE the watermark, so each micro-batch's progress event reports
+    counters over every ARRIVING row — including rows the watermark
+    filter will drop downstream (those are accounted separately by
+    ``stateOperators.numRowsDroppedByWatermark``).  Zero extra scans:
+    observe rides the batch's own pass as accumulators.
     """
+    if observe_name is not None:
+        from .metrics import ingest_metric_exprs
+
+        events = events.observe(observe_name, *ingest_metric_exprs())
     if watermark is not None:
         events = events.withWatermark("ts", watermark)
     return daily_summary(events, window_duration)
