@@ -144,6 +144,11 @@ ROCKSDB_PROVIDER = (
 )
 
 
+CHANGELOG_CONF = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+
 def run_to_memory_table(
     result: DataFrame,
     query_name: str,
@@ -151,6 +156,7 @@ def run_to_memory_table(
     output_mode: str = "complete",
     shuffle_partitions: int | None = None,
     rocksdb_state: bool = False,
+    changelog_checkpoint: bool = False,
 ) -> DataFrame:
     """Run a streaming aggregate to completion (availableNow) into an
     in-memory table; returns the final table as a batch DataFrame.
@@ -175,15 +181,29 @@ def run_to_memory_table(
     incremental checkpointing, instead of as JVM objects.  Also frozen
     into the checkpoint at first start, hence set-and-restored here the
     same way.
+
+    ``changelog_checkpoint=True`` (RocksDB only) switches the provider
+    to CHANGELOG checkpointing: each commit uploads the delta of state
+    changes instead of a full (or incremental-SST) snapshot, and
+    recovery replays changelogs over the last snapshot — the knob that
+    makes a LARGE-state sessionizer restartable at scale, because
+    per-trigger checkpoint cost becomes proportional to the batch's
+    state CHANGES, not the accumulated state size.  Restart-compatible
+    both ways on the same checkpoint (Spark replays whichever files the
+    commit log names — pinned in test_checkpoint_recovery.py).
     """
     spark = result.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(provider_key, None)
+    prev_changelog = spark.conf.get(CHANGELOG_CONF, None)
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     if rocksdb_state:
         spark.conf.set(provider_key, ROCKSDB_PROVIDER)
+    if changelog_checkpoint:
+        assert rocksdb_state, "changelog checkpointing is a RocksDB feature"
+        spark.conf.set(CHANGELOG_CONF, "true")
     try:
         query = (
             result.writeStream.format("memory")
@@ -202,4 +222,9 @@ def run_to_memory_table(
                 spark.conf.unset(provider_key)
             else:
                 spark.conf.set(provider_key, prev_provider)
+        if changelog_checkpoint:
+            if prev_changelog is None:
+                spark.conf.unset(CHANGELOG_CONF)
+            else:
+                spark.conf.set(CHANGELOG_CONF, prev_changelog)
     return spark.table(query_name)

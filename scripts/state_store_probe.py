@@ -5,7 +5,10 @@ total, nearly all per-trigger state-store fixed cost.  This measures,
 COLD (clearCache + fresh checkpoint per run, best-of-3), the grid
 
     provider x max_files_per_trigger
-      provider: HDFSBackedStateStoreProvider (default) vs RocksDB
+      provider: HDFSBackedStateStoreProvider (default) vs RocksDB vs
+                RocksDB + changelog checkpointing (round 13 — commit
+                cost proportional to per-batch state CHANGES, the
+                restartability knob for large-state sessionizers)
       mfpt: 1 / 2 / 4 (the stage has 4 chunks -> 4 / 2 / 1 triggers)
 
 for `stream_sessionization` and `stream_sessionization_disordered`,
@@ -58,7 +61,7 @@ BEST_OF = 3
 _counter = 0
 
 
-def _run(spark, which: str, mfpt: int, rocksdb: bool):
+def _run(spark, which: str, mfpt: int, provider: str):
     global _counter
     _counter += 1
     if which == "plain":
@@ -80,7 +83,8 @@ def _run(spark, which: str, mfpt: int, rocksdb: bool):
         checkpoint,
         "append",
         shuffle_partitions=16,
-        rocksdb_state=rocksdb,
+        rocksdb_state=provider != "hdfs",
+        changelog_checkpoint=provider == "rocksdb_changelog",
     )
 
 
@@ -95,9 +99,9 @@ def main() -> None:
         out_json = sys.argv[sys.argv.index("--json") + 1]
     spark = get_spark()
     grid = [
-        (which, mfpt, rocksdb)
+        (which, mfpt, provider)
         for which in ("plain", "disordered")
-        for rocksdb in (False, True)
+        for provider in ("hdfs", "rocksdb", "rocksdb_changelog")
         for mfpt in (1, 2, 4)
     ]
     results: dict[str, dict] = {}
@@ -105,17 +109,17 @@ def main() -> None:
     # Registered configs first so every variant hashes against them.
     for which, reg_mfpt in (("plain", 2), ("disordered", 2)):
         spark.catalog.clearCache()
-        baselines[which] = _hash(_run(spark, which, reg_mfpt, False))
-    for which, mfpt, rocksdb in grid:
+        baselines[which] = _hash(_run(spark, which, reg_mfpt, "hdfs"))
+    for which, mfpt, provider in grid:
         times = []
         h = None
         for _ in range(BEST_OF):
             spark.catalog.clearCache()
             t0 = time.time()
-            df = _run(spark, which, mfpt, rocksdb)
+            df = _run(spark, which, mfpt, provider)
             h = _hash(df)
             times.append(round(time.time() - t0, 2))
-        key = f"{which}/mfpt={mfpt}/{'rocksdb' if rocksdb else 'hdfs'}"
+        key = f"{which}/mfpt={mfpt}/{provider}"
         results[key] = {
             "best_s": min(times),
             "samples": times,

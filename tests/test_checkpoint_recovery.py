@@ -18,16 +18,48 @@ from bigdatapipeline_steamreviews_spark.queries_streaming import (
     _stage_events_chunks,
 )
 from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+import pytest
+
 from bigdatapipeline_steamreviews_spark.streaming.summarizer import (
+    CHANGELOG_CONF,
+    ROCKSDB_PROVIDER,
     events_file_stream,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
 
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 
-def test_restart_from_checkpoint_reaches_batch_answer(spark):
+
+@pytest.fixture(
+    params=["hdfs", "rocksdb", "rocksdb_changelog"],
+    ids=["hdfs", "rocksdb", "rocksdb-changelog"],
+)
+def state_provider(request, spark):
+    """Run the recovery scenario under all three state-store configs:
+    the heap-backed default, RocksDB with full-snapshot checkpoints,
+    and RocksDB with CHANGELOG checkpointing (round-13 verdict ask #5 —
+    the incremental-checkpoint mode that keeps per-trigger commit cost
+    proportional to state CHANGES; recovery then must replay changelog
+    files over the last snapshot, which is exactly the path a plain
+    uninterrupted drain never exercises)."""
+    prev_provider = spark.conf.get(_PROVIDER_KEY, None)
+    prev_changelog = spark.conf.get(CHANGELOG_CONF, None)
+    if request.param != "hdfs":
+        spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    if request.param == "rocksdb_changelog":
+        spark.conf.set(CHANGELOG_CONF, "true")
+    yield request.param
+    for key, prev in ((_PROVIDER_KEY, prev_provider), (CHANGELOG_CONF, prev_changelog)):
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_restart_from_checkpoint_reaches_batch_answer(spark, state_provider):
     stage = _stage_events_chunks(spark, SF_DIR)
-    ckpt = tempfile.mkdtemp(prefix="recovery_ckpt_")
+    ckpt = tempfile.mkdtemp(prefix=f"recovery_ckpt_{state_provider}_")
 
     def aggregate(stream):
         return stream.groupBy("event_type").agg(
@@ -41,7 +73,7 @@ def test_restart_from_checkpoint_reaches_batch_answer(spark):
     q1 = (
         aggregate(stream)
         .writeStream.format("memory")
-        .queryName("recovery_run1")
+        .queryName(f"recovery_run1_{state_provider}")
         .outputMode("complete")
         .option("checkpointLocation", ckpt)
         .trigger(processingTime="0 seconds")
@@ -57,7 +89,7 @@ def test_restart_from_checkpoint_reaches_batch_answer(spark):
         time.sleep(0.2)
     q1.stop()
     q1.awaitTermination(30)
-    partial = {r.event_type: r.n for r in spark.table("recovery_run1").collect()}
+    partial = {r.event_type: r.n for r in spark.table(f"recovery_run1_{state_provider}").collect()}
     batch = {
         r.event_type: r.n
         for r in aggregate(load_table(spark, SF_DIR, "events")).collect()
@@ -67,8 +99,6 @@ def test_restart_from_checkpoint_reaches_batch_answer(spark):
     # uninterrupted case; on a machine fast enough to drain all 4 chunks
     # before stop() lands, skip honestly rather than pass vacuously.
     if sum(partial.values()) >= sum(batch.values()):
-        import pytest
-
         pytest.skip("replay drained before the kill landed; retry later")
 
     # Run 2: same checkpoint, fresh query — resumes from committed
@@ -77,7 +107,7 @@ def test_restart_from_checkpoint_reaches_batch_answer(spark):
     q2 = (
         aggregate(stream2)
         .writeStream.format("memory")
-        .queryName("recovery_run2")
+        .queryName(f"recovery_run2_{state_provider}")
         .outputMode("complete")
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
@@ -86,7 +116,7 @@ def test_restart_from_checkpoint_reaches_batch_answer(spark):
     q2.awaitTermination()
     final = {
         (r.event_type): (r.n, r.total)
-        for r in spark.table("recovery_run2").collect()
+        for r in spark.table(f"recovery_run2_{state_provider}").collect()
     }
     want = {
         (r.event_type): (r.n, r.total)
