@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "x3_ivf_pq_persisted",         # probe-only ANN from staged index
     # r11 birth (36 above stay comparable):
     "x3_ivf_pq_incremental",       # streaming ANN index maintenance
+    # r13 births (37 above stay comparable):
+    "a23_quantile_sketch",         # mergeable quantile sketch (KLL-style pool)
+    "obs_ingest_metrics",          # observe() in-flight metrics, one pass
 ]
 
 

@@ -2149,3 +2149,283 @@ def w20_median_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_gaps"),
         med.alias("median_gap_us"),
     ).orderBy("user_id")
+
+
+_KMV_SETOPS_BASE_SQL = """
+h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('purchase', 'click')
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+kept AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+sa AS (SELECT count(*)::BIGINT AS n_a, max(hv) AS hk_a
+       FROM kept WHERE event_type = 'purchase'),
+sb AS (SELECT count(*)::BIGINT AS n_b, max(hv) AS hk_b
+       FROM kept WHERE event_type = 'click'),
+th AS (
+  SELECT least(
+           CASE WHEN n_a < 64 THEN 1152921504606846976 ELSE hk_a END,
+           CASE WHEN n_b < 64 THEN 1152921504606846976 ELSE hk_b END
+         ) AS theta
+  FROM sa, sb
+),
+s AS (
+  SELECT count(*)::BIGINT AS n_s
+  FROM kept a
+  JOIN kept b ON a.hv = b.hv
+  CROSS JOIN th
+  WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+    AND a.hv < th.theta
+),
+pool AS (SELECT DISTINCT hv FROM kept),
+pu AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM pool),
+su AS (SELECT count(*)::BIGINT AS n_u, max(hv) AS hk_u FROM pu WHERE rn <= 64),
+ex AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('purchase', 'click')
+),
+exa AS (
+  SELECT sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS exact_a,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+           AS exact_b
+  FROM ex
+),
+exu AS (
+  SELECT count(*)::BIGINT AS exact_union,
+         sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END)::BIGINT AS exact_inter
+  FROM (SELECT user_id, count(*) AS nt FROM ex GROUP BY user_id)
+)
+"""
+
+
+@register(
+    "a25_kmv_set_ops",
+    f"""
+WITH {_KMV_SETOPS_BASE_SQL}
+SELECT exact_a, exact_b, exact_union, exact_inter,
+       CASE WHEN n_a < 64 THEN n_a
+            ELSE floor(63.0 * (1152921504606846976.0 / hk_a))::BIGINT
+       END AS est_a,
+       CASE WHEN n_b < 64 THEN n_b
+            ELSE floor(63.0 * (1152921504606846976.0 / hk_b))::BIGINT
+       END AS est_b,
+       CASE WHEN n_u < 64 THEN n_u
+            ELSE floor(63.0 * (1152921504606846976.0 / hk_u))::BIGINT
+       END AS union_est,
+       n_s,
+       CASE WHEN theta = 1152921504606846976 THEN n_s
+            ELSE floor(n_s::DOUBLE * (1152921504606846976.0 / theta))::BIGINT
+       END AS inter_est
+FROM sa, sb, th, s, su, exa, exu
+""",
+    ("A8", "X*"),
+    "KMV/theta-sketch SET OPERATIONS, k=64: union, intersection, and "
+    "Jaccard between two user populations (purchase vs click actors) "
+    "computed from the two 64-minimum-value sketches ALONE — the raw "
+    "corpus is touched once to build the sketches, never again.  Union "
+    "sketch = bottom-k of the pooled k-min sets (a22's merge).  "
+    "Intersection uses the theta-sketch estimator (Dasgupta et al., "
+    "'Theta-Sketch Framework'): theta = min of the two sketches' k-th "
+    "minima (2^60 when a side is unsaturated, i.e. exact); survivors "
+    "S = {h in kA and kB, h < theta} are a uniform sample of the true "
+    "intersection below theta, so |A inter B| ~= |S| * 2^60/theta — "
+    "EXACT when both sides are unsaturated.  Exact counts ride along as "
+    "the recall-report audit (the x3_ann_recall_report pattern): at "
+    "sf0.01 the exact pass is cheap; at 100 TB you'd drop the exact "
+    "columns and keep the sketch path, whose shuffle is <= 2*k rows. "
+    "All estimator arithmetic is the same IEEE op sequence in both "
+    "engines (ratio-first double, floored to int); the rank<=k prune is "
+    "map-side (WindowGroupLimit).  No jaccard double column: the "
+    "estimate is inter_est/union_est, derivable from the two exact-int "
+    "columns — keeping the row all-integer keeps the hash gate strict.",
+)
+def a25_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    two60 = 1152921504606846976  # 2^60: md5-prefix hash space (15 hex digits)
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .select("event_type", hv.alias("hv"))
+        .distinct()
+    )
+    byt = Window.partitionBy("event_type").orderBy("hv")
+    kept = (
+        base.withColumn("rn", F.row_number().over(byt))
+        .filter(F.col("rn") <= 64)
+        .select("event_type", "hv")
+    )
+    ka = kept.filter(F.col("event_type") == "purchase").select("hv")
+    kb = kept.filter(F.col("event_type") == "click").select("hv")
+    sa = ka.agg(F.count(F.lit(1)).alias("n_a"), F.max("hv").alias("hk_a"))
+    sb = kb.agg(F.count(F.lit(1)).alias("n_b"), F.max("hv").alias("hk_b"))
+    theta = F.least(
+        F.when(F.col("n_a") < 64, F.lit(two60)).otherwise(F.col("hk_a")),
+        F.when(F.col("n_b") < 64, F.lit(two60)).otherwise(F.col("hk_b")),
+    ).alias("theta")
+    th = sa.crossJoin(F.broadcast(sb)).select("n_a", "hk_a", "n_b", "hk_b", theta)
+    s_row = (
+        ka.join(F.broadcast(kb), "hv")
+        .crossJoin(F.broadcast(th.select("theta")))
+        .filter(F.col("hv") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_s"))
+    )
+    # Union sketch: bottom-k of the pooled per-population k-min sets.  The
+    # unpartitioned window is over <= 2*k pooled rows (aggregate-bounded).
+    pool = kept.select("hv").distinct()
+    su = (
+        pool.withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+        .filter(F.col("rn") <= 64)
+        .agg(F.count(F.lit(1)).alias("n_u"), F.max("hv").alias("hk_u"))
+    )
+    # Exact audit columns (drop these at 100 TB; see docstring).
+    ex = (
+        events.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    exa = ex.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("exact_a"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("exact_b"),
+    )
+    exu = (
+        ex.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.when(F.col("nt") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("exact_inter"),
+        )
+    )
+
+    def est(n: str, hk: str):  # a22's estimator, identical op order
+        return F.when(F.col(n) < 64, F.col(n)).otherwise(
+            F.floor(F.lit(63.0) * (F.lit(1152921504606846976.0) / F.col(hk)))
+        )
+
+    return (
+        th.crossJoin(F.broadcast(s_row))
+        .crossJoin(F.broadcast(su))
+        .crossJoin(F.broadcast(exa))
+        .crossJoin(F.broadcast(exu))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            est("n_a", "hk_a").cast("long").alias("est_a"),
+            est("n_b", "hk_b").cast("long").alias("est_b"),
+            est("n_u", "hk_u").cast("long").alias("union_est"),
+            "n_s",
+            F.when(F.col("theta") == two60, F.col("n_s"))
+            .otherwise(
+                F.floor(
+                    F.col("n_s").cast("double")
+                    * (F.lit(1152921504606846976.0) / F.col("theta"))
+                )
+            )
+            .cast("long")
+            .alias("inter_est"),
+        )
+    )
+
+
+@register(
+    "t5_scd2_history",
+    """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WHERE user_id IS NOT NULL
+),
+versioned AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS version
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, version::BIGINT AS version, event_type,
+         min(ts) AS effective_from, count(*)::BIGINT AS n_events
+  FROM versioned GROUP BY user_id, version, event_type
+)
+SELECT user_id, version, event_type, effective_from,
+       lead(effective_from)
+         OVER (PARTITION BY user_id ORDER BY version) AS effective_to,
+       n_events,
+       (lead(effective_from)
+          OVER (PARTITION BY user_id ORDER BY version) IS NULL) AS is_current
+FROM runs
+ORDER BY user_id, version
+""",
+    ("T*", "A7"),
+    "SCD TYPE-2 HISTORY BUILD: collapse each user's event-type change "
+    "stream into slowly-changing-dimension validity intervals — one row "
+    "per consecutive run with [effective_from, effective_to) bounds, a "
+    "monotone version number, and a NULL-open is_current row — the "
+    "standard dimension-history shape a warehouse maintains from CDC "
+    "feeds.  Change detection is lag() IS DISTINCT FROM (first row of "
+    "a user counts as a change), version is the running sum of change "
+    "flags (the gaps-and-islands id, as w19), effective_to is the NEXT "
+    "run's effective_from via lead() — intervals tile each user's "
+    "timeline with no gaps and no overlaps by construction.  Scale: "
+    "two user-partitioned windows and one partial-aggregatable groupBy; "
+    "nothing corpus-ordered, skew bounded by per-user event counts; "
+    "ties broken by event_id so the row set (and its hash) is total-"
+    "order deterministic in both engines.",
+)
+def t5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    # exactly IS DISTINCT FROM: null-safe on BOTH sides (the perturbation
+    # corpora inject NULL event_types; lag's leading NULL counts as change)
+    chg = (~prev.eqNullSafe(F.col("event_type"))).cast("int")
+    versioned = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("version"),
+    )
+    runs = versioned.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("effective_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    eff_to = F.lead("effective_from").over(wv)
+    return runs.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "event_type",
+        "effective_from",
+        eff_to.alias("effective_to"),
+        F.col("n_events").cast("long").alias("n_events"),
+        eff_to.isNull().alias("is_current"),
+    ).orderBy("user_id", "version")

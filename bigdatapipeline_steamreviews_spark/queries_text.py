@@ -2625,3 +2625,175 @@ def x4_sequence_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
     )
     return pack_sequences(docs, budget=512, n_shards=8, sizes=sizes)
+
+
+@register(
+    "x4_dsir_sample",
+    """
+WITH raw_toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(t), 1, 15))::BIGINT % 256 AS b
+  FROM raw_toks WHERE t <> ''
+),
+docb AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, b),
+rawb AS (SELECT b, count(*)::BIGINT AS raw_cnt FROM toks GROUP BY b),
+tgtb AS (SELECT b, count(*)::BIGINT AS tgt_cnt FROM toks
+         WHERE source IN ('src1', 'src18') GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM toks)::BIGINT AS raw_total,
+               (SELECT count(*) FROM toks
+                WHERE source IN ('src1', 'src18'))::BIGINT AS tgt_total),
+wts AS (
+  SELECT d.doc_id,
+         sum(d.c * (coalesce(t.tgt_cnt, 0) * tot.raw_total
+                    - r.raw_cnt * tot.tgt_total))::BIGINT AS dsir_weight
+  FROM docb d
+  JOIN rawb r ON r.b = d.b
+  LEFT JOIN tgtb t ON t.b = d.b
+  CROSS JOIN tot
+  GROUP BY d.doc_id
+)
+SELECT w.doc_id, docs.source, w.dsir_weight
+FROM wts w JOIN documents docs ON docs.doc_id = w.doc_id
+ORDER BY w.dsir_weight DESC, w.doc_id
+LIMIT 100
+""",
+    ("X4",),
+    "DSIR-STYLE DATA SELECTION (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): score every raw "
+    "document by how much its hashed-unigram feature distribution looks "
+    "like a curated target corpus vs the raw crawl, keep the top-k.  "
+    "Features are md5-hashed token buckets (B=256, the paper's hashed "
+    "n-gram trick, same engine-shared 60-bit md5 as the sketch family); "
+    "the per-doc score replaces the paper's log-likelihood-ratio sum "
+    "with its INTEGER-EXACT common-denominator form: sum_b c_b * "
+    "(tgt_cnt_b * raw_total - raw_cnt_b * tgt_total) — monotone in the "
+    "per-bucket probability gap sum_b c_b*(p_b - q_b), zero libm calls, "
+    "so the score (and the driver hash) is bitwise identical in both "
+    "engines (the x4_bigram_surprisal rule).  Selection is top-100 by "
+    "(score DESC, doc_id) via TakeOrderedAndProject — distributed "
+    "per-partition heaps, never a global sort.  Scale: one explode + "
+    "two partial-agg groupBys over the token stream; the 256-row bucket "
+    "stats and the two scalar totals broadcast; BIGINT headroom to "
+    "~1e18 (at true 100 TB totals switch the product to DECIMAL(38,0), "
+    "same plan shape).  An empty target corpus degrades to all-zero "
+    "scores, deterministically, in both engines.",
+)
+def x4_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tgt_pred = F.col("source").isin("src1", "src18")
+    toks = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast(
+                    "long"
+                )
+                % 256
+            ).alias("b"),
+        )
+    )
+    docb = toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    rawb = toks.groupBy("b").agg(F.count(F.lit(1)).alias("raw_cnt"))
+    tgtb = (
+        toks.filter(tgt_pred)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("raw_total"),
+        F.sum(tgt_pred.cast("long")).alias("tgt_total"),
+    )
+    bstats = rawb.join(tgtb, "b", "left").select(
+        "b", "raw_cnt", F.coalesce(F.col("tgt_cnt"), F.lit(0)).alias("tgt_cnt")
+    )
+    wts = (
+        docb.join(F.broadcast(bstats), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("c")
+                * (
+                    F.col("tgt_cnt") * F.col("raw_total")
+                    - F.col("raw_cnt") * F.col("tgt_total")
+                )
+            )
+            .cast("long")
+            .alias("dsir_weight")
+        )
+    )
+    # top-k BEFORE the display join: doc_id is unique, so limiting the
+    # scored side first is result-identical and keeps the join's built
+    # side at <= 100 rows instead of broadcasting the documents table
+    top = wts.orderBy(F.col("dsir_weight").desc(), "doc_id").limit(100)
+    return top.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "dsir_weight"
+    )
+
+
+@register(
+    "x4_conjunctive_search",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS tf_total,
+         count(DISTINCT t)::BIGINT AS n_terms
+  FROM toks WHERE t IN ('window', 'merge', 'stream') GROUP BY doc_id
+)
+SELECT h.doc_id, d.source, h.tf_total
+FROM hits h JOIN documents d USING (doc_id)
+WHERE h.n_terms = 3
+ORDER BY h.tf_total DESC, h.doc_id
+LIMIT 50
+""",
+    ("X4",),
+    "BOOLEAN RETRIEVAL (conjunctive multi-term search): the 'grep the "
+    "corpus' primitive — documents containing ALL query terms, ranked "
+    "by total term frequency.  Relational form of posting-list "
+    "intersection: explode to (doc, term) postings restricted to the "
+    "query terms, then HAVING count(distinct term) = |query| — the "
+    "AND-semantics without any self-join.  Two scale levers: (1) a "
+    "conjunction of substring contains() prefilters reaches the parquet "
+    "scan (PushedFilters: StringContains — a strict superset of the "
+    "token-equality match, so semantics-neutral; non-matching docs are "
+    "never exploded), and (2) the candidate set is aggregated and "
+    "top-50'd (TakeOrderedAndProject, ties by doc_id) BEFORE the join "
+    "back to documents for display columns, so the join's left side is "
+    "<= 50 rows regardless of corpus size.  With a staged inverted "
+    "index this becomes probe-only (the x3_ivf_pq_persisted pattern); "
+    "in-plan it is one scan + one partial-agg groupBy.",
+)
+def x4_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ["window", "merge", "stream"]
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs
+    for t in terms:
+        pre = pre.filter(F.col("text").contains(t))
+    toks = pre.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).filter(F.col("t").isin(*terms))
+    hits = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf_total"),
+            F.countDistinct("t").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+    )
+    top = hits.orderBy(F.col("tf_total").desc(), "doc_id").limit(50)
+    return top.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", F.col("tf_total").cast("long").alias("tf_total")
+    )

@@ -1,0 +1,221 @@
+"""Round-13 birth semantics: KMV set operations (a25), SCD-2 history
+(t5), DSIR importance sampling (x4_dsir_sample), and boolean retrieval
+(x4_conjunctive_search) — the properties the DuckDB hash gate cannot
+express (exactness contracts, tiling invariants, selection monotonicity),
+each on synthetic corpora crafted to hit the contract's edge."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bigdatapipeline_steamreviews_spark import queries
+from tests.conftest import SF_DIR
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type, value, props)"""
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    return str(tmp_path)
+
+
+def _write_documents(spark, tmp_path, rows):
+    """rows: (doc_id, text, lang, source, n_chars)"""
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
+
+
+def _ts(i: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i)
+
+
+# ---------------------------------------------------------------------------
+# a25 — KMV/theta set operations
+# ---------------------------------------------------------------------------
+
+
+def test_a25_unsaturated_sketches_are_exact(spark, tmp_path):
+    """Both populations under k=64 distinct => theta stays 2^60 and every
+    estimate column must EQUAL its exact audit column — the sketch
+    degrades to the exact set, the contract the estimator's
+    CASE WHEN n < 64 branch encodes."""
+    # purchase users 1..40, click users 21..70 -> inter 20, union 70
+    rows = []
+    eid = 0
+    for u in range(1, 41):
+        rows.append((eid, _ts(eid), u, "purchase", 1.0, None))
+        eid += 1
+    for u in range(21, 71):
+        rows.append((eid, _ts(eid), u, "click", 1.0, None))
+        eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = queries()["a25_kmv_set_ops"](spark, sf).collect()[0]
+    assert (r["exact_a"], r["exact_b"]) == (40, 50)
+    assert (r["exact_inter"], r["exact_union"]) == (20, 70)
+    assert r["est_a"] == 40 and r["est_b"] == 50
+    assert r["n_s"] == 20 and r["inter_est"] == 20
+    # union pool has 70 distinct hashes -> union sketch saturates at 64,
+    # so union_est is an ESTIMATE here; it must still be within the KMV
+    # error envelope for k=64 (se ~ 1/sqrt(k-2) ~ 13%; allow 4 sigma)
+    assert abs(r["union_est"] - 70) <= 0.52 * 70
+
+
+def test_a25_estimates_within_kmv_error_envelope(spark):
+    """At sf0.01 both populations saturate (>= 1000 distinct users each):
+    every sketch estimate must land within 4x the KMV standard error
+    (1/sqrt(k-2) at k=64 ~ 12.7%) of its exact audit column.  The sample
+    is hash-deterministic, so this is a fixed assertion, not flaky."""
+    r = queries()["a25_kmv_set_ops"](spark, SF001).collect()[0]
+    envelope = 4 / (62.0**0.5)
+    for est, exact in (
+        ("est_a", "exact_a"),
+        ("est_b", "exact_b"),
+        ("union_est", "exact_union"),
+    ):
+        assert abs(r[est] / r[exact] - 1) <= envelope, (est, r[est], r[exact])
+    # the intersection estimator's error scales with union/inter, so give
+    # it the envelope scaled by the (observed) inverse-Jaccard
+    scale = r["exact_union"] / max(r["exact_inter"], 1)
+    assert abs(r["inter_est"] - r["exact_inter"]) <= (
+        envelope * scale * r["exact_inter"] + 2
+    )
+
+
+# ---------------------------------------------------------------------------
+# t5 — SCD-2 history
+# ---------------------------------------------------------------------------
+
+
+def test_t5_intervals_tile_each_users_timeline(spark):
+    """Per user: versions are contiguous from 1, effective_to of run i ==
+    effective_from of run i+1 (no gaps, no overlaps), exactly the LAST
+    run is open/is_current, consecutive runs change event_type, and the
+    run lengths sum to the user's event count."""
+    out = queries()["t5_scd2_history"](spark, SF_DIR).collect()
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in queries()["t5_scd2_history"](spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.sum("n_events").alias("n"))
+        .collect()
+    }
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+
+    true_counts = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert ev_counts == true_counts
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user, "empty SCD history"
+    for user, runs in by_user.items():
+        runs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in runs] == list(range(1, len(runs) + 1))
+        for a, b in zip(runs, runs[1:]):
+            assert a["effective_to"] == b["effective_from"], user
+            assert a["event_type"] != b["event_type"], (
+                "consecutive runs must differ",
+                user,
+            )
+            assert not a["is_current"]
+        assert runs[-1]["is_current"] and runs[-1]["effective_to"] is None
+
+
+# ---------------------------------------------------------------------------
+# x4_dsir_sample — importance-resampling selection
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_selects_target_like_documents(spark, tmp_path):
+    """A corpus where target-source docs speak one vocabulary and the
+    bulk speaks another: every selected doc must be target-VOCABULARY
+    (including raw docs that merely sound like the target), and
+    anti-target docs must score strictly lower than target-like ones."""
+    rows = []
+    # 5 target docs (the reference distribution): pure "alpha beta"
+    for i in range(5):
+        rows.append((i, "alpha beta alpha beta alpha", "en", "src1", 29))
+    # 20 raw docs that SOUND like the target (should be selected)
+    for i in range(5, 25):
+        rows.append((i, "alpha beta beta alpha alpha", "en", "crawl", 29))
+    # 200 raw docs of anti-target vocabulary (should rank below)
+    for i in range(25, 225):
+        rows.append((i, "gamma delta gamma delta gamma", "en", "crawl", 30))
+    sf = _write_documents(spark, tmp_path, rows)
+    out = queries()["x4_dsir_sample"](spark, sf).collect()
+    assert len(out) == 100
+    weights = {r["doc_id"]: r["dsir_weight"] for r in out}
+    target_like = {i for i in range(25)}
+    selected_target_like = target_like & set(weights)
+    assert selected_target_like == target_like, "all 25 target-like selected"
+    w_target = min(weights[i] for i in target_like)
+    w_anti = max(w for d, w in weights.items() if d not in target_like)
+    assert w_target > w_anti > -(2**62)
+    assert w_anti < 0, "anti-target docs must score negative"
+
+
+def test_dsir_is_scale_invariant_in_doc_length(spark, tmp_path):
+    """Doubling a doc's text doubles its integer score (the score is a
+    c_b-weighted sum): rank order among same-mixture docs is by length,
+    which is the resampling analogue of token-weighted selection."""
+    rows = [
+        (0, "alpha beta", "en", "src1", 10),
+        (1, "alpha beta", "en", "crawl", 10),
+        (2, "alpha beta alpha beta", "en", "crawl", 21),
+        (3, "gamma", "en", "crawl", 5),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in queries()["x4_dsir_sample"](spark, sf).collect()
+    }
+    assert out[2] == 2 * out[1] > 0 > out[3]
+
+
+# ---------------------------------------------------------------------------
+# x4_conjunctive_search — boolean retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_conjunctive_search_matches_naive_and_semantics(spark):
+    """Every returned doc tokenizes to a superset of the query terms; the
+    result set equals the top-50 of a naive per-doc recount; scores are
+    the exact query-term frequencies, descending with doc_id tiebreak."""
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+
+    terms = {"window", "merge", "stream"}
+    out = queries()["x4_conjunctive_search"](spark, SF001).collect()
+    assert 0 < len(out) <= 50
+    docs = {
+        r["doc_id"]: (r["text"] or "").split(" ")
+        for r in load_table(spark, SF001, "documents").collect()
+    }
+    naive = []
+    for doc_id, toks in docs.items():
+        if terms <= set(toks):
+            naive.append((sum(t in terms for t in toks), doc_id))
+    naive.sort(key=lambda p: (-p[0], p[1]))
+    expect = {d: tf for tf, d in naive[:50]}
+    got = {r["doc_id"]: r["tf_total"] for r in out}
+    assert got == expect
