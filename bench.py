@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     # r13 births (37 above stay comparable):
     "a23_quantile_sketch",         # mergeable quantile sketch (KLL-style pool)
     "obs_ingest_metrics",          # observe() in-flight metrics, one pass
+    "x4_dsir_sample",              # DSIR importance sampling (explode + 3 aggs)
 ]
 
 
