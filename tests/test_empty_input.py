@@ -57,6 +57,18 @@ PROBE = [
     "serving_upsert_compaction",
     "sql_recursive_user_ewma",
     "dq_column_profile",
+    # round-13 births: obs_ingest_metrics is the regression that PUT the
+    # births here — Spark's Observation holds a schema-less empty Row
+    # when the observed plan processed zero rows, and the .get conversion
+    # asserts (caught by the empty-corpus audit, fixed with an arity
+    # probe in queries_streaming.py).
+    "obs_ingest_metrics",
+    "a23_quantile_sketch",
+    "a24_quantile_sketch_rollup",
+    "a25_kmv_set_ops",
+    "t5_scd2_history",
+    "x4_dsir_sample",
+    "x4_conjunctive_search",
 ]
 
 
