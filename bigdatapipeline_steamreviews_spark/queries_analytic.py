@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .caching import persisted_intermediate
 from .functions import avg_exact, sum_exact
 from .operators.analytic import (
     as_of_join,
@@ -2261,10 +2262,15 @@ def a25_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     byt = Window.partitionBy("event_type").orderBy("hv")
-    kept = (
+    # the two k-min sketches: <= 2*64 rows with corpus-scale lineage and
+    # FOUR consumers (two per-population stats, the intersection probe,
+    # the union pool) — exactly the persisted_intermediate contract; the
+    # corpus is scanned once to build this, never again
+    kept = persisted_intermediate(
         base.withColumn("rn", F.row_number().over(byt))
         .filter(F.col("rn") <= 64)
-        .select("event_type", "hv")
+        .select("event_type", "hv"),
+        "<= 2*k = 128 rows",
     )
     ka = kept.filter(F.col("event_type") == "purchase").select("hv")
     kb = kept.filter(F.col("event_type") == "click").select("hv")
@@ -2289,29 +2295,28 @@ def a25_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 64)
         .agg(F.count(F.lit(1)).alias("n_u"), F.max("hv").alias("hk_u"))
     )
-    # Exact audit columns (drop these at 100 TB; see docstring).
-    ex = (
+    # Exact audit columns (drop these at 100 TB; see docstring).  ONE
+    # pass: per-user membership flags (max absorbs duplicate events, so
+    # no distinct pre-shuffle), then one global aggregate.
+    exact = (
         events.filter(
             F.col("user_id").isNotNull()
             & F.col("event_type").isin("purchase", "click")
         )
-        .select("event_type", "user_id")
-        .distinct()
-    )
-    exa = ex.agg(
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("exact_a"),
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("long")
-        .alias("exact_b"),
-    )
-    exu = (
-        ex.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("nt"))
+        .groupBy("user_id")
         .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "has_a"
+            ),
+            F.max((F.col("event_type") == "click").cast("int")).alias(
+                "has_b"
+            ),
+        )
+        .agg(
+            F.sum("has_a").cast("long").alias("exact_a"),
+            F.sum("has_b").cast("long").alias("exact_b"),
             F.count(F.lit(1)).alias("exact_union"),
-            F.sum(F.when(F.col("nt") == 2, 1).otherwise(0))
+            F.sum(F.col("has_a") * F.col("has_b"))
             .cast("long")
             .alias("exact_inter"),
         )
@@ -2325,8 +2330,7 @@ def a25_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         th.crossJoin(F.broadcast(s_row))
         .crossJoin(F.broadcast(su))
-        .crossJoin(F.broadcast(exa))
-        .crossJoin(F.broadcast(exu))
+        .crossJoin(F.broadcast(exact))
         .select(
             "exact_a",
             "exact_b",
