@@ -1813,3 +1813,59 @@ def obs_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame([row], schema=schema)
+
+
+@register(
+    "stream_pyds_serving_store",
+    FLAGSHIP_ORACLE,
+    ("S4", "S6", "A7", "T4", "T7"),
+    "The serving-store sink as a FIRST-CLASS streaming sink: the "
+    "flagship aggregate written through writeStream.format("
+    "'servingstore') — a Spark 4 Python DataSource STREAM WRITER "
+    "(sources/pyds_sink.py), completing the custom-source seam whose "
+    "reader half is src/stream_pyds_*.  Python stream writers accept "
+    "append/complete only (UPDATE is JVM-sink-only as of 4.1 — probed, "
+    "STREAM_FAILED 'does not support Update mode'), so this runs the "
+    "aggregate in COMPLETE mode: each trigger re-emits every group "
+    "(bounded: days x event_types rows) and the keyed merge degenerates "
+    "to a full refresh; the update-mode changed-keys-only materialization "
+    "stays with the foreachBatch twin (stream_serving_materialization).  "
+    "What the sink adds is the WRITER PROTOCOL: executor write() ships "
+    "each partition's bounded rows as the commit message, driver "
+    "commit() applies last-writer-wins per (event_type, time), records "
+    "the batchId so an at-least-once replay is SKIPPED (effectively-"
+    "once, one step past the twin's idempotent merge), and publishes "
+    "atomically via os.replace.  After the replay drains, the STORE — "
+    "read back through the sink's read side — must equal the batch "
+    "groupBy, same oracle as the flagship.",
+)
+def stream_pyds_serving_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.pyds_sink import (
+        read_serving_store,
+        register_serving_store_sink,
+    )
+
+    global _query_counter
+    _query_counter += 1
+    register_serving_store_sink(spark)
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    result = streaming_daily_summary(stream, watermark=None)
+    store_dir = tempfile.mkdtemp(prefix="spark_graft_pyds_store_")
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            result.writeStream.format("servingstore")
+            .outputMode("complete")
+            .option("path", store_dir)
+            .option("keys", "event_type,time")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return read_serving_store(spark, store_dir)

@@ -1,0 +1,162 @@
+"""S4/S6/A7/T7 — the serving-store sink as a FIRST-CLASS streaming sink
+(Spark 4 Python DataSource stream writer), completing the custom
+data-source seam the reader half opened (``sources/pyds.py``).
+
+The reference's serving path is a KafkaConsumer thread mutating a global
+pandas DataFrame (``/root/reference/visualizer.py:49-79``).  The repo's
+first Spark-native replacement is the ``foreachBatch`` keyed merge
+(``streaming/serving_sink.py``); this module is the same store contract
+behind ``writeStream.format("servingstore")`` — the form a platform team
+ships, because the sink then composes with ANY streaming query without
+the caller wiring merge code:
+
+* ``write(iterator)`` runs on EXECUTORS, one call per partition, and
+  ships the partition's rows back as the (picklable) commit message.
+  That is only sane because the input is an UPDATE-MODE KEYED AGGREGATE:
+  per trigger it emits at most one row per changed (key) group, so a
+  micro-batch is bounded by the changed-key count, never the event
+  count — same boundedness argument as the driver-side Observation row.
+  A row-stream sink (unaggregated events) must NOT use this writer;
+  write files on the executor and ship paths instead.
+* ``commit(messages, batchId)`` runs on the DRIVER exactly once per
+  successful micro-batch, applies last-writer-wins per key, and records
+  ``batchId`` — a replayed batch (at-least-once delivery after recovery,
+  T7) is detected and SKIPPED, upgrading the store to effectively-once:
+  the foreachBatch twin converges under replay because its merge is
+  idempotent; this sink never applies the duplicate at all.
+* the store file is swapped atomically (tmp + ``os.replace``), so a
+  concurrent reader sees the pre- or post-commit table, never a torn
+  one.  At 100 TB the commit body targets a transactional table format
+  (Delta/Iceberg MERGE) and the commit-message payload becomes staged
+  file paths; the protocol (executor stage -> driver atomic publish,
+  batch-id idempotence) is exactly this one.
+
+Spark guarantees ``commit`` is called with ALL task messages only when
+every task succeeded, and ``abort`` otherwise — nothing is applied until
+commit, so aborts need no cleanup (the staging IS the commit message).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Iterator, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "ServingStoreDataSource",
+    "register_serving_store_sink",
+    "read_serving_store",
+]
+
+
+class _RowsCommit(WriterCommitMessage):
+    """One partition's emitted rows (update-mode aggregate => bounded)."""
+
+    def __init__(self, rows: list) -> None:
+        self.rows = rows
+
+
+class _ServingStoreStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options, schema: StructType) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("servingstore sink requires .option('path', dir)")
+        keys = options.get("keys")
+        if not keys:
+            raise ValueError(
+                "servingstore sink requires .option('keys', 'k1,k2')"
+            )
+        self.path = path
+        self.keys = [k.strip() for k in keys.split(",") if k.strip()]
+        self.fields = [f.name for f in schema.fields]
+        missing = [k for k in self.keys if k not in self.fields]
+        if missing:
+            raise ValueError(f"key columns not in stream schema: {missing}")
+        self.schema_json = schema.json()
+
+    # -- executor side ------------------------------------------------
+    def write(self, iterator: Iterator) -> WriterCommitMessage:
+        # Rows are pickled as plain dicts; within a partition, arrival
+        # order is preserved so the last occurrence of a key wins below.
+        return _RowsCommit([dict(zip(self.fields, row)) for row in iterator])
+
+    # -- driver side ----------------------------------------------------
+    def _store_file(self) -> str:
+        return os.path.join(self.path, "store.pkl")
+
+    def _load(self) -> dict:
+        f = self._store_file()
+        if os.path.exists(f):
+            with open(f, "rb") as fh:
+                return pickle.load(fh)
+        return {"batches": [], "table": {}, "schema_json": self.schema_json}
+
+    def commit(
+        self, messages: List[Optional[WriterCommitMessage]], batchId: int
+    ) -> None:
+        store = self._load()
+        if batchId in store["batches"]:
+            return  # at-least-once replay of an already-applied batch
+        table = store["table"]
+        for msg in messages:
+            if msg is None:  # contract: None only accompanies task failure
+                raise RuntimeError(
+                    f"commit called with a missing task message, batch {batchId}"
+                )
+            for row in msg.rows:
+                # last-writer-wins per key; an update-mode keyed aggregate
+                # emits each key at most once per trigger, so cross-
+                # partition order within a batch cannot matter
+                table[tuple(row[k] for k in self.keys)] = row
+        store["batches"].append(batchId)
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._store_file() + ".tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump(store, fh)
+        os.replace(tmp, self._store_file())  # atomic publish
+
+    def abort(
+        self, messages: List[Optional[WriterCommitMessage]], batchId: int
+    ) -> None:
+        # nothing was applied until commit; the failed batch re-runs whole
+        return
+
+
+class ServingStoreDataSource(DataSource):
+    """``writeStream.format("servingstore")`` — keyed upsert serving store."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "servingstore"
+
+    def schema(self) -> str:
+        # write-only source: reads go through read_serving_store()
+        return "key string"
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _ServingStoreStreamWriter(self.options, schema)
+
+
+def register_serving_store_sink(spark: SparkSession) -> None:
+    spark.dataSource.register(ServingStoreDataSource)
+
+
+def read_serving_store(spark: SparkSession, path: str) -> DataFrame:
+    """The store as a batch DataFrame (the visualizer's read side)."""
+    import json as _json
+
+    f = os.path.join(path, "store.pkl")
+    with open(f, "rb") as fh:
+        store = pickle.load(fh)
+    schema = StructType.fromJson(_json.loads(store["schema_json"]))
+    names = [fld.name for fld in schema.fields]
+    rows = [tuple(r.get(n) for n in names) for r in store["table"].values()]
+    return spark.createDataFrame(rows, schema=schema)

@@ -101,6 +101,7 @@ PLAN_SNAPSHOT_EXCLUDED: dict[str, str] = {
                 "stream_weekly_from_daily",
                 "stream_multi_source_union",
                 "stream_pyds_review_summary",
+                "stream_pyds_serving_store",
                 "stream_table_checksum",
                 "stream_topn_users",
                 "stream_hll_distinct_users",
