@@ -2433,3 +2433,114 @@ def t5_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         eff_to.isNull().alias("is_current"),
     ).orderBy("user_id", "version")
+
+
+@register(
+    "t6_interval_overlap_join",
+    """
+WITH activity AS (
+  SELECT user_id, min(epoch_us(ts)) AS a_start, max(epoch_us(ts)) AS a_end
+  FROM events WHERE user_id IS NOT NULL AND event_type <> 'error'
+  GROUP BY user_id, date_trunc('week', ts)
+),
+incidents AS (
+  SELECT user_id, min(epoch_us(ts)) AS i_start,
+         max(epoch_us(ts)) + 1 AS i_end
+  FROM events WHERE user_id IS NOT NULL AND event_type = 'error'
+  GROUP BY user_id, date_trunc('day', ts)
+),
+pairs AS (
+  SELECT a.user_id,
+         least(a.a_end, i.i_end - 1) - greatest(a.a_start, i.i_start)
+           AS ov_us,
+         i.i_start
+  FROM activity a JOIN incidents i
+    ON a.user_id = i.user_id
+   AND a.a_start < i.i_end AND i.i_start <= a.a_end
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_overlap_pairs,
+       count(DISTINCT i_start)::BIGINT AS n_incidents,
+       sum(ov_us)::BIGINT AS total_overlap_us
+FROM pairs GROUP BY user_id
+ORDER BY user_id
+""",
+    ("T*", "J*", "W*"),
+    "INTERVAL OVERLAP JOIN, banded: per-user WEEKLY activity intervals "
+    "(non-error events, [first, last] inclusive, up to 7 days wide) "
+    "joined to the same user's DAILY error-incident windows ([first, "
+    "last+1us) half-open) on temporal overlap — the blast-radius "
+    "temporal join (which activity windows were exposed to which "
+    "incidents) that a naive engine plans as a per-key inequality "
+    "cross product.  The scale plan bands the WIDE side: each activity "
+    "interval explodes into its covered day buckets (sequence: <= 8 "
+    "rows, a constant) and equi-joins on (user, day) — an incident "
+    "lies inside ONE day by construction, so every true pair is found "
+    "in exactly one bucket (no dedup, nothing double-counted) and the "
+    "exact overlap predicate filters band false positives.  Shuffle is "
+    "|user-weeks|*8 + |user-day incidents| on a composite equi-key, "
+    "never a per-user cross product.  The DuckDB oracle runs the NAIVE "
+    "inequality join, so the hash match is a cross-engine proof the "
+    "banding loses and invents nothing (row counts asserted non-zero "
+    "in pytest — the sf0.01 corpus produces thousands of pairs, so the "
+    "gate cannot pass vacuously).  Overlap microseconds are exact "
+    "integers (least/greatest of epoch_us), aggregated per user.",
+)
+def t6_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    day_us = 86_400 * 1_000_000
+    activity = (
+        events.filter(F.col("event_type") != "error")
+        .groupBy("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("a_start"),
+            F.max(F.unix_micros("ts")).alias("a_end"),
+        )
+        .drop("wk")
+    )
+    incidents = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("i_start"),
+            (F.max(F.unix_micros("ts")) + 1).alias("i_end"),
+        )
+        .withColumn("day_idx", (F.unix_micros("d") / day_us).cast("long"))
+        .drop("d")
+        .withColumnRenamed("user_id", "i_user")
+    )
+    # band the wide (weekly) side into its covered days: <= 8 constant rows
+    banded = activity.withColumn(
+        "day_idx",
+        F.explode(
+            F.sequence(
+                (F.col("a_start") / day_us).cast("long"),
+                (F.col("a_end") / day_us).cast("long"),
+            )
+        ),
+    )
+    pairs = banded.join(
+        incidents,
+        (banded.user_id == incidents.i_user)
+        & (banded.day_idx == incidents.day_idx)
+        & (banded.a_start < incidents.i_end)
+        & (incidents.i_start <= banded.a_end),
+    ).select(
+        "user_id",
+        "i_start",
+        (
+            F.least(F.col("a_end"), F.col("i_end") - 1)
+            - F.greatest(F.col("a_start"), F.col("i_start"))
+        ).alias("ov_us"),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap_pairs"),
+            F.countDistinct("i_start").alias("n_incidents"),
+            F.sum("ov_us").cast("long").alias("total_overlap_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -219,3 +219,98 @@ def test_conjunctive_search_matches_naive_and_semantics(spark):
     expect = {d: tf for tf, d in naive[:50]}
     got = {r["doc_id"]: r["tf_total"] for r in out}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# t6 — banded interval overlap join
+# ---------------------------------------------------------------------------
+
+
+def test_t6_banding_equals_naive_inequality_join(spark):
+    """The day-bucketed equi-join plan must produce EXACTLY the result of
+    the naive theta-join (same predicate, no banding) — banding is a
+    physical rewrite, not a semantics change — and the result must be
+    NON-EMPTY (the round's orders-vs-events first draft passed its hash
+    gate vacuously on 0==0 rows; this pins that lesson)."""
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+
+    banded = {
+        (r["user_id"], r["n_overlap_pairs"], r["n_incidents"], r["total_overlap_us"])
+        for r in queries()["t6_interval_overlap_join"](spark, SF001).collect()
+    }
+    assert banded, "overlap join must be non-vacuous on the test corpus"
+    events = load_table(spark, SF001, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    activity = (
+        events.filter(F.col("event_type") != "error")
+        .groupBy("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("a_start"),
+            F.max(F.unix_micros("ts")).alias("a_end"),
+        )
+        .drop("wk")
+    )
+    incidents = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("i_start"),
+            (F.max(F.unix_micros("ts")) + 1).alias("i_end"),
+        )
+        .drop("d")
+        .withColumnRenamed("user_id", "i_user")
+    )
+    naive = (
+        activity.join(
+            incidents,
+            (activity.user_id == incidents.i_user)
+            & (activity.a_start < incidents.i_end)
+            & (incidents.i_start <= activity.a_end),
+        )
+        .select(
+            "user_id",
+            "i_start",
+            (
+                F.least(F.col("a_end"), F.col("i_end") - 1)
+                - F.greatest(F.col("a_start"), F.col("i_start"))
+            ).alias("ov_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap_pairs"),
+            F.countDistinct("i_start").alias("n_incidents"),
+            F.sum("ov_us").cast("long").alias("total_overlap_us"),
+        )
+    )
+    naive_set = {
+        (r["user_id"], r["n_overlap_pairs"], r["n_incidents"], r["total_overlap_us"])
+        for r in naive.collect()
+    }
+    assert banded == naive_set
+
+
+def test_t6_half_open_boundary_and_point_touch(spark, tmp_path):
+    """Edges the corpus gate may not exercise: an activity interval that
+    ENDS exactly where the (half-open) incident window closes must still
+    count the final instant (i_end = last_error + 1us, so an activity
+    point AT the last error overlaps with 0us); an activity whose start
+    equals i_end must NOT match."""
+    rows = [
+        # user 1: error at 10:00:00; activity single event at the SAME
+        # instant -> i = [10:00, 10:00+1us), a = [10:00, 10:00] -> overlap
+        # (a_start < i_end and i_start <= a_end), duration 0us
+        (0, datetime.datetime(2024, 1, 1, 10, 0, 0), 1, "error", 1.0, None),
+        (1, datetime.datetime(2024, 1, 1, 10, 0, 0), 1, "view", 1.0, None),
+        # user 2: error at 10:00:00; activity starts exactly at i_end
+        # (10:00:00.000001) -> no overlap
+        (2, datetime.datetime(2024, 1, 1, 10, 0, 0), 2, "error", 1.0, None),
+        (3, datetime.datetime(2024, 1, 1, 10, 0, 0, 1), 2, "view", 1.0, None),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        r["user_id"]: (r["n_overlap_pairs"], r["total_overlap_us"])
+        for r in queries()["t6_interval_overlap_join"](spark, sf).collect()
+    }
+    assert out.get(1) == (1, 0), "touching point activity counts, 0us"
+    assert 2 not in out, "activity starting at the half-open end must not match"
