@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "a23_quantile_sketch",         # mergeable quantile sketch (KLL-style pool)
     "obs_ingest_metrics",          # observe() in-flight metrics, one pass
     "x4_dsir_sample",              # DSIR importance sampling (explode + 3 aggs)
+    "t6_interval_overlap_join",    # banded temporal overlap join
 ]
 
 

@@ -75,6 +75,11 @@ PROBE = [
     # untested axis when 3-4 operators chain.
     "x1_curation_pipeline",
     "x3_ann_recall_report",
+    # r13 births with corpus-proportional cost (the sketch/search births
+    # are output-constant and cheap; these two carry the round's real
+    # scale risk: a token-explode pipeline and a banded temporal join).
+    "x4_dsir_sample",
+    "t6_interval_overlap_join",
 ]
 
 

@@ -69,6 +69,8 @@ PROBE = [
     "t5_scd2_history",
     "x4_dsir_sample",
     "x4_conjunctive_search",
+    "t6_interval_overlap_join",
+    "stream_pyds_serving_store",  # zero-trigger replay still commits schema
 ]
 
 
