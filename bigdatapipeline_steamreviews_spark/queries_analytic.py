@@ -2507,7 +2507,16 @@ def t6_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.unix_micros("ts")).alias("i_start"),
             (F.max(F.unix_micros("ts")) + 1).alias("i_end"),
         )
-        .withColumn("day_idx", (F.unix_micros("d") / day_us).cast("long"))
+        .withColumn(
+            # floor, not cast-truncation: long/long division is a double
+            # and cast truncates TOWARD ZERO, so a pre-1970 (negative
+            # epoch) timestamp would bucket one day high and silently
+            # drop true overlap pairs vs the naive-join oracle.  The
+            # day-boundary epochs here are exactly divisible (date_trunc)
+            # so the double quotient is exact and floor is bitwise-safe.
+            "day_idx",
+            F.floor(F.unix_micros("d") / day_us).cast("long"),
+        )
         .drop("d")
         .withColumnRenamed("user_id", "i_user")
     )
@@ -2515,9 +2524,14 @@ def t6_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = activity.withColumn(
         "day_idx",
         F.explode(
+            # floor-division (see day_idx note): mid-day epochs are
+            # integers microseconds, so the double quotient can only
+            # land exactly ON an integer when the epoch is exactly
+            # divisible — floor is therefore exact for every input,
+            # negative epochs included.
             F.sequence(
-                (F.col("a_start") / day_us).cast("long"),
-                (F.col("a_end") / day_us).cast("long"),
+                F.floor(F.col("a_start") / day_us).cast("long"),
+                F.floor(F.col("a_end") / day_us).cast("long"),
             )
         ),
     )

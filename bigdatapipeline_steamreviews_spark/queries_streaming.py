@@ -1767,32 +1767,21 @@ def obs_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from .operators.aggregations import daily_summary
-    from .streaming.metrics import ingest_metric_exprs
+    from .streaming.metrics import ingest_metric_exprs, observation_result
 
     events = load_table(spark, sf_dir, "events")
     obs = Observation()
-    observed = events.observe(obs, *ingest_metric_exprs())
+    exprs = ingest_metric_exprs()
+    observed = events.observe(obs, *exprs)
     # One full-materialization action so every row flows through the
     # CollectMetrics node; noop sink = distributed, nothing collected.
     daily_summary(observed).write.format("noop").mode("overwrite").save()
-    # Empty-input edge (caught by the empty-corpus audit): when the observed
-    # plan processes ZERO rows, Spark's Observation holds a schema-less
-    # empty Row, and the Python conversion asserts (pyspark observation.py
-    # getRow -> PythonSQLUtils.toPyRow's row-arity assertion).  An empty
-    # partition-pruned slice is routine at 100 TB, so probe the JVM row's
-    # arity first and fall back to the aggregate-identity values (counts 0,
-    # sum NULL) — exactly what the oracle computes on zero rows.
-    jrow = obs._jo.getRow()  # blocks until the action completes, like .get
-    if jrow.size() == 0:
-        m = {
-            "n_rows": 0,
-            "n_null_user": 0,
-            "n_null_value": 0,
-            "n_purchase": 0,
-            "sum_value_dec": None,
-        }
-    else:
-        m = obs.get
+    # Zero-row edge (caught by the empty-corpus audit) handled inside
+    # observation_result: probe the JVM row arity where the private
+    # handle exists, degrade to the public .get (mapping its zero-row
+    # conversion failure to per-expr aggregate identities) where it
+    # does not — streaming/metrics.py, pinned in tests/test_observability.
+    m = observation_result(obs, exprs)
     total = m["sum_value_dec"]
     row = (
         int(m["n_rows"]),

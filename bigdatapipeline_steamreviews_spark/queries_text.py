@@ -2648,8 +2648,9 @@ tot AS (SELECT (SELECT count(*) FROM toks)::BIGINT AS raw_total,
                 WHERE source IN ('src1', 'src18'))::BIGINT AS tgt_total),
 wts AS (
   SELECT d.doc_id,
-         sum(d.c * (coalesce(t.tgt_cnt, 0) * tot.raw_total
-                    - r.raw_cnt * tot.tgt_total))::BIGINT AS dsir_weight
+         sum(d.c::HUGEINT * (coalesce(t.tgt_cnt, 0)::HUGEINT * tot.raw_total
+                    - r.raw_cnt::HUGEINT * tot.tgt_total))::BIGINT
+           AS dsir_weight
   FROM docb d
   JOIN rawb r ON r.b = d.b
   LEFT JOIN tgtb t ON t.b = d.b
@@ -2677,10 +2678,12 @@ LIMIT 100
     "(score DESC, doc_id) via TakeOrderedAndProject — distributed "
     "per-partition heaps, never a global sort.  Scale: one explode + "
     "two partial-agg groupBys over the token stream; the 256-row bucket "
-    "stats and the two scalar totals broadcast; BIGINT headroom to "
-    "~1e18 (at true 100 TB totals switch the product to DECIMAL(38,0), "
-    "same plan shape).  An empty target corpus degrades to all-zero "
-    "scores, deterministically, in both engines.",
+    "stats and the two scalar totals broadcast; products run in "
+    "DECIMAL(38,0) (oracle: HUGEINT) because Spark's non-ANSI BIGINT "
+    "multiply wraps silently while DuckDB raises — wide integers give "
+    "both engines identical exact arithmetic to ~1e38 headroom.  An "
+    "empty target corpus degrades to all-zero scores, "
+    "deterministically, in both engines.",
 )
 def x4_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2722,11 +2725,19 @@ def x4_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
+            # DECIMAL(38,0) operands (oracle: HUGEINT): Spark's non-ANSI
+            # BIGINT multiply WRAPS silently while DuckDB raises and sums
+            # in HUGEINT, so past ~1e18 token-count products the engines
+            # would diverge silently in the BIGINT form.  Wide-integer
+            # arithmetic on both sides pushes the divergence horizon to
+            # ~1e38 with the same plan shape (scale-0 decimals, exact).
             F.sum(
-                F.col("c")
+                F.col("c").cast("decimal(38,0)")
                 * (
-                    F.col("tgt_cnt") * F.col("raw_total")
-                    - F.col("raw_cnt") * F.col("tgt_total")
+                    F.col("tgt_cnt").cast("decimal(38,0)")
+                    * F.col("raw_total")
+                    - F.col("raw_cnt").cast("decimal(38,0)")
+                    * F.col("tgt_total")
                 )
             )
             .cast("long")
@@ -2742,43 +2753,114 @@ def x4_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_top_terms(docs: DataFrame, n: int = 3) -> list[str]:
+    """Query terms derived from the corpus itself: the ``n`` most
+    document-frequent tokens AMONG the pivot document's tokens, where
+    the pivot is the document with the most distinct tokens (ties:
+    doc_id ASC, then token ASC) — the derivation x4_conjunctive_search
+    and its oracle share.
+
+    Anchoring the terms to one real document makes the conjunctive gate
+    non-vacuous BY CONSTRUCTION: all chosen terms co-occur in the pivot,
+    so at least one document always matches.  (The naive alternative —
+    globally top-df tokens — fails exactly when the corpus is sharded
+    into disjoint vocabularies, e.g. the 30x probe's replica-salted
+    words: the global top-3 land in three different replicas and the
+    intersection is empty, which is the round-13 vacuity watch item in
+    a new costume.)  Ranking the pivot's tokens by GLOBAL document
+    frequency still favours broadly-shared terms, so the result set is
+    a real ranked retrieval, not a pivot-only lookup.
+
+    Driver-side by design: this is QUERY PLANNING statistics (a
+    production engine keeps exactly this vocabulary stat cached next to
+    its inverted index); everything composes in-plan and the single
+    collect ships ``n`` strings, never data-path rows."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    pivot = (
+        toks.groupBy("doc_id")
+        .agg(F.countDistinct("t").alias("ndt"))
+        .orderBy(F.col("ndt").desc(), "doc_id")
+        .limit(1)
+        .select("doc_id")
+    )
+    pivot_toks = toks.join(F.broadcast(pivot), "doc_id").select("t").distinct()
+    dfreq = toks.groupBy("t").agg(F.countDistinct("doc_id").alias("df_cnt"))
+    top = (
+        dfreq.join(F.broadcast(pivot_toks), "t")
+        .orderBy(F.col("df_cnt").desc(), "t")
+        .limit(n)
+        .collect()
+    )
+    return [r["t"] for r in top]
+
+
 @register(
     "x4_conjunctive_search",
     """
-WITH toks AS (
+WITH raw AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+toks AS (SELECT doc_id, t FROM raw WHERE t <> ''),
+pivot_doc AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(DISTINCT t) AS ndt FROM toks GROUP BY doc_id
+  ) ORDER BY ndt DESC, doc_id LIMIT 1
+),
+dfreq AS (
+  SELECT t, count(DISTINCT doc_id) AS df_cnt FROM toks GROUP BY t
+),
+terms AS (
+  SELECT d.t FROM dfreq d
+  WHERE d.t IN (SELECT DISTINCT t FROM toks
+                WHERE doc_id = (SELECT doc_id FROM pivot_doc))
+  ORDER BY d.df_cnt DESC, d.t LIMIT 3
 ),
 hits AS (
   SELECT doc_id, count(*)::BIGINT AS tf_total,
          count(DISTINCT t)::BIGINT AS n_terms
-  FROM toks WHERE t IN ('window', 'merge', 'stream') GROUP BY doc_id
+  FROM toks WHERE t IN (SELECT t FROM terms) GROUP BY doc_id
 )
 SELECT h.doc_id, d.source, h.tf_total
 FROM hits h JOIN documents d USING (doc_id)
-WHERE h.n_terms = 3
+WHERE h.n_terms = (SELECT count(*) FROM terms)
 ORDER BY h.tf_total DESC, h.doc_id
 LIMIT 50
 """,
     ("X4",),
     "BOOLEAN RETRIEVAL (conjunctive multi-term search): the 'grep the "
     "corpus' primitive — documents containing ALL query terms, ranked "
-    "by total term frequency.  Relational form of posting-list "
-    "intersection: explode to (doc, term) postings restricted to the "
-    "query terms, then HAVING count(distinct term) = |query| — the "
-    "AND-semantics without any self-join.  Two scale levers: (1) a "
-    "conjunction of substring contains() prefilters reaches the parquet "
-    "scan (PushedFilters: StringContains — a strict superset of the "
-    "token-equality match, so semantics-neutral; non-matching docs are "
-    "never exploded), and (2) the candidate set is aggregated and "
-    "top-50'd (TakeOrderedAndProject, ties by doc_id) BEFORE the join "
-    "back to documents for display columns, so the join's left side is "
-    "<= 50 rows regardless of corpus size.  With a staged inverted "
-    "index this becomes probe-only (the x3_ivf_pq_persisted pattern); "
+    "by total term frequency.  Query terms are DERIVED from the corpus "
+    "(corpus_top_terms: the pivot document's — most distinct tokens — "
+    "top-3 tokens by GLOBAL document frequency), not hardcoded, so all "
+    "terms co-occur in at least the pivot and the gate is non-vacuous "
+    "BY CONSTRUCTION on any corpus, salted/perturbed included "
+    "(round-14 fix; pinned in tests/test_new_ops_r13.py against a "
+    "fully-salted corpus); the oracle derives the SAME terms in SQL.  "
+    "Relational "
+    "form of posting-list intersection: explode to (doc, term) "
+    "postings restricted to the query terms, then HAVING "
+    "count(distinct term) = |query| — the AND-semantics without any "
+    "self-join.  Two scale levers: (1) a conjunction of substring "
+    "contains() prefilters reaches the parquet scan (PushedFilters: "
+    "StringContains — a strict superset of the token-equality match, "
+    "so semantics-neutral; non-matching docs are never exploded, and "
+    "term literals arriving driver-side is what makes the pushdown "
+    "possible), and (2) the candidate set is aggregated and top-50'd "
+    "(TakeOrderedAndProject, ties by doc_id) BEFORE the join back to "
+    "documents for display columns, so the join's left side is <= 50 "
+    "rows regardless of corpus size.  With a staged inverted index "
+    "this becomes probe-only (the x3_ivf_pq_persisted pattern); "
     "in-plan it is one scan + one partial-agg groupBy.",
 )
 def x4_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    terms = ["window", "merge", "stream"]
     docs = load_table(spark, sf_dir, "documents")
+    terms = corpus_top_terms(docs, n=3)
+    if not terms:  # empty corpus: no terms, no hits — like the oracle
+        return docs.select("doc_id", "source").limit(0).withColumn(
+            "tf_total", F.lit(None).cast("long")
+        )
     pre = docs
     for t in terms:
         pre = pre.filter(F.col("text").contains(t))

@@ -12,24 +12,41 @@ the caller wiring merge code:
 
 * ``write(iterator)`` runs on EXECUTORS, one call per partition, and
   ships the partition's rows back as the (picklable) commit message.
-  That is only sane because the input is an UPDATE-MODE KEYED AGGREGATE:
-  per trigger it emits at most one row per changed (key) group, so a
-  micro-batch is bounded by the changed-key count, never the event
-  count — same boundedness argument as the driver-side Observation row.
-  A row-stream sink (unaggregated events) must NOT use this writer;
-  write files on the executor and ship paths instead.
+  That is only sane for a BOUNDED-EMISSION KEYED AGGREGATE, in either
+  of its two legal modes:
+
+  - UPDATE mode: at most one row per CHANGED group per trigger — a
+    micro-batch is bounded by the changed-key count (JVM sinks only as
+    of Spark 4.1; kept here because the contract is mode-generic);
+  - COMPLETE mode (what the registered ``stream_pyds_serving_store``
+    runs, Python writers accepting append/complete only): EVERY group
+    re-emits each trigger, so the bound is the TOTAL group count — here
+    days x event_types, still a dimension-table-sized constant, never
+    the event volume.
+
+  Either way the bound is group cardinality, not input rows.  A
+  row-stream sink (unaggregated events) must NOT use this writer; the
+  ``maxRowsPerPartition`` guard below turns that misuse into a loud
+  executor-side error instead of a silently ballooning commit message.
+  Write files on the executor and ship paths instead.
 * ``commit(messages, batchId)`` runs on the DRIVER exactly once per
   successful micro-batch, applies last-writer-wins per key, and records
-  ``batchId`` — a replayed batch (at-least-once delivery after recovery,
-  T7) is detected and SKIPPED, upgrading the store to effectively-once:
-  the foreachBatch twin converges under replay because its merge is
-  idempotent; this sink never applies the duplicate at all.
+  the batch id UNDER THE RUN'S REPLAY EPOCH — the stream's checkpoint
+  location (Spark hands it to the sink in its options).  A replayed
+  batch (at-least-once redelivery after recovery resumes the SAME
+  checkpoint, T7) carries an already-recorded (epoch, batchId) and is
+  SKIPPED, upgrading the store to effectively-once; a FRESH checkpoint
+  pointed at an existing store restarts batch ids at 0 under a NEW
+  epoch, so its batches apply normally instead of being silently
+  discarded as replays (batch-id-only keying had exactly that bug).
+  Per epoch only the highest applied id is stored (ids are monotone
+  within a checkpoint), so replay state is O(epochs), not O(batches).
 * the store file is swapped atomically (tmp + ``os.replace``), so a
   concurrent reader sees the pre- or post-commit table, never a torn
   one.  At 100 TB the commit body targets a transactional table format
   (Delta/Iceberg MERGE) and the commit-message payload becomes staged
   file paths; the protocol (executor stage -> driver atomic publish,
-  batch-id idempotence) is exactly this one.
+  epoch+batch-id idempotence) is exactly this one.
 
 Spark guarantees ``commit`` is called with ALL task messages only when
 every task succeeded, and ``abort`` otherwise — nothing is applied until
@@ -40,6 +57,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import uuid
 from typing import Iterator, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,9 +74,14 @@ __all__ = [
     "read_serving_store",
 ]
 
+# Commit messages travel executor -> driver; a keyed aggregate's per-
+# partition emission is group-cardinality-bounded, so anything past this
+# is a misuse of the sink (row-stream input), not a big batch.
+DEFAULT_MAX_ROWS_PER_PARTITION = 100_000
+
 
 class _RowsCommit(WriterCommitMessage):
-    """One partition's emitted rows (update-mode aggregate => bounded)."""
+    """One partition's emitted rows (keyed aggregate => bounded)."""
 
     def __init__(self, rows: list) -> None:
         self.rows = rows
@@ -81,12 +104,36 @@ class _ServingStoreStreamWriter(DataSourceStreamWriter):
         if missing:
             raise ValueError(f"key columns not in stream schema: {missing}")
         self.schema_json = schema.json()
+        self.max_rows = int(
+            options.get("maxrowsperpartition", DEFAULT_MAX_ROWS_PER_PARTITION)
+        )
+        # Replay epoch: batch ids are only comparable WITHIN one
+        # checkpoint lineage (a fresh checkpoint restarts at 0).  Spark
+        # passes the stream's checkpointLocation through the sink
+        # options (keys lowercased); a checkpoint-less stream cannot
+        # recover-and-replay, so a per-run token is exact there.
+        ckpt = options.get("checkpointlocation")
+        self.epoch = (
+            os.path.abspath(ckpt) if ckpt else f"run-{uuid.uuid4().hex}"
+        )
 
     # -- executor side ------------------------------------------------
     def write(self, iterator: Iterator) -> WriterCommitMessage:
         # Rows are pickled as plain dicts; within a partition, arrival
         # order is preserved so the last occurrence of a key wins below.
-        return _RowsCommit([dict(zip(self.fields, row)) for row in iterator])
+        rows = []
+        for row in iterator:
+            rows.append(dict(zip(self.fields, row)))
+            if len(rows) > self.max_rows:
+                raise RuntimeError(
+                    "servingstore commit message exceeded "
+                    f"{self.max_rows} rows in one partition — this sink "
+                    "is for keyed aggregates (bounded by group count); "
+                    "a row-stream must stage executor-side files instead. "
+                    "Raise .option('maxRowsPerPartition', n) only if the "
+                    "GROUP cardinality really is this large."
+                )
+        return _RowsCommit(rows)
 
     # -- driver side ----------------------------------------------------
     def _store_file(self) -> str:
@@ -97,14 +144,17 @@ class _ServingStoreStreamWriter(DataSourceStreamWriter):
         if os.path.exists(f):
             with open(f, "rb") as fh:
                 return pickle.load(fh)
-        return {"batches": [], "table": {}, "schema_json": self.schema_json}
+        return {"epochs": {}, "table": {}, "schema_json": self.schema_json}
 
     def commit(
         self, messages: List[Optional[WriterCommitMessage]], batchId: int
     ) -> None:
         store = self._load()
-        if batchId in store["batches"]:
-            return  # at-least-once replay of an already-applied batch
+        # at-least-once replay: same checkpoint lineage re-delivers an
+        # id at or below the highest applied; a DIFFERENT epoch's ids
+        # never match, so a fresh checkpoint over an old store applies.
+        if batchId <= store["epochs"].get(self.epoch, -1):
+            return
         table = store["table"]
         for msg in messages:
             if msg is None:  # contract: None only accompanies task failure
@@ -112,11 +162,11 @@ class _ServingStoreStreamWriter(DataSourceStreamWriter):
                     f"commit called with a missing task message, batch {batchId}"
                 )
             for row in msg.rows:
-                # last-writer-wins per key; an update-mode keyed aggregate
-                # emits each key at most once per trigger, so cross-
-                # partition order within a batch cannot matter
+                # last-writer-wins per key; a keyed aggregate emits each
+                # key at most once per trigger, so cross-partition order
+                # within a batch cannot matter
                 table[tuple(row[k] for k in self.keys)] = row
-        store["batches"].append(batchId)
+        store["epochs"][self.epoch] = batchId
         os.makedirs(self.path, exist_ok=True)
         tmp = self._store_file() + ".tmp"
         with open(tmp, "wb") as fh:

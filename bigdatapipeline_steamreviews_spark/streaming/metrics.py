@@ -47,6 +47,7 @@ The oracle in tests/test_observability.py encodes all three.
 from __future__ import annotations
 
 import json
+import re
 import threading
 
 from pyspark.sql import Column
@@ -56,6 +57,8 @@ from pyspark.sql.streaming import StreamingQueryListener
 __all__ = [
     "INGEST_OBS_NAME",
     "ingest_metric_exprs",
+    "metric_identity_values",
+    "observation_result",
     "StreamMetricsListener",
 ]
 
@@ -79,6 +82,59 @@ def ingest_metric_exprs() -> list[Column]:
         ),
         F.sum(F.col("value").cast("decimal(28,10)")).alias("sum_value_dec"),
     ]
+
+
+def metric_identity_values(exprs: list[Column]) -> dict:
+    """Each metric's aggregate-identity value (the value a real aggregate
+    returns over ZERO rows: ``count`` -> 0, ``sum``/``min``/``max`` ->
+    NULL), keyed by alias — DERIVED from the expressions themselves so a
+    metric added to :func:`ingest_metric_exprs` can never silently drift
+    from a hand-maintained fallback dict."""
+    out: dict = {}
+    for c in exprs:
+        s = str(c)
+        m = re.match(r"Column<'(.*) AS (\w+)'>$", s, re.DOTALL)
+        if not m:
+            raise ValueError(f"observed metric expression has no alias: {s}")
+        body, alias = m.group(1), m.group(2)
+        out[alias] = 0 if body.startswith("count(") else None
+    return out
+
+
+def observation_result(obs, exprs: list[Column]) -> dict:
+    """``Observation.get``, tolerant of the ZERO-ROW edge (routine at
+    100 TB after partition pruning): when the observed plan processed no
+    rows, classic PySpark's ``Observation.get`` asserts inside the JVM
+    row conversion (``PythonSQLUtils.toPyRow`` arity check on a
+    schema-less empty Row) instead of returning aggregate identities.
+
+    Strategy, most- to least-specific:
+
+    1. probe the private JVM handle (``obs._jo.getRow()``) when it
+       exists — classic PySpark; its row arity distinguishes "no rows"
+       from a populated result WITHOUT tripping the conversion;
+    2. if the handle is absent (Spark Connect) or its shape changed
+       (internals rename), fall back to the PUBLIC ``obs.get`` and map
+       its zero-row conversion failure to the same identity values —
+       exactly what the SQL oracle computes over zero rows.
+
+    Path 1 with rows present re-raises real errors (nothing is
+    swallowed); only the no-private-probe path has to treat a ``get``
+    failure as the zero-row signal."""
+    jo = getattr(obs, "_jo", None)
+    if jo is not None:
+        try:
+            empty = jo.getRow().size() == 0
+        except Exception:
+            empty = None  # internals moved; use the public API below
+        if empty is True:
+            return metric_identity_values(exprs)
+        if empty is False:
+            return obs.get  # real failures propagate
+    try:
+        return obs.get
+    except Exception:
+        return metric_identity_values(exprs)
 
 
 class StreamMetricsListener(StreamingQueryListener):

@@ -201,16 +201,41 @@ def test_dsir_is_scale_invariant_in_doc_length(spark, tmp_path):
 def test_conjunctive_search_matches_naive_and_semantics(spark):
     """Every returned doc tokenizes to a superset of the query terms; the
     result set equals the top-50 of a naive per-doc recount; scores are
-    the exact query-term frequencies, descending with doc_id tiebreak."""
+    the exact query-term frequencies, descending with doc_id tiebreak.
+    Terms are re-derived here with the SAME rule the query uses
+    (corpus_top_terms), then the recount is fully naive python."""
+    from collections import Counter
+
+    from bigdatapipeline_steamreviews_spark.queries_text import (
+        corpus_top_terms,
+    )
     from bigdatapipeline_steamreviews_spark.sources.tables import load_table
 
-    terms = {"window", "merge", "stream"}
+    docs_df = load_table(spark, SF001, "documents")
+    terms = set(corpus_top_terms(docs_df, n=3))
+    assert len(terms) == 3
     out = queries()["x4_conjunctive_search"](spark, SF001).collect()
     assert 0 < len(out) <= 50
     docs = {
         r["doc_id"]: (r["text"] or "").split(" ")
-        for r in load_table(spark, SF001, "documents").collect()
+        for r in docs_df.collect()
     }
+    # the derivation rule itself, naively: pivot doc = most distinct
+    # tokens (ties doc_id ASC); terms = its top-3 tokens by GLOBAL df
+    df_cnt = Counter()
+    for toks in docs.values():
+        for t in set(toks) - {""}:
+            df_cnt[t] += 1
+    pivot = min(
+        docs, key=lambda d: (-len(set(docs[d]) - {""}), d)
+    )
+    naive_terms = {
+        t
+        for t in sorted(
+            set(docs[pivot]) - {""}, key=lambda t: (-df_cnt[t], t)
+        )[:3]
+    }
+    assert terms == naive_terms
     naive = []
     for doc_id, toks in docs.items():
         if terms <= set(toks):
@@ -219,6 +244,29 @@ def test_conjunctive_search_matches_naive_and_semantics(spark):
     expect = {d: tf for tf, d in naive[:50]}
     got = {r["doc_id"]: r["tf_total"] for r in out}
     assert got == expect
+
+
+def test_conjunctive_search_nonvacuous_on_fully_salted_corpus(
+    spark, tmp_path
+):
+    """Round-13 watch item pinned: a corpus where EVERY content token is
+    replica-salted (no stopwords exempt — stricter than the 30x probe's
+    salting) must still return rows, because the terms are derived from
+    the corpus itself instead of hardcoded.  A hardcoded-terms
+    formulation returns zero rows here and the hash gate would pass
+    vacuously on 0==0."""
+    rows = [
+        # doc i of replica r: tokens word~r style, shared within replica
+        (int(f"{r}{i}"), " ".join(f"w{j}~{r}" for j in range(6 + i)),
+         "en", f"src{r}", 40)
+        for r in range(1, 4)
+        for i in range(4)
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = queries()["x4_conjunctive_search"](spark, sf).collect()
+    assert len(out) > 0, "salted corpus must not make the gate vacuous"
+    # and tf_total really counts derived-term occurrences (> 0 each)
+    assert all(r["tf_total"] >= 3 for r in out)
 
 
 # ---------------------------------------------------------------------------

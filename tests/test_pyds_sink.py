@@ -1,8 +1,9 @@
 """The servingstore Python DataSource stream writer (sources/pyds_sink.py):
 commit-protocol semantics that the end-to-end registered query
-(stream_pyds_serving_store, flagship-oracled) cannot isolate — batch-id
-replay skipping, last-writer-wins keying, atomic publish, abort applying
-nothing, and the option contract."""
+(stream_pyds_serving_store, flagship-oracled) cannot isolate — replay
+skipping keyed on (checkpoint epoch, batchId), last-writer-wins keying,
+atomic publish, abort applying nothing, the bounded-commit-message
+guard, and the option contract."""
 
 from __future__ import annotations
 
@@ -31,10 +32,13 @@ SCHEMA = StructType(
 )
 
 
-def _writer(tmp_path):
-    return _ServingStoreStreamWriter(
-        {"path": str(tmp_path / "store"), "keys": "k"}, SCHEMA
-    )
+def _writer(tmp_path, ckpt="ckpt0", **opts):
+    o = {"path": str(tmp_path / "store"), "keys": "k"}
+    if ckpt is not None:
+        # Spark lowercases option keys before they reach the DataSource
+        o["checkpointlocation"] = str(tmp_path / ckpt)
+    o.update(opts)
+    return _ServingStoreStreamWriter(o, SCHEMA)
 
 
 def _table(w):
@@ -49,11 +53,54 @@ def test_replayed_batch_is_skipped_not_remerged(tmp_path):
     # redelivery after a partial failure) must be ignored entirely
     w.commit([_RowsCommit([{"k": "a", "n": 999}])], batchId=0)
     store = _table(w)
-    assert store["batches"] == [0]
+    assert store["epochs"] == {w.epoch: 0}
     assert store["table"][("a",)] == {"k": "a", "n": 1}
     # the NEXT batch applies normally
     w.commit([_RowsCommit([{"k": "a", "n": 2}])], batchId=1)
     assert _table(w)["table"][("a",)] == {"k": "a", "n": 2}
+    # ... and replay state stays O(epochs): one id per lineage, not a list
+    assert _table(w)["epochs"] == {w.epoch: 1}
+
+
+def test_replay_skip_survives_query_restart_same_checkpoint(tmp_path):
+    # recovery = a NEW writer instance resuming the SAME checkpoint:
+    # the epoch is the checkpoint path, so the replayed id still skips
+    w1 = _writer(tmp_path, ckpt="ckptA")
+    w1.commit([_RowsCommit([{"k": "a", "n": 1}])], batchId=0)
+    w2 = _writer(tmp_path, ckpt="ckptA")
+    w2.commit([_RowsCommit([{"k": "a", "n": 999}])], batchId=0)
+    assert _table(w2)["table"][("a",)] == {"k": "a", "n": 1}
+
+
+def test_fresh_checkpoint_over_existing_store_applies_batch_zero(tmp_path):
+    # the bug batch-id-only keying had: a NEW checkpoint restarts ids at
+    # 0, and its real first batch must NOT be discarded as a 'replay'
+    w1 = _writer(tmp_path, ckpt="ckptA")
+    w1.commit([_RowsCommit([{"k": "a", "n": 1}])], batchId=0)
+    w2 = _writer(tmp_path, ckpt="ckptB")
+    w2.commit([_RowsCommit([{"k": "a", "n": 2}])], batchId=0)
+    store = _table(w2)
+    assert store["table"][("a",)] == {"k": "a", "n": 2}
+    assert store["epochs"] == {w1.epoch: 0, w2.epoch: 0}
+
+
+def test_checkpointless_writers_get_distinct_run_epochs(tmp_path):
+    # no checkpoint => no recovery replay exists; each run is its own
+    # epoch so nothing can ever be misread as a replay of another run
+    w1 = _writer(tmp_path, ckpt=None)
+    w2 = _writer(tmp_path, ckpt=None)
+    assert w1.epoch != w2.epoch
+    w1.commit([_RowsCommit([{"k": "a", "n": 1}])], batchId=0)
+    w2.commit([_RowsCommit([{"k": "a", "n": 2}])], batchId=0)
+    assert _table(w2)["table"][("a",)] == {"k": "a", "n": 2}
+
+
+def test_oversized_partition_emission_is_loud(tmp_path):
+    w = _writer(tmp_path, maxrowsperpartition="3")
+    with pytest.raises(RuntimeError, match="exceeded 3 rows"):
+        w.write(iter([("k%d" % i, i) for i in range(10)]))
+    # at the bound is fine
+    assert len(w.write(iter([("k%d" % i, i) for i in range(3)])).rows) == 3
 
 
 def test_last_writer_wins_within_and_across_messages(tmp_path):
