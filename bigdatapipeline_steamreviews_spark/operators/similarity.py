@@ -14,9 +14,14 @@ Two physical strategies behind one logical operation:
   At 100 TB the corpus would be written partitioned by bucket so the scan
   prunes to matching files (partition pruning visible in .explain).
 
-No Python UDFs anywhere: `zip_with`/`transform`/`aggregate` keep the math
-in Tungsten.  A Pandas-UDF BLAS path would win above ~1k dims; at 64-256
-dims codegen'd expressions are competitive and keep plans fusable.
+No row-at-a-time Python UDFs anywhere: `zip_with`/`transform`/`aggregate`
+keep the math in Tungsten.  At 64-256 dims codegen'd expressions are
+competitive and keep plans fusable; ABOVE ~1k dims the arithmetic
+dominates and one Arrow-batched numpy/BLAS hop wins — that path is
+`cosine_topk_blas` (round 14), which uses BLAS for SELECTION only and
+re-scores the surviving <= |q|*(k+margin) pairs with the exact
+expression fold, so its output is bitwise identical to `cosine_topk`
+whenever both agree on the top-k SET (measured crossover: PERF.md r14).
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ from pyspark.sql import functions as F
 from ..functions.columns import avg_exact, cosine_similarity
 
 __all__ = [
+    "cosine_topk_blas",
     "sign_bucket",
     "rp_hyperplanes",
     "rp_bucket",
@@ -111,6 +117,124 @@ def cosine_topk(
         )
     )
     return _topk(pairs, k).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def cosine_topk_blas(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: int | None = None,
+) -> DataFrame:
+    """Brute-force top-k cosine neighbors via an Arrow-batched numpy/BLAS
+    hop — the high-dimensional twin of :func:`cosine_topk` (round-14
+    verdict ask #4: ``similarity.py``'s own header concedes codegen'd
+    array expressions lose above ~1k dims; the crossover is measured in
+    PERF.md).
+
+    Same output contract as :func:`cosine_topk` (query_id, neighbor_id,
+    cosine, rank), bitwise: BLAS is used for CANDIDATE SELECTION only —
+
+    1. the query side (tiny: request vectors live driver-side in a real
+       vector-search service; this is the moral equivalent of the
+       expression path's ``F.broadcast(q)``) ships to every partition in
+       the closure;
+    2. one ``mapInPandas`` pass computes the batch x query score matrix
+       with a float64 GEMM and emits each query's per-batch top
+       ``k + margin`` candidates — per-partition heaps, the distributed
+       analogue of TakeOrderedAndProject, so the hop's output is
+       O(partitions x |q| x (k+margin)) regardless of corpus size;
+    3. the surviving <= |q| x (k+margin) pairs are re-scored with the
+       EXACT sequential-fold expression (``cosine_similarity`` on the
+       carried vectors, float->double widening is exact) and the final
+       top-k ranks on that exact score.
+
+    Float64 GEMM and the sequential fold round differently at the ulp
+    level, so BLAS scores are used only to pick candidates with a
+    ``margin`` of slack (default ``k``): the exact top-k set is missed
+    only if ulp noise reorders a true top-k pair past ``k + margin``
+    candidates — i.e. 2k+1 pairs within ~1e-15 of each other.  The
+    bitwise-equality gate against :func:`cosine_topk` is pytest- and
+    driver-enforced on the registered corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    take = k + (k if margin is None else margin)
+    q_rows = (
+        embeddings.filter(query_pred)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    out_schema = (
+        "query_id long, neighbor_id long, blas double, cv array<double>"
+    )
+    if not q_rows:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.select(
+            "query_id",
+            "neighbor_id",
+            F.col("blas").alias("cosine"),
+            F.lit(0).cast("int").alias("rank"),
+        ).limit(0)
+    qids = np.array([r["query_id"] for r in q_rows], dtype="int64")
+    Q = np.array([r["qv"] for r in q_rows], dtype="float64")  # nq x d
+    qn = np.sqrt((Q * Q).sum(axis=1))  # query norms, selection-only
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(list(pdf[vec_col]), dtype="float64")  # n x d
+            nids = pdf[id_col].to_numpy(dtype="int64")
+            # cosine ~ (M @ Q.T) / (|M| * |Q|): ulp-inexact vs the fold,
+            # selection-only (see margin note in the docstring)
+            S = M @ Q.T
+            mn = np.sqrt((M * M).sum(axis=1))
+            denom = np.outer(mn, qn)
+            denom[denom == 0.0] = 1.0
+            S = S / denom
+            S[nids[:, None] == qids[None, :]] = -np.inf  # self-pairs
+            t = min(take, S.shape[0])
+            # per-batch per-query top-t heap (argpartition, O(n))
+            top = np.argpartition(-S, t - 1, axis=0)[:t]  # t x nq
+            qi = np.repeat(np.arange(len(qids)), t)
+            ri = top.T.reshape(-1)
+            keep = ~np.isinf(S[ri, qi])
+            ri, qi = ri[keep], qi[keep]
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi],
+                    "neighbor_id": nids[ri],
+                    "blas": S[ri, qi],
+                    "cv": [
+                        np.asarray(v, dtype="float64")
+                        for v in pdf[vec_col].iloc[ri]
+                    ],
+                }
+            )
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("blas").desc(), F.col("neighbor_id")
+    )
+    pruned = (
+        cand.withColumn("brank", F.row_number().over(wb))
+        .filter(F.col("brank") <= take)
+        .drop("brank", "blas")
+    )
+    qframe = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
+        "query_id long, qv array<double>",
+    )
+    rescored = pruned.join(F.broadcast(qframe), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    return _topk(rescored, k).select("query_id", "neighbor_id", "cosine", "rank")
 
 
 def rp_hyperplanes(bits: int, dim: int) -> list[list[float]]:

@@ -2001,9 +2001,11 @@ _QSK_QCOLS_SQL = """
 """
 
 
-@register(
-    "a23_quantile_sketch",
-    f"""
+# Shared with the streaming register-maintenance twin
+# (stream_quantile_sketch): the batch sketch IS the streaming final
+# state, so both gates run the SAME oracle and cannot drift — the
+# HLL_USERS_ORACLE convention.
+QSK_EVENTS_ORACLE = f"""
 WITH src AS ({_QSK_SRC_SQL}),
 pool AS (
   SELECT event_type, v FROM (
@@ -2020,7 +2022,12 @@ ranked AS (
 SELECT event_type, count(*)::BIGINT AS n_kept,
 {_QSK_QCOLS_SQL}
 FROM ranked GROUP BY event_type ORDER BY event_type
-""",
+"""
+
+
+@register(
+    "a23_quantile_sketch",
+    QSK_EVENTS_ORACLE,
     ("A5", "X*"),
     "Mergeable quantile sketch, k=256: per event_type keep the 256 rows "
     "with the smallest salted md5 row hash (the row-sampling analogue "

@@ -84,9 +84,10 @@ def _rp_bucket_sql(bits: int = 8, dim: int = 64) -> str:
     return "(" + "\n + ".join(terms) + ")"
 
 
-@register(
-    "x3_cosine_topk",
-    f"""
+# Shared with the BLAS selection path (x3_cosine_topk_blas): both
+# physical strategies implement the same logical top-k, so both gates
+# run the SAME oracle and cannot drift.
+_COS_TOPK_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings),
 pairs AS (SELECT query_id, neighbor_id, qe, ce FROM q, c WHERE neighbor_id != query_id),
@@ -96,7 +97,12 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM sims
 ) WHERE rank <= 5
-""",
+"""
+
+
+@register(
+    "x3_cosine_topk",
+    _COS_TOPK_ORACLE,
     ("X3",),
     "Brute-force top-5 cosine neighbors for 10 query vectors: broadcast "
     "queries, single corpus scan, per-query window top-k.",
@@ -104,6 +110,30 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _clean_emb(spark, sf_dir)
     return cosine_topk(emb, F.col("vec_id") < 10, k=5)
+
+
+@register(
+    "x3_cosine_topk_blas",
+    _COS_TOPK_ORACLE,  # the SAME oracle as x3_cosine_topk — two physical plans, one logical result
+    ("X3",),
+    "The BLAS physical strategy for brute-force top-k (round-14 ask #4): "
+    "one Arrow-batched mapInPandas hop computes the batch x query score "
+    "matrix with a float64 GEMM and emits per-batch top-(k+margin) "
+    "candidate heaps (O(partitions x |q| x 2k) rows out of the hop, "
+    "never the corpus), then the survivors are re-scored with the EXACT "
+    "sequential-fold expression and ranked — so the result is bitwise "
+    "identical to x3_cosine_topk (same oracle; equality also pinned "
+    "engine-internally in tests/test_dedup_similarity.py) while the "
+    "per-element arithmetic runs at BLAS speed.  Codegen'd array "
+    "expressions win at the corpus's 64 dims; the GEMM path wins above "
+    "~1k dims — crossover measured on a >=1k-dim synthetic fixture in "
+    "PERF.md r14.  operators/similarity.py::cosine_topk_blas.",
+)
+def x3_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk_blas
+
+    emb = _clean_emb(spark, sf_dir)
+    return cosine_topk_blas(emb, F.col("vec_id") < 10, k=5)
 
 
 @register(

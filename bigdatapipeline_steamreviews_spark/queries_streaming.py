@@ -18,7 +18,7 @@ from .operators.quality import (
     EVENTS_CHECKSUM_ORACLE_EXPR,
     events_checksum_row_hash,
 )
-from .queries_analytic import HLL_USERS_ORACLE
+from .queries_analytic import HLL_USERS_ORACLE, QSK_EVENTS_ORACLE
 from .registry import _sum_exact_sql, FLAGSHIP_ORACLE, register
 from .sources.tables import load_table
 from .streaming.sessions import streaming_sessionize
@@ -753,6 +753,50 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
     mem = run_to_memory_table(regs, name, checkpoint, "complete", shuffle_partitions=8)
     return hll_finalize(mem, ["event_type"])
+
+
+@register(
+    "stream_quantile_sketch",
+    QSK_EVENTS_ORACLE,  # the SAME oracle as batch a23 — reused so they can't drift
+    ("A5", "T*", "X*"),
+    "Streaming sketch maintenance #2 (round-14 ask #3): the a23 hash-"
+    "ordered bottom-k quantile pool kept current as STREAMING STATE "
+    "(applyInPandasWithState — bottom-k has no built-in incremental "
+    "aggregate, unlike HLL's max) and queried after the replay drains.  "
+    "bottom_k(bottom_k(A) ∪ B) == bottom_k(A ∪ B) for any micro-batch "
+    "slicing, so the final state is byte-identical to the batch pool "
+    "and the finalize must hash-match the SAME DuckDB oracle as a23 — "
+    "final-state==batch-sketch IS the driver gate.  State is O(groups "
+    "x k) fixed width; each trigger merges arrivals with one vectorized "
+    "lexsort per active group and emits the pool stamped with the "
+    "monotone absorbed-row count, from which the latest version per "
+    "group is selected (streaming/qsketch.py).  This is how a 100 TB "
+    "pipeline serves live latency/value percentiles: constant state, "
+    "no raw-event retention, rollup-exact merges.",
+)
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .operators.sketches import qsk_quantiles
+    from .streaming.qsketch import streaming_qsk_pools
+
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_qsk_{_query_counter}"
+    stage = _stage_events_chunks(spark, sf_dir)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    pools_trace = streaming_qsk_pools(stream)
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    mem = run_to_memory_table(
+        pools_trace, name, checkpoint, "update", shuffle_partitions=8
+    )
+    # The trace holds every pool version; n_seen is strictly monotone
+    # per group, so max(n_seen) selects each group's final state.
+    latest = mem.withColumn(
+        "n_max", F.max("n_seen").over(W.partitionBy("event_type"))
+    ).filter(F.col("n_seen") == F.col("n_max"))
+    pool = latest.select("event_type", "hv", "v")
+    return qsk_quantiles(pool, ["event_type"]).orderBy("event_type")
 
 
 @register(

@@ -125,6 +125,7 @@ PLAN_SNAPSHOT_EXCLUDED: dict[str, str] = {
                 "stream_state_inspection",
                 "stream_dedup_bounded_state",
                 "stream_document_ingest_dedup",
+                "stream_quantile_sketch",
             ),
             "stateful replay (applyInPandasWithState / dropDuplicates "
             "state): per-trigger plans embed state-store instances and "

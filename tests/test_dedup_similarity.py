@@ -1133,3 +1133,62 @@ def test_trained_codebook_retains_empty_clusters(spark):
     for s in range(n_sub):
         assert cb[(s, 1)] == [1.0] * (dim // n_sub)  # starved, kept as seed
     assert codes_df.count() == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# x3_cosine_topk_blas — BLAS selection + exact rescore (round 14)
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_blas_bitwise_equals_expression_path(spark):
+    """The BLAS physical strategy must return the EXACT rows of the
+    codegen'd expression path — same pairs, same double scores (the
+    rescore runs the same sequential fold), same ranks.  This is the
+    engine-internal half of the gate; the driver half reuses
+    x3_cosine_topk's DuckDB oracle."""
+    from bigdatapipeline_steamreviews_spark import queries
+
+    regs = queries()
+    sf = "/root/testdata/sf0.01"
+    expr = regs["x3_cosine_topk"](spark, sf).orderBy(
+        "query_id", "rank"
+    ).collect()
+    blas = regs["x3_cosine_topk_blas"](spark, sf).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert len(expr) == 50
+    assert blas == expr
+
+
+def test_cosine_topk_blas_highdim_and_edge_cases(spark):
+    """>=1k dims (the regime the BLAS path exists for): equality against
+    the expression path on a synthetic 1024-dim corpus; plus the empty-
+    query edge returns a typed empty frame."""
+    import numpy as np
+
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blas,
+    )
+
+    rng = np.random.default_rng(14)
+    dim, n = 1024, 120
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(dim).astype("float32")])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expr = cosine_topk(emb, F.col("vec_id") < 5, k=5).orderBy(
+        "query_id", "rank"
+    ).collect()
+    blas = cosine_topk_blas(emb, F.col("vec_id") < 5, k=5).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert len(expr) == 25
+    assert blas == expr
+
+    empty = cosine_topk_blas(emb, F.col("vec_id") < 0, k=5)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "neighbor_id", "cosine", "rank",
+    ]

@@ -71,6 +71,10 @@ PROBE = [
     "x4_conjunctive_search",
     "t6_interval_overlap_join",
     "stream_pyds_serving_store",  # zero-trigger replay still commits schema
+    # round-14 births
+    "stream_quantile_sketch",  # no emissions -> empty pool -> zero rows
+    "x3_cosine_topk_blas",  # empty query set -> typed empty frame branch
+    "src_skipping_index",  # empty stats -> no probe key -> typed empty
 ]
 
 

@@ -96,3 +96,67 @@ def test_qsk_pool_is_partitioning_independent(spark):
     one = qsk_pool(ev.coalesce(1), "value", "event_id", ["event_type"])
     many = qsk_pool(ev.repartition(17), "value", "event_id", ["event_type"])
     assert one.exceptAll(many).union(many.exceptAll(one)).count() == 0
+
+
+def test_streaming_qsk_final_state_equals_batch_sketch(spark):
+    """Round-14 birth gate: the streaming bottom-k pool's final state,
+    queried for quantiles, equals the batch a23 sketch EXACTLY (same
+    rows, bitwise) — the merge identity bottom_k(bottom_k(A) ∪ B) ==
+    bottom_k(A ∪ B) across whatever micro-batch slicing the replay
+    produced.  The registered query shares a23's DuckDB oracle; this
+    pins the equivalence engine-internally too (no oracle in the
+    loop)."""
+    from bigdatapipeline_steamreviews_spark import queries
+
+    regs = queries()
+    streamed = regs["stream_quantile_sketch"](spark, SF_DIR).collect()
+    batch = regs["a23_quantile_sketch"](spark, SF_DIR).collect()
+    assert len(streamed) > 1  # several event_type groups: non-vacuous
+    assert streamed == batch
+
+
+def test_streaming_qsk_pool_state_is_bounded_and_versioned(spark):
+    """The emission trace carries <= k rows per (group, version), the
+    version stamp n_seen is strictly monotone per group, and the FINAL
+    version's pool equals the batch qsk_pool multiset — i.e. state
+    really is the fixed-width sketch, not a growing buffer."""
+    import tempfile
+
+    from bigdatapipeline_steamreviews_spark.queries_streaming import (
+        _stage_events_chunks,
+    )
+    from bigdatapipeline_steamreviews_spark.streaming.qsketch import (
+        streaming_qsk_pools,
+    )
+    from bigdatapipeline_steamreviews_spark.streaming.summarizer import (
+        events_file_stream,
+        run_to_memory_table,
+    )
+
+    stage = _stage_events_chunks(spark, SF_DIR)
+    stream = events_file_stream(spark, stage, max_files_per_trigger=2)
+    ckpt = tempfile.mkdtemp(prefix="qsk_test_ckpt_")
+    trace = run_to_memory_table(
+        streaming_qsk_pools(stream), "qsk_trace_test", ckpt, "update",
+        shuffle_partitions=8,
+    ).collect()
+    by_group: dict = {}
+    for r in trace:
+        by_group.setdefault(r["event_type"], {}).setdefault(
+            r["n_seen"], []
+        ).append((r["hv"], r["v"]))
+    assert by_group
+    batch_pool = qsk_pool(
+        load_table(spark, SF_DIR, "events"), "value", "event_id",
+        ["event_type"],
+    ).collect()
+    batch_by_group: dict = {}
+    for r in batch_pool:
+        batch_by_group.setdefault(r["event_type"], []).append(
+            (r["hv"], r["v"])
+        )
+    for etype, versions in by_group.items():
+        for n_seen, rows in versions.items():
+            assert len(rows) <= QSK_K
+        final = sorted(versions[max(versions)])
+        assert final == sorted(batch_by_group[etype])

@@ -213,3 +213,79 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path_factory):
     assert back.filter(F.col("day") != target).count() == before_other
     # (the reader infers the partition value as DATE; compare as strings)
     assert {str(r["day"]) for r in back.select("day").distinct().collect()} == set(days)
+
+
+# ---------------------------------------------------------------------------
+# File-skipping index (round 14): stats table + point-lookup pruning
+# ---------------------------------------------------------------------------
+
+
+def test_file_stats_index_eliminates_files_and_loses_nothing(
+    spark, tmp_path_factory
+):
+    """Build the skipping index over a range-clustered write and probe a
+    point key: (a) the candidate set must be a strict subset of the
+    files (elimination — the reason the index exists), and (b) the
+    pruned read must equal the full scan exactly (soundness)."""
+    from bigdatapipeline_steamreviews_spark.sources.layout import (
+        file_stats_table,
+        prune_files_for_point,
+    )
+
+    base = str(tmp_path_factory.mktemp("skipidx") / "events")
+    ev = load_table(spark, SF_DIR, "events")
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    stats = file_stats_table(spark, base, ["user_id"]).collect()
+    n_files = len(stats)
+    assert n_files >= 4  # clustering really produced multiple files
+    # stats row counts cover the table exactly
+    assert sum(r["n_rows"] for r in stats) == ev.count()
+
+    probe = max(r["max_user_id"] for r in stats if r["max_user_id"] is not None) // 2
+    cand = prune_files_for_point(stats, "user_id", probe)
+    assert 0 < len(cand) < n_files, (
+        f"no elimination: {len(cand)} of {n_files} files"
+    )
+    pruned = (
+        spark.read.schema(ev.schema)
+        .parquet(*cand)
+        .filter(F.col("user_id") == probe)
+        .count()
+    )
+    full = ev.filter(F.col("user_id") == probe).count()
+    assert pruned == full > 0
+
+
+def test_prune_files_handles_gaps_and_null_only_files(spark):
+    """A probe in a range gap returns no candidates (and the lookup is
+    then provably empty without touching data); an all-NULL file can
+    never be a candidate for a point predicate."""
+    from bigdatapipeline_steamreviews_spark.sources.layout import (
+        prune_files_for_point,
+    )
+
+    stats = [
+        {"file": "f1", "min_user_id": 0, "max_user_id": 9, "n_rows": 10},
+        {"file": "f2", "min_user_id": 20, "max_user_id": 29, "n_rows": 10},
+        {"file": "f3", "min_user_id": None, "max_user_id": None, "n_rows": 3},
+    ]
+    assert prune_files_for_point(stats, "user_id", 15) == []
+    assert prune_files_for_point(stats, "user_id", 25) == ["f2"]
+    assert prune_files_for_point(stats, "user_id", 9) == ["f1"]
+
+
+def test_src_skipping_index_registered_query_nonvacuous(spark):
+    """The registered query's probe key (max of file maxes) exists by
+    construction, so its gate can never pass on 0==0 — pinned here after
+    the round-14 30x probe caught a mid-range probe (max//2) landing in
+    a user-id gap on the replicated corpus (rows_ratio 0.0)."""
+    from bigdatapipeline_steamreviews_spark import queries
+
+    out = queries()["src_skipping_index"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    assert sum(r["n_events"] for r in out) > 0
