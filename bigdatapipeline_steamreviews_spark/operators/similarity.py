@@ -1158,8 +1158,30 @@ def _validate_pq_index(
     rows): both are uniform and dense, but only the truncated one has
     codes pointing past the end of the LUT — NULL adc_dist, nonsense
     rankings, the exact silent failure this guard exists to prevent.
-    One extra aggregate over the (tiny-int) code table, probe-side
-    only."""
+
+    COST/MEMOIZATION (round-14 fix): the codes cross-check is a full
+    scan of the code table — fine once, wrong PER QUERY (it showed up
+    as the r13 close-to-close IVF+PQ drift: +0.6-0.8 s on each of the
+    three staged-index queries while the no-validation control stayed
+    flat; at 100 TB it would be a full-index scan per probe).  A
+    FILE-BACKED pair (the staged train-once/probe-many artifacts —
+    immutable, atomically published, content-addressed paths) is
+    therefore validated once per process and memoized by its input
+    files + geometry; in-memory pairs (tests, ad-hoc frames) have no
+    stable identity and are validated every call.  Production stores
+    the max cid in stage metadata and never rescans."""
+    key = None
+    try:
+        cb_files = tuple(sorted(cb.inputFiles()))
+        code_files = (
+            tuple(sorted(codes.inputFiles())) if codes is not None else ()
+        )
+        if cb_files and (codes is None or code_files):
+            key = (cb_files, code_files, n_sub, sub_dim, codebook_k)
+    except Exception:
+        key = None  # non-file-backed plan shapes: validate every call
+    if key is not None and key in _VALIDATED_PQ_PAIRS:
+        return
     per_s = cb.groupBy("s").agg(
         F.count("*").alias("cnt"),
         F.countDistinct("cid").alias("ncid"),
@@ -1197,6 +1219,8 @@ def _validate_pq_index(
                 "to the codes (every ADC lookup would return NULL); "
                 "retrain or re-stage the pair together"
             )
+        if key is not None:
+            _VALIDATED_PQ_PAIRS.add(key)
         return
     if (
         row["n_sub"] != n_sub
@@ -1228,6 +1252,14 @@ def _validate_pq_index(
                 "truncated relative to the codes (ADC lookups would "
                 "return NULL); retrain or re-stage the pair together"
             )
+    if key is not None:  # memoize only a fully-successful validation
+        _VALIDATED_PQ_PAIRS.add(key)
+
+
+# Successfully-validated FILE-BACKED (codebook, codes) pairs, keyed by
+# input files + geometry — staged artifacts are immutable (atomic
+# publish, content-addressed), so one validation per process suffices.
+_VALIDATED_PQ_PAIRS: set = set()
 
 
 def _pq_subdist(vec_slice: Column, cent: Column) -> Column:

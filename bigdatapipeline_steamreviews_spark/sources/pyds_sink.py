@@ -150,6 +150,10 @@ class _ServingStoreStreamWriter(DataSourceStreamWriter):
         self, messages: List[Optional[WriterCommitMessage]], batchId: int
     ) -> None:
         store = self._load()
+        # migrate a pre-epoch store (r13 format kept only a batch-id
+        # list): its ids are not attributable to a lineage, so they
+        # cannot be used to skip — start epoch tracking fresh
+        store.setdefault("epochs", {})
         # at-least-once replay: same checkpoint lineage re-delivers an
         # id at or below the highest applied; a DIFFERENT epoch's ids
         # never match, so a fresh checkpoint over an old store applies.
