@@ -16,6 +16,6 @@ and match what plan-shape tests already assert (tests/test_plans.py runs
 ``audit`` across every registered batch query).
 """
 
-from .lint import Finding, assert_clean, audit, plan_text
+from .lint import Finding, assert_clean, audit, audit_text, plan_text
 
-__all__ = ["Finding", "audit", "assert_clean", "plan_text"]
+__all__ = ["Finding", "audit", "audit_text", "assert_clean", "plan_text"]

@@ -14,7 +14,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-__all__ = ["Finding", "plan_text", "audit", "assert_clean"]
+__all__ = ["Finding", "plan_text", "audit", "audit_text", "assert_clean"]
 
 
 @dataclass(frozen=True)
@@ -274,7 +274,15 @@ def audit(df: DataFrame, allow: tuple[str, ...] = ()) -> list[Finding]:
     (empty list = clean).  ``allow`` suppresses named rules for plans where
     the smell is a documented decision (e.g. a vocabulary-sized ranking
     window legitimately trips ``single-partition-window``)."""
-    plan = plan_text(df)
+    return audit_text(plan_text(df), allow)
+
+
+def audit_text(plan: str, allow: tuple[str, ...] = ()) -> list[Finding]:
+    """:func:`audit` over already-derived plan text — the rules are pure
+    functions of the text, so a caller that has compiled the registry's
+    plans once (the drift-snapshot pass) can lint from the same pass
+    instead of re-invoking every query (round-14 suite wall-time fix:
+    the two registry-wide gates each re-derived all ~213 plans)."""
     findings = []
     for rule, detect in _RULES:
         if rule in allow:

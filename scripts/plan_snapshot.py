@@ -157,6 +157,37 @@ def snapshot_names() -> list[str]:
     return sorted(n for n in queries() if n not in PLAN_SNAPSHOT_EXCLUDED)
 
 
+def compute_plan_texts(
+    spark, sf_dir: str, names: list[str] | None = None
+) -> dict[str, str]:
+    """{query: RAW executed-plan text} — ONE registry invocation per
+    batch query, shared by every plan gate (drift snapshot + lint) so
+    the suite compiles each plan once, not once per gate (round-14
+    suite wall-time fix: the two registry-wide tests each re-derived
+    all ~213 plans, 234 s of the 18-minute suite)."""
+    # Untruncated scan metadata: the default 100-char cut moves with the
+    # (session-global) lambda-variable ordinal width, so a truncated
+    # DataFilters string is order-sensitive even after normalization.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    regs = queries()
+    return {
+        name: plan_text(regs[name](spark, sf_dir))
+        for name in (names if names is not None else snapshot_names())
+    }
+
+
+def snapshots_from_texts(texts: dict[str, str]) -> dict[str, dict]:
+    """{query: {hash, ops}} from already-derived raw plan texts."""
+    out: dict[str, dict] = {}
+    for name, raw in texts.items():
+        norm = normalize(raw)
+        out[name] = {
+            "hash": hashlib.md5(norm.encode()).hexdigest()[:12],
+            "ops": op_skeleton(norm),
+        }
+    return out
+
+
 def compute_snapshots(
     spark, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, dict]:
@@ -164,20 +195,7 @@ def compute_snapshots(
     the given subset).  Importable so ``tests/test_plans.py`` can
     re-derive the shapes and diff them against the committed PLANS.json
     (the drift GATE; this script is the re-bless step)."""
-    # Untruncated scan metadata: the default 100-char cut moves with the
-    # (session-global) lambda-variable ordinal width, so a truncated
-    # DataFilters string is order-sensitive even after normalization.
-    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
-    regs = queries()
-    out: dict[str, dict] = {}
-    for name in names if names is not None else snapshot_names():
-        df = regs[name](spark, sf_dir)
-        norm = normalize(plan_text(df))
-        out[name] = {
-            "hash": hashlib.md5(norm.encode()).hexdigest()[:12],
-            "ops": op_skeleton(norm),
-        }
-    return out
+    return snapshots_from_texts(compute_plan_texts(spark, sf_dir, names))
 
 
 def main() -> None:

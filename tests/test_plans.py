@@ -5,8 +5,28 @@ and the zero-UDF core stays inside whole-stage codegen.
 
 from __future__ import annotations
 
+import pytest
+
 from bigdatapipeline_steamreviews_spark import queries
 from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def registry_plan_texts(spark) -> dict:
+    """RAW executed-plan text for every batch registry query, derived
+    ONCE at the blessed snapshot SF (sf0.1 — plan shape can depend on
+    scan statistics) and shared by the drift-snapshot and lint gates:
+    compiling ~213 plans is the expensive part (two separate passes
+    were 234 s of the 18-minute suite, round-14 wall-time audit), the
+    normalize/skeleton/lint rules over the text are pennies."""
+    import pathlib
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "scripts"))
+    from plan_snapshot import compute_plan_texts
+
+    return compute_plan_texts(spark, "/root/testdata/sf0.1")
 
 
 def _plan(spark, name: str) -> str:
@@ -246,7 +266,7 @@ def test_unpartitioned_window_lint_discriminates(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
-def test_registry_wide_plan_lint(spark):
+def test_registry_wide_plan_lint(spark, registry_plan_texts):
     """Registry-wide plan lint (plans.audit): no batch query may compile
     to a CartesianProduct or put a row-at-a-time Python UDF on the data
     path, any Window funneling its input through one task must be a
@@ -261,9 +281,14 @@ def test_registry_wide_plan_lint(spark):
 
     Streaming queries are skipped: their fn() executes a replay rather
     than returning a lazy plan.
+
+    Gates at sf0.1 (round 14; previously sf0.001) from the SAME compiled
+    plans the drift snapshot derives — one pass for both registry-wide
+    gates, and the larger SF is the more honest one to lint (a broadcast
+    that flips to a sort-merge join past a scan-statistics threshold
+    shows up here, not at the toy SF).
     """
-    from bigdatapipeline_steamreviews_spark import queries
-    from bigdatapipeline_steamreviews_spark.plans import audit
+    from bigdatapipeline_steamreviews_spark.plans import audit_text
 
     # Documented single-task windows over pre-aggregated / pre-pruned
     # inputs (NOT corpus-sized): w3 ranks the daily rollup; the quality
@@ -317,9 +342,7 @@ def test_registry_wide_plan_lint(spark):
     allowed_unpartitioned = {"x4_quality_filter"}
 
     offenders = {}
-    for name, fn in sorted(queries().items()):
-        if name.startswith("stream_"):
-            continue
+    for name, plan in sorted(registry_plan_texts.items()):
         allow = (
             ("single-partition-window",)
             if name in allowed_single_partition
@@ -329,7 +352,7 @@ def test_registry_wide_plan_lint(spark):
             allow = allow + ("python-row-eval",)
         if name in allowed_unpartitioned:
             allow = allow + ("unpartitioned-window",)
-        findings = audit(fn(spark, SF_DIR), allow=allow)
+        findings = audit_text(plan, allow=allow)
         if findings:
             offenders[name] = [f.rule for f in findings]
     assert offenders == {}
@@ -378,7 +401,7 @@ def _first_op_divergence(a: list[str], b: list[str]) -> str:
     return "same ops, different multiplicity"
 
 
-def test_plan_shapes_match_committed_snapshot(spark):
+def test_plan_shapes_match_committed_snapshot(spark, registry_plan_texts):
     """Plan-DRIFT gate: re-derive the normalized operator skeleton of
     EVERY batch registry query (round 12 — previously the 34-query bench
     headline set, 15% of the registry) and diff it against the committed
@@ -398,12 +421,13 @@ def test_plan_shapes_match_committed_snapshot(spark):
 
     root = pathlib.Path(__file__).resolve().parent.parent
     sys.path.insert(0, str(root / "scripts"))
-    from plan_snapshot import compute_snapshots
+    from plan_snapshot import snapshots_from_texts
 
     committed = json.loads((root / "PLANS.json").read_text())
-    # Same sf_dir the snapshot script defaults to: plan shape can depend
-    # on scan statistics (broadcast thresholds), so gate at the blessed SF.
-    current = compute_snapshots(spark, "/root/testdata/sf0.1")
+    # Derived from the shared one-pass plan-text fixture (the snapshot
+    # script defaults to the same sf0.1: plan shape can depend on scan
+    # statistics, so the gate runs at the blessed SF).
+    current = snapshots_from_texts(registry_plan_texts)
 
     assert set(current) == set(committed), (
         "snapshot query set changed (registry birth/death); re-run "
