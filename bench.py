@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "obs_ingest_metrics",          # observe() in-flight metrics, one pass
     "x4_dsir_sample",              # DSIR importance sampling (explode + 3 aggs)
     "t6_interval_overlap_join",    # banded temporal overlap join
+    # r14 births (41 above stay comparable):
+    "stream_quantile_sketch",      # bottom-k pool as streaming state
+    "x3_cosine_topk_blas",         # GEMM candidate selection + exact rescore
+    "src_skipping_index",          # stats-table-pruned point lookup
 ]
 
 
