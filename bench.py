@@ -209,6 +209,16 @@ def main() -> None:
             f.write("\n")
     except OSError as e:
         print(f"bench: could not write full artifact: {e}", file=sys.stderr)
+    # Append-only history (one JSON line per run, /tmp): re-running bench
+    # to find a quiet window OVERWRITES the sidecar, and round 14 lost its
+    # best run's samples exactly that way — the history makes every
+    # attempt's full artifact recoverable when picking the stamp.
+    try:
+        with open("/tmp/spark_graft_bench_history.jsonl", "a") as f:
+            json.dump(out, f)
+            f.write("\n")
+    except OSError:
+        pass
     # ONE compact JSON line, last on stdout: the driver keeps only the final
     # 2000 characters, so this line alone must parse (r8 ask #7).
     print(json.dumps(compact_output(out)))
