@@ -1192,3 +1192,56 @@ def test_cosine_topk_blas_highdim_and_edge_cases(spark):
     assert [f.name for f in empty.schema.fields] == [
         "query_id", "neighbor_id", "cosine", "rank",
     ]
+
+
+def test_pq_validation_memoizes_file_backed_pairs(spark, tmp_path):
+    """Round-14 perf fix gated: validating a FILE-BACKED (codebook,
+    codes) pair twice must run its Spark jobs once — the second call
+    short-circuits on the (input files, geometry) memo (the unmemoized
+    form was a full code-table scan per query and showed up as the r13
+    IVF+PQ close-to-close drift).  A different geometry for the same
+    files still validates (and fails loudly here); in-memory frames
+    have no stable identity and validate every call."""
+    from bigdatapipeline_steamreviews_spark.operators import similarity as S
+
+    cb = spark.createDataFrame(
+        [(s, c, [float(s), float(c)]) for s in range(2) for c in range(4)],
+        "s int, cid int, c array<double>",
+    )
+    codes = spark.createDataFrame(
+        [(i, [i % 4, (i + 1) % 4]) for i in range(16)],
+        "vid long, codes array<int>",
+    )
+    cb.write.parquet(str(tmp_path / "cb"))
+    codes.write.parquet(str(tmp_path / "codes"))
+    cb_f = spark.read.parquet(str(tmp_path / "cb"))
+    codes_f = spark.read.parquet(str(tmp_path / "codes"))
+
+    before = len(S._VALIDATED_PQ_PAIRS)
+    S._validate_pq_index(cb_f, 2, 2, 4, codes=codes_f)
+    assert len(S._VALIDATED_PQ_PAIRS) == before + 1
+
+    # second call short-circuits BEFORE any aggregation: poison groupBy
+    calls = {"n": 0}
+    orig = type(cb_f).groupBy
+
+    def poisoned(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(type(cb_f), "groupBy", poisoned)
+        S._validate_pq_index(cb_f, 2, 2, 4, codes=codes_f)
+        assert calls["n"] == 0  # memo hit: no plan built at all
+        # a different geometry is a different memo key: validates (and
+        # correctly REJECTS — the codebook really is n_sub=2)
+        with _pytest.raises(ValueError, match="does not match call geometry"):
+            S._validate_pq_index(cb_f, 4, 1, 4, codes=codes_f)
+        assert calls["n"] > 0
+
+    # in-memory frames (no input files) never memoize
+    before = len(S._VALIDATED_PQ_PAIRS)
+    S._validate_pq_index(cb, 2, 2, 4, codes=codes)
+    assert len(S._VALIDATED_PQ_PAIRS) == before
