@@ -209,12 +209,17 @@ def main() -> None:
             f.write("\n")
     except OSError as e:
         print(f"bench: could not write full artifact: {e}", file=sys.stderr)
-    # Append-only history (one JSON line per run, /tmp): re-running bench
-    # to find a quiet window OVERWRITES the sidecar, and round 14 lost its
+    # Append-only history (one JSON line per run): re-running bench to
+    # find a quiet window OVERWRITES the sidecar, and round 14 lost its
     # best run's samples exactly that way — the history makes every
-    # attempt's full artifact recoverable when picking the stamp.
+    # attempt's full artifact recoverable when picking the stamp.  Lives
+    # under the repo (git-ignored), NOT a fixed world-writable /tmp name
+    # a co-tenant could pre-create or symlink (r14 ADVICE bench.py:217).
     try:
-        with open("/tmp/spark_graft_bench_history.jsonl", "a") as f:
+        hist = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_history.jsonl"
+        )
+        with open(hist, "a") as f:
             json.dump(out, f)
             f.write("\n")
     except OSError:

@@ -119,6 +119,82 @@ def cosine_topk(
     return _topk(pairs, k).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+# --- BLAS query-block staging (r15: lifts the driver .collect()) ---------
+# Query chunk width for the GEMM: bounds per-batch scratch at
+# |batch| x chunk doubles (~80 MB at 10k-row Arrow batches) so corpus-
+# scale query sets cannot OOM a worker.
+_BLAS_QUERY_CHUNK = 1024
+
+# Driver-side: staged query-block directories minted this process, swept
+# at interpreter exit (stages are per-call scratch, not fingerprinted
+# artifacts — on a real cluster this directory lives on shared storage
+# and the same sweep runs in the job's cleanup hook).
+_BLAS_QUERY_STAGES: list = []
+
+# Executor-worker-side: one slot is enough — every task of one query
+# execution reads the same staged block, and a single slot caps worker
+# memory at one query matrix regardless of how many calls a long-lived
+# worker serves.
+_BLAS_QUERY_CACHE: dict = {}
+
+
+def _stage_query_block(q: DataFrame) -> str:
+    """Write the (query_id, qv double[]) block to a process-unique
+    parquet directory and register it for exit-time removal; returns the
+    path.  The driver only ever holds this PATH — never the vectors."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_blas_q")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"{os.getpid()}_{uuid.uuid4().hex}")
+    q.write.mode("overwrite").parquet(path)
+    if not _BLAS_QUERY_STAGES:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _BLAS_QUERY_STAGES
+            ]
+        )
+    _BLAS_QUERY_STAGES.append(path)
+    return path
+
+
+def _load_query_block(path: str):
+    """(qids int64[nq], Q float64[nq x d], qn float64[nq]) from a staged
+    query block, cached per worker process (single slot, see above)."""
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    hit = _BLAS_QUERY_CACHE.get(path)
+    if hit is None:
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        frames = [pd.read_parquet(p) for p in parts]
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({"query_id": [], "qv": []})
+        )
+        qids = pdf["query_id"].to_numpy(dtype="int64")
+        Q = (
+            np.array(list(pdf["qv"]), dtype="float64")
+            if len(pdf)
+            else np.zeros((0, 1))
+        )
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qn[qn == 0.0] = 1.0  # degenerate queries: selection-only anyway
+        _BLAS_QUERY_CACHE.clear()
+        _BLAS_QUERY_CACHE[path] = (qids, Q, qn)
+        hit = (qids, Q, qn)
+    return hit
+
+
 def cosine_topk_blas(
     embeddings: DataFrame,
     query_pred: Column,
@@ -136,15 +212,27 @@ def cosine_topk_blas(
     Same output contract as :func:`cosine_topk` (query_id, neighbor_id,
     cosine, rank), bitwise: BLAS is used for CANDIDATE SELECTION only —
 
-    1. the query side (tiny: request vectors live driver-side in a real
-       vector-search service; this is the moral equivalent of the
-       expression path's ``F.broadcast(q)``) ships to every partition in
-       the closure;
+    1. the query block NEVER materializes on the driver (r15, r14
+       verdict ask #6 — the first version ``.collect()``'ed it): it is
+       written as a parquet stage on shared storage (/tmp here, the
+       lakehouse scratch area on a real cluster) and each executor
+       Python worker loads it once per process from a single-slot cache,
+       so driver memory is flat in |q| and 10^4-query blocks are fine
+       (``scripts/blas_query_scale_probe.py``);
     2. one ``mapInPandas`` pass computes the batch x query score matrix
-       with a float64 GEMM and emits each query's per-batch top
-       ``k + margin`` candidates — per-partition heaps, the distributed
-       analogue of TakeOrderedAndProject, so the hop's output is
-       O(partitions x |q| x (k+margin)) regardless of corpus size;
+       with a float64 GEMM (query-chunked so peak memory is
+       O(batch x chunk), not O(batch x |q|)) and emits each query's
+       per-batch top ``k + margin`` candidates — per-partition heaps,
+       the distributed analogue of TakeOrderedAndProject, so the hop's
+       output is O(partitions x |q| x (k+margin)) regardless of corpus
+       size.  Per-batch selection is DETERMINISTIC under score ties
+       (r14 ADVICE similarity.py:202): every row strictly above the
+       argpartition boundary survives, and boundary-TIED rows are
+       admitted in ascending neighbor_id order — the same
+       (score desc, neighbor_id asc) total order the global prune below
+       ranks by, so a true top-k neighbor can never be dropped at a
+       batch cut by bit-equal scores (degenerate corpora produce exactly
+       those);
     3. the surviving <= |q| x (k+margin) pairs are re-scored with the
        EXACT sequential-fold expression (``cosine_similarity`` on the
        carried vectors, float->double widening is exact) and the final
@@ -162,16 +250,17 @@ def cosine_topk_blas(
     import pandas as pd
 
     take = k + (k if margin is None else margin)
-    q_rows = (
-        embeddings.filter(query_pred)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .collect()
-    )
     spark = embeddings.sparkSession
     out_schema = (
         "query_id long, neighbor_id long, blas double, cv array<double>"
     )
-    if not q_rows:
+    # float->double cast is exact, so staging doubles keeps the rescore
+    # join bitwise-identical to the old driver-side float() conversion.
+    q = embeddings.filter(query_pred).select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    if q.limit(1).count() == 0:
         empty = spark.createDataFrame([], out_schema)
         return empty.select(
             "query_id",
@@ -179,36 +268,54 @@ def cosine_topk_blas(
             F.col("blas").alias("cosine"),
             F.lit(0).cast("int").alias("rank"),
         ).limit(0)
-    qids = np.array([r["query_id"] for r in q_rows], dtype="int64")
-    Q = np.array([r["qv"] for r in q_rows], dtype="float64")  # nq x d
-    qn = np.sqrt((Q * Q).sum(axis=1))  # query norms, selection-only
+    qpath = _stage_query_block(q)
+    # bound into the closure (not read from module globals worker-side):
+    # the worker process re-imports the module, so a test/ops override of
+    # the chunk width must travel with the pickled function
+    qchunk = _BLAS_QUERY_CHUNK
 
     def gen(batches):
+        qids, Q, qn = _load_query_block(qpath)
+        nq = len(qids)
         for pdf in batches:
             if pdf.empty:
                 continue
             M = np.array(list(pdf[vec_col]), dtype="float64")  # n x d
             nids = pdf[id_col].to_numpy(dtype="int64")
-            # cosine ~ (M @ Q.T) / (|M| * |Q|): ulp-inexact vs the fold,
-            # selection-only (see margin note in the docstring)
-            S = M @ Q.T
             mn = np.sqrt((M * M).sum(axis=1))
-            denom = np.outer(mn, qn)
-            denom[denom == 0.0] = 1.0
-            S = S / denom
-            S[nids[:, None] == qids[None, :]] = -np.inf  # self-pairs
-            t = min(take, S.shape[0])
-            # per-batch per-query top-t heap (argpartition, O(n))
-            top = np.argpartition(-S, t - 1, axis=0)[:t]  # t x nq
-            qi = np.repeat(np.arange(len(qids)), t)
-            ri = top.T.reshape(-1)
-            keep = ~np.isinf(S[ri, qi])
-            ri, qi = ri[keep], qi[keep]
+            mn[mn == 0.0] = 1.0
+            ri_parts, qi_parts, sc_parts = [], [], []
+            # query-chunked GEMM: peak scratch is n x QCHUNK, flat in |q|
+            for lo in range(0, nq, qchunk):
+                hi = min(lo + qchunk, nq)
+                # cosine ~ (M @ Q.T) / (|M| * |Q|): ulp-inexact vs the
+                # fold, selection-only (see margin note in docstring)
+                S = (M @ Q[lo:hi].T) / np.outer(mn, qn[lo:hi])
+                S[nids[:, None] == qids[None, lo:hi]] = -np.inf  # self
+                t = min(take, S.shape[0])
+                part = np.argpartition(-S, t - 1, axis=0)[:t]  # t x cq
+                bnd = np.take_along_axis(S, part, axis=0).min(axis=0)
+                for j in range(hi - lo):
+                    col = S[:, j]
+                    # widen to every row tied at the boundary, then cut
+                    # at t in the SAME (score desc, nid asc) total order
+                    # the downstream global window ranks by — the
+                    # deterministic-tiebreak fix (r14 ADVICE, medium)
+                    rows = np.nonzero(col >= bnd[j])[0]
+                    order = np.lexsort((nids[rows], -col[rows]))
+                    sel = rows[order[:t]]
+                    sel = sel[col[sel] != -np.inf]  # self-only batches
+                    ri_parts.append(sel)
+                    qi_parts.append(np.full(len(sel), lo + j, dtype="int64"))
+                    sc_parts.append(col[sel])
+            ri = np.concatenate(ri_parts) if ri_parts else np.array([], dtype="int64")
+            qi = np.concatenate(qi_parts) if qi_parts else np.array([], dtype="int64")
+            sc = np.concatenate(sc_parts) if sc_parts else np.array([], dtype="float64")
             yield pd.DataFrame(
                 {
                     "query_id": qids[qi],
                     "neighbor_id": nids[ri],
-                    "blas": S[ri, qi],
+                    "blas": sc,
                     "cv": [
                         np.asarray(v, dtype="float64")
                         for v in pdf[vec_col].iloc[ri]
@@ -225,10 +332,9 @@ def cosine_topk_blas(
         .filter(F.col("brank") <= take)
         .drop("brank", "blas")
     )
-    qframe = spark.createDataFrame(
-        [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
-        "query_id long, qv array<double>",
-    )
+    # rescore against the staged block read back through Spark — the
+    # query side stays distributed end-to-end (broadcast is plan-side)
+    qframe = spark.read.parquet(qpath)
     rescored = pruned.join(F.broadcast(qframe), "query_id").select(
         "query_id",
         "neighbor_id",
@@ -1177,7 +1283,24 @@ def _validate_pq_index(
             tuple(sorted(codes.inputFiles())) if codes is not None else ()
         )
         if cb_files and (codes is None or code_files):
-            key = (cb_files, code_files, n_sub, sub_dim, codebook_k)
+            # Files alone under-key the memo: a filtered/truncated
+            # DERIVED frame over a previously-validated stage shares its
+            # inputFiles, so a later degenerate pair would silently skip
+            # validation (r14 ADVICE similarity.py:1180).  Folding the
+            # normalized logical-plan hash (semanticHash: stable across
+            # processes for the same plan shape, distinct for any added
+            # operator) restricts each memo entry to one exact plan over
+            # those immutable files — repeated probes of a staged index
+            # still hit, a subset view revalidates.
+            key = (
+                cb_files,
+                code_files,
+                cb.semanticHash(),
+                codes.semanticHash() if codes is not None else None,
+                n_sub,
+                sub_dim,
+                codebook_k,
+            )
     except Exception:
         key = None  # non-file-backed plan shapes: validate every call
     if key is not None and key in _VALIDATED_PQ_PAIRS:

@@ -269,8 +269,10 @@ def src_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.staging import (
         STAGE_ROOT,
         STAGE_VERSION,
+        _walk_identity,
         publish_dir,
         source_fingerprint,
+        stage_params_key,
         staged_parquet,
     )
     from .sources.tables import load_table
@@ -288,9 +290,17 @@ def src_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(tmp)
         )
         publish_dir(tmp, clustered)
+    # The stats rows embed ABSOLUTE part-file paths of the clustered
+    # stage, whose names carry write UUIDs — a stats stage keyed by the
+    # source fingerprint alone would keep pointing at the OLD part files
+    # if the clustered stage were ever deleted and rebuilt independently
+    # (r14 ADVICE queries_sources.py:291).  Folding the clustered
+    # directory's content identity into the stage name ties the manifest
+    # to the exact file set it indexes: a rebuilt clustered stage mints a
+    # new stats stage instead of serving stale paths.
     stats = staged_parquet(
         spark,
-        "skipidx_user_stats",
+        f"skipidx_user_stats_{stage_params_key(_walk_identity(clustered))}",
         fp,
         lambda: file_stats_table(spark, clustered, ["user_id"]),
     ).collect()  # one row per FILE: the planner's manifest, not data

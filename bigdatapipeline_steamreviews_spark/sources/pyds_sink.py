@@ -112,10 +112,43 @@ class _ServingStoreStreamWriter(DataSourceStreamWriter):
         # passes the stream's checkpointLocation through the sink
         # options (keys lowercased); a checkpoint-less stream cannot
         # recover-and-replay, so a per-run token is exact there.
+        #
+        # r14 ADVICE (pyds_sink.py:117): a stream whose checkpoint comes
+        # from the ``spark.sql.streaming.checkpointLocation`` SESSION
+        # DEFAULT recovers-and-replays too, but Spark does not surface
+        # the resolved per-query subdirectory (<default>/<name-or-uuid>)
+        # in the sink options — a per-run uuid epoch would re-apply the
+        # replayed batch instead of skipping it.  We cannot reconstruct
+        # the lineage key from here, so that configuration is REJECTED
+        # loudly: the sink requires checkpointLocation as an explicit
+        # writer option whenever a session default would otherwise kick
+        # in.  (streamWriter() is constructed driver-side, so the active
+        # session is visible; executors only unpickle the result.)
         ckpt = options.get("checkpointlocation")
-        self.epoch = (
-            os.path.abspath(ckpt) if ckpt else f"run-{uuid.uuid4().hex}"
-        )
+        if ckpt:
+            self.epoch = os.path.abspath(ckpt)
+        else:
+            session_default = None
+            try:
+                from pyspark.sql import SparkSession
+
+                active = SparkSession.getActiveSession()
+                if active is not None:
+                    session_default = active.conf.get(
+                        "spark.sql.streaming.checkpointLocation", None
+                    )
+            except Exception:
+                session_default = None  # executor-side unpickle: no session
+            if session_default:
+                raise ValueError(
+                    "servingstore sink: the session default "
+                    "spark.sql.streaming.checkpointLocation is set, so this "
+                    "stream will checkpoint (and replay on restart) under a "
+                    "directory the sink cannot see — pass the SAME path as "
+                    ".option('checkpointLocation', ...) on the writer so "
+                    "replayed batches are recognized and skipped"
+                )
+            self.epoch = f"run-{uuid.uuid4().hex}"
 
     # -- executor side ------------------------------------------------
     def write(self, iterator: Iterator) -> WriterCommitMessage:

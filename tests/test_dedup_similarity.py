@@ -1245,3 +1245,97 @@ def test_pq_validation_memoizes_file_backed_pairs(spark, tmp_path):
     before = len(S._VALIDATED_PQ_PAIRS)
     S._validate_pq_index(cb, 2, 2, 4, codes=codes)
     assert len(S._VALIDATED_PQ_PAIRS) == before
+
+
+def test_pq_validation_memo_keys_on_plan_not_just_files(spark, tmp_path):
+    """r14 ADVICE (similarity.py:1180): a DERIVED frame over the same
+    staged files — here a filter that drops cid 0, leaving a non-dense
+    cid space — must NOT inherit the raw scan's memo entry.  The plan
+    hash in the key forces revalidation, which correctly rejects the
+    degenerate subset even after the raw pair was validated and
+    memoized in the same process."""
+    import pytest as _pytest
+
+    from bigdatapipeline_steamreviews_spark.operators import similarity as S
+
+    cb = spark.createDataFrame(
+        [(s, c, [float(s), float(c)]) for s in range(2) for c in range(4)],
+        "s int, cid int, c array<double>",
+    )
+    cb.write.parquet(str(tmp_path / "cb2"))
+    cb_f = spark.read.parquet(str(tmp_path / "cb2"))
+
+    S._validate_pq_index(cb_f, 2, 2, 4)  # raw scan: validates + memoizes
+    truncated = cb_f.filter(F.col("cid") > 0)  # same inputFiles, new plan
+    assert sorted(truncated.inputFiles()) == sorted(cb_f.inputFiles())
+    with _pytest.raises(ValueError, match="does not match call geometry"):
+        S._validate_pq_index(truncated, 2, 2, 4)
+    # and the raw scan's own memo entry still hits (stable plan hash)
+    calls = {"n": 0}
+    orig = type(cb_f).groupBy
+
+    def poisoned(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(type(cb_f), "groupBy", poisoned)
+        S._validate_pq_index(cb_f, 2, 2, 4)
+        assert calls["n"] == 0
+
+
+def test_cosine_topk_blas_deterministic_under_score_ties(spark):
+    """r14 ADVICE (medium, similarity.py:202): bit-equal BLAS scores
+    straddling the per-batch argpartition cut must be resolved by
+    ascending neighbor_id — the same total order the global prune and
+    the exact path rank by.  A corpus of DUPLICATE vectors makes every
+    score tie exactly (cosine 1.0 bitwise), so with k=5/take=10 and 40
+    tied rows per batch the pre-fix selection kept an arbitrary 10 and
+    could drop the true neighbors (smallest ids).  Run both a single-
+    batch and a many-batch layout."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blas,
+    )
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, base) for i in range(40)] + [
+        (100 + i, [4.0, 3.0, 2.0, 1.0]) for i in range(8)
+    ]
+    for nparts in (1, 7):
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(nparts)
+        expr = cosine_topk(emb, F.col("vec_id") == 0, k=5).orderBy(
+            "rank"
+        ).collect()
+        blas = cosine_topk_blas(emb, F.col("vec_id") == 0, k=5).orderBy(
+            "rank"
+        ).collect()
+        assert [r["neighbor_id"] for r in expr] == [1, 2, 3, 4, 5]
+        assert blas == expr
+
+
+def test_cosine_topk_blas_query_chunking(spark, monkeypatch):
+    """The query-chunked GEMM (r15: bounds worker scratch for corpus-
+    scale query blocks) must be invisible in the output: force a chunk
+    width smaller than |q| and compare against the expression path."""
+    import numpy as np
+
+    from bigdatapipeline_steamreviews_spark.operators import similarity as S
+
+    rng = np.random.default_rng(15)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16).astype("float32")])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    monkeypatch.setattr(S, "_BLAS_QUERY_CHUNK", 3)
+    expr = S.cosine_topk(emb, F.col("vec_id") < 10, k=4).orderBy(
+        "query_id", "rank"
+    ).collect()
+    blas = S.cosine_topk_blas(emb, F.col("vec_id") < 10, k=4).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert len(expr) == 40
+    assert blas == expr
