@@ -191,10 +191,7 @@ def minhash_signatures(
     and a corpus-sized shuffle.  (`ensure_min_parallelism` still applies
     for the LSH join that typically follows.)
     """
-    if k > len(MINHASH_A):
-        raise ValueError(f"k <= {len(MINHASH_A)} supported (got {k})")
     c = F.col(text_col)
-    p = F.lit(MINHASH_PRIME).cast("long")
     # <n-token docs have no signature.  Expressed as a TOKEN-COUNT filter
     # (equivalent: the shingle list is non-empty iff tokens >= n), not as
     # size(shingles) > 0 — Catalyst pushes filters through the repartition
@@ -203,14 +200,42 @@ def minhash_signatures(
     # single-task) scan side before the exchange ever fanned out; one
     # split-and-count per row is the cheap predicate that pushdown is
     # allowed to move.  (Profiled 4x on a 1-file sf0.1 corpus.)
-    shingled = ensure_min_parallelism(
+    src = ensure_min_parallelism(
         df.filter(F.size(F.split(c, " ")) >= n), id_col
-    ).select(
+    )
+    return minhash_sig_frame(src, text_col=text_col, id_col=id_col, n=n, k=k)
+
+
+def minhash_sig_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    carry: tuple = (),
+) -> DataFrame:
+    """The per-row signature core of :func:`minhash_signatures`, shared
+    with STREAMING consumers (r15 ``stream_curation_pipeline``): no
+    ``ensure_min_parallelism`` probe (``df.rdd`` is illegal on a
+    streaming frame) and ``carry`` threads extra columns through the
+    staged selects.  One implementation for both planes — the batch
+    signature index and a stream's per-arrival signatures can never
+    drift.  Still drops <n-token docs (no shingles => no signature);
+    batch callers pre-filter for pushdown, so the filter here is a
+    no-op for them."""
+    if k > len(MINHASH_A):
+        raise ValueError(f"k <= {len(MINHASH_A)} supported (got {k})")
+    c = F.col(text_col)
+    p = F.lit(MINHASH_PRIME).cast("long")
+    keep = [F.col(x) for x in carry]
+    shingled = df.filter(F.size(F.split(c, " ")) >= n).select(
         F.col(id_col),
+        *keep,
         F.array_distinct(word_shingles(c, n)).alias("__sh"),
     )
     based = shingled.select(
         F.col(id_col),
+        *keep,
         F.transform(
             F.col("__sh"),
             lambda s: F.pmod(
@@ -229,7 +254,16 @@ def minhash_signatures(
         F.array_min(F.transform(F.col("__hs"), affine(i))).alias(f"h{i}")
         for i in range(k)
     ]
-    return based.select(F.col(id_col), *mins)
+    return based.select(F.col(id_col), *keep, *mins)
+
+
+def lsh_band_key(bi: int, r: int) -> Column:
+    """Band ``bi``'s LSH key over signature columns ``h{bi*r}..h{bi*r+r-1}``
+    — md5 over the pipe-joined minhashes.  Shared by :func:`lsh_band_table`
+    (the persisted index) and streaming per-arrival band keys
+    (``stream_curation_pipeline``), so the two can never drift."""
+    parts = [F.col(f"h{bi * r + j}") for j in range(r)]
+    return F.md5(F.concat_ws("|", *parts))
 
 
 def lsh_band_table(
@@ -246,11 +280,10 @@ def lsh_band_table(
     r = k // bands
     band_cols = []
     for bi in range(bands):
-        parts = [F.col(f"h{bi * r + j}") for j in range(r)]
         band_cols.append(
             F.struct(
                 F.lit(bi).alias("band"),
-                F.md5(F.concat_ws("|", *parts)).alias("key"),
+                lsh_band_key(bi, r).alias("key"),
             )
         )
     return sigs.select(

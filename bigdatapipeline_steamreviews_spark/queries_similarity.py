@@ -1488,6 +1488,153 @@ def x3_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Residual-encoding IVF+PQ oracle (r15): the full composition unrolled —
+# deterministic coarse seeds (n_lists smallest vids), broadcast-argmin
+# assignment (ORDER BY dist, list_id — assign_to_centroids' struct
+# tie-break), residual = v - centroid(list(v)) per vector, fine codebook
+# seeded from the codebook_k smallest vids PAST the coarse seeds (whose
+# residuals are identically zero), encode/LUT/ADC exactly as
+# _pq_adc_oracle but with the LUT keyed (query_id, list_id) on the
+# query's OWN residual against each probed list.  Exhaustive probe
+# (n_probe = n_lists) scores each candidate once against its own list,
+# so no probe-ranking CTE is needed.  Same list_sum/list_reduce exact-
+# fold discipline as every PQ oracle: the gate is bitwise.
+def _pq_residual_oracle(
+    n_lists: int = 16,
+    n_sub: int = 4,
+    dim: int = 64,
+    codebook_k: int = 4,
+    k: int = 5,
+) -> str:
+    sub_dim = dim // n_sub
+    rslice_cols = ", ".join(
+        f"r[{s * sub_dim + 1}:{(s + 1) * sub_dim}] AS sl{s}"
+        for s in range(n_sub)
+    )
+    cdist = (
+        "list_sum([(e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i])"
+        f" for i in range(1, {dim + 1})])"
+    )
+    residual = f"[e.v[i] - c.centroid[i] for i in range(1, {dim + 1})] AS r"
+
+    def dist(src: str, s: int) -> str:
+        return (
+            f"list_sum([({src}.sl{s}[i] - cb.c[i]) * ({src}.sl{s}[i] - cb.c[i])"
+            f" for i in range(1, {sub_dim + 1})])"
+        )
+
+    cb_union = "\n  UNION ALL\n".join(
+        f"  SELECT {s} AS s, cid, sl{s} AS c FROM pseeds" for s in range(n_sub)
+    )
+    scored_union = "\n  UNION ALL\n".join(
+        f"  SELECT t.vec_id, {s} AS s, cb.cid, {dist('t', s)} AS dist\n"
+        f"  FROM sliced t JOIN cb ON cb.s = {s}"
+        for s in range(n_sub)
+    )
+    lut_union = "\n  UNION ALL\n".join(
+        f"  SELECT q.query_id, q.list_id, {s} AS s, cb.cid, {dist('q', s)} AS ld\n"
+        f"  FROM qsliced q JOIN cb ON cb.s = {s}"
+        for s in range(n_sub)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM {_CLEAN_EMB_SQL}
+),
+cseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS centroid
+  FROM e ORDER BY vec_id LIMIT {n_lists}
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cdist}, c.list_id) AS rn
+    FROM e JOIN cseeds c ON TRUE
+  ) WHERE rn = 1
+),
+res AS MATERIALIZED (
+  SELECT e.vec_id, a.list_id, {residual}
+  FROM e JOIN asg a ON a.vec_id = e.vec_id
+         JOIN cseeds c ON c.list_id = a.list_id
+),
+pseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, {rslice_cols}
+  FROM (SELECT * FROM res ORDER BY vec_id
+        LIMIT {codebook_k} OFFSET {n_lists}) rseed
+),
+sliced AS (SELECT vec_id, list_id, {rslice_cols} FROM res),
+cb AS (
+{cb_union}
+),
+scored AS (
+{scored_union}
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY dist, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+qres AS (
+  SELECT e.vec_id AS query_id, c.list_id, {residual}
+  FROM e JOIN cseeds c ON TRUE WHERE e.vec_id < 10
+),
+qsliced AS (SELECT query_id, list_id, {rslice_cols} FROM qres),
+lut AS (
+{lut_union}
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list(l.ld ORDER BY l.s), (acc, x) -> acc + x) AS adc_dist
+  FROM codes c
+  JOIN asg a ON a.vec_id = c.vec_id
+  JOIN lut l ON l.s = c.s AND l.cid = c.cid AND l.list_id = a.list_id
+  WHERE c.vec_id != l.query_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
+@register(
+    "x3_ivf_pq_residual",
+    _pq_residual_oracle(n_lists=16, n_sub=4, dim=64, codebook_k=4),
+    ("X3",),
+    "IVF+PQ with RESIDUAL encoding — the actual FAISS recipe (Jegou et "
+    "al. 2011): the fine quantizer encodes x - centroid(list(x)), which "
+    "is what makes coarse + fine quantization compose at billion scale "
+    "(residuals live in a smaller ball, so the same code budget buys "
+    "finer resolution; recall >= the raw-vector encoder at equal probes "
+    "is pytest-asserted).  Coarse = deterministic seeded centroids + the "
+    "zero-shuffle broadcast-argmin assignment; residual = one zip_with "
+    "per vector; fine codebook seeds past the coarse seeds (their own "
+    "residuals are identically zero); the LUT is keyed (query, list) on "
+    "the query's own per-list residual and ADC stays the positional "
+    "ordered fold — adc_dist IS the reconstruction distance "
+    "||q_res - decode(codes)||^2, which the oracle recomputes bitwise.  "
+    "Corpus floats are read twice at build, never at probe; at 100 TB "
+    "the (vid, list_id, codes) table is written partitioned by list_id.  "
+    "operators/similarity.py::ivf_pq_residual_topk.",
+)
+def x3_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_pq_residual_topk
+
+    return ivf_pq_residual_topk(
+        _clean_emb(spark, sf_dir),
+        F.col("vec_id") < 10,
+        k=5,
+        n_lists=16,
+        n_probe=16,
+        n_sub=4,
+        codebook_k=4,
+    )
+
+
 # Evaluation-as-a-query: the oracle composes the two already-registered
 # oracles as subqueries, so the recall statement is definitionally
 # consistent with what those queries are gated against.

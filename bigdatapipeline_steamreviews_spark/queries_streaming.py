@@ -19,6 +19,7 @@ from .operators.quality import (
     events_checksum_row_hash,
 )
 from .queries_analytic import HLL_USERS_ORACLE, QSK_EVENTS_ORACLE
+from .queries_text import _MINHASH_MINS as _MINHASH_MINS_SQL
 from .registry import _sum_exact_sql, FLAGSHIP_ORACLE, register
 from .sources.tables import load_table
 from .streaming.sessions import streaming_sessionize
@@ -505,6 +506,157 @@ def stream_document_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
     return run_to_memory_table(
         fresh, name, checkpoint, "complete", shuffle_partitions=8
+    )
+
+
+@register(
+    "stream_curation_pipeline",
+    """
+WITH gopher AS (
+  SELECT doc_id, text,
+         len(toks)::BIGINT AS n_tokens,
+         len(toks) BETWEEN 40 AND 100000 AS f_word_count,
+         (length(regexp_replace(text, ' ', '', 'g')) / greatest(len(toks), 1))
+           BETWEEN 3.0 AND 8.0 AS f_mean_word_len,
+         (len(list_filter(toks, t -> NOT regexp_matches(t, '[a-zA-Z0-9]')))
+           / greatest(len(toks), 1)) <= 0.1 AS f_symbol_ratio,
+         (len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+           / greatest(len(toks), 1)) >= 0.8 AS f_alpha_ratio,
+         len(list_distinct(list_filter(toks,
+           t -> t IN ('the','a','of','and','to','is')))) >= 2 AS f_stopwords
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        FROM documents WHERE text IS NOT NULL)
+),
+fresh AS (
+  SELECT doc_id, n_tokens, md5(text) AS content_hash FROM gopher
+  WHERE doc_id % 2 = 1 AND f_word_count AND f_mean_word_len
+    AND f_symbol_ratio AND f_alpha_ratio AND f_stopwords
+    AND md5(text) NOT IN (SELECT md5(text) FROM documents
+                          WHERE doc_id % 2 = 0 AND text IS NOT NULL)
+),
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(
+           [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         )) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+         """
+    + _MINHASH_MINS_SQL
+    + """
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS key FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sigs
+),
+collided AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b JOIN bands c ON b.band = c.band AND b.key = c.key
+  WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+)
+SELECT f.content_hash, min(f.doc_id) AS doc_id,
+       count(*) AS n_copies, min(f.n_tokens) AS n_tokens
+FROM fresh f LEFT JOIN collided c ON c.doc_id = f.doc_id
+WHERE c.doc_id IS NULL
+GROUP BY f.content_hash
+""",
+    ("T3", "T7", "X1", "X2", "X4", "J*", "S3"),
+    "The curation pipeline as ONE STREAMING query (r14 verdict ask #3) — "
+    "the continuous-ingest twin of x1_curation_pipeline, production "
+    "order preserved: Gopher rule filter (map-only expressions on the "
+    "stream) -> exact dedup vs the existing corpus's digest dictionary "
+    "(stream-static broadcast anti-join) -> cross-corpus MinHash-LSH "
+    "fuzzy dedup vs the PERSISTED signature index (per-arrival "
+    "signatures are the shared map-only expression core "
+    "minhash_sig_frame — zero shuffle, no groupBy — and band collisions "
+    "are four chained stream-static broadcast anti-joins, one per band, "
+    "so a doc survives iff NO band key matches the index) -> one "
+    "streaming aggregation per content digest.  Final complete-mode "
+    "state must equal the batch composition over the same corpus — the "
+    "streaming/batch equivalence gate applied to the WHOLE curation "
+    "pipeline, not just its ingest edge.  At 100 TB: every stage before "
+    "the final agg is stateless map/broadcast work per micro-batch; the "
+    "band index is the train-once artifact (staged parquet here, the "
+    "lakehouse table at scale) and its per-band key dictionaries are "
+    "bounded broadcasts.",
+)
+def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_curation_{_query_counter}"
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import lsh_band_key, minhash_sig_frame
+    from .operators.text import gopher_rules
+    from .queries_text import _staged_bands
+
+    stage = _stage_document_chunks(spark, sf_dir)
+    docs_schema = load_table(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    # Stage 1 — Gopher rules, map-only on the stream (gopher_rules already
+    # drops NULL text, mirroring the oracle's scoreable-text scope).
+    kept = (
+        gopher_rules(stream)
+        .filter(F.col("keep"))
+        .select("doc_id", "text", "n_tokens")
+    )
+    # Stage 2 — exact dedup vs the existing corpus (even ids): digest
+    # anti-join against the static dictionary, broadcast once per batch.
+    base_digests = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
+        .select(F.md5(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    fresh = kept.withColumn("content_hash", F.md5(F.col("text"))).join(
+        F.broadcast(base_digests), "content_hash", "left_anti"
+    )
+    # Stage 3 — cross-corpus LSH vs the persisted signature index: the
+    # arrival's signature is the same map-only expression core the index
+    # was built with; survival = NO band key collides, i.e. four chained
+    # anti-joins (one per band — an exploded band table can't express
+    # "none of my bands matched" on a stream without a second stateful
+    # aggregation).
+    sigs = minhash_sig_frame(
+        fresh, carry=("content_hash", "n_tokens"), n=3, k=8
+    )
+    keys = sigs.select(
+        "doc_id",
+        "content_hash",
+        "n_tokens",
+        *[lsh_band_key(bi, 2).alias(f"key{bi}") for bi in range(4)],
+    )
+    even_bands = _staged_bands(spark, sf_dir, k=8, bands=4).filter(
+        F.col("bid") % 2 == 0
+    )
+    for bi in range(4):
+        keys = keys.join(
+            F.broadcast(
+                even_bands.filter(F.col("band") == bi)
+                .select(F.col("key").alias(f"key{bi}"))
+                .distinct()
+            ),
+            f"key{bi}",
+            "left_anti",
+        )
+    # Stage 4 — one streaming aggregation: final corpus state per digest.
+    survivors = keys.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        survivors, name, checkpoint, "complete", shuffle_partitions=8
     )
 
 

@@ -75,8 +75,8 @@ def op_skeleton(plan: str) -> list[str]:
 
 
 # The EXPLICIT exclusion list (round-13 verdict ask: every registry
-# entry is either in PLANS.json or named here with a reason).  All 27
-# are Structured Streaming queries: invoking the registry fn RUNS the
+# entry is either in PLANS.json or named here with a reason).  All of
+# them are Structured Streaming queries: invoking the registry fn RUNS the
 # replay to completion and returns a scan of the results memory table —
 # a LocalTableScan/memory-scan leaf that carries none of the streaming
 # plan (micro-batch plans are per-trigger and embed checkpoint paths,
@@ -126,6 +126,7 @@ PLAN_SNAPSHOT_EXCLUDED: dict[str, str] = {
                 "stream_dedup_bounded_state",
                 "stream_document_ingest_dedup",
                 "stream_quantile_sketch",
+                "stream_curation_pipeline",
             ),
             "stateful replay (applyInPandasWithState / dropDuplicates "
             "state): per-trigger plans embed state-store instances and "

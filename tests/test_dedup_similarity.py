@@ -1339,3 +1339,160 @@ def test_cosine_topk_blas_query_chunking(spark, monkeypatch):
     ).collect()
     assert len(expr) == 40
     assert blas == expr
+
+
+# ---------------------------------------------------------------------------
+# x3_ivf_pq_residual — residual-encoding IVF+PQ (round 15)
+# ---------------------------------------------------------------------------
+
+
+def _exact_l2_topk(spark, emb, k=5):
+    """Exact squared-L2 top-k pairs for queries vec_id < 10 — the recall
+    denominator (deterministic: sequential fold + (dist, id) tiebreak)."""
+    from pyspark.sql import Window as _W
+
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter("neighbor_id != query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+    )
+    w = _W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    return {
+        (r["query_id"], r["neighbor_id"])
+        for r in pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .collect()
+    }
+
+
+def test_ivf_pq_residual_recall_geq_raw_at_equal_probes(spark):
+    """The r14 verdict's acceptance bar: residual encoding must recall at
+    least as much of the exact-L2 top-k as the raw-vector encoder at
+    equal probes (same corpus, same n_lists/n_sub/codebook_k/k) — the
+    whole point of encoding x - centroid(list(x)) is that residuals live
+    in a smaller ball, so the same code budget buys finer resolution.
+
+    Runs on the REGISTERED corpus (sf0.01 — the verdict's "the existing
+    corpus"; measured r15: residual 13/50 vs raw 4/50 of the exact
+    top-k).  The raw side is pq_adc_topk, provably identical to
+    exhaustive-probe raw IVF+PQ (test_ivf_pq_exhaustive_probe_equals_
+    pq_adc) and cheaper — no k-means fit in this test."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        pq_adc_topk,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").filter(
+        (F.size("embedding") == 64) & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    pred = F.col("vec_id") < 10
+    exact = _exact_l2_topk(spark, emb, k=5)
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(emb, pred, k=5, n_sub=4).collect()
+    }
+    res = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_residual_topk(
+            emb, pred, k=5, n_lists=16, n_probe=16, n_sub=4
+        ).collect()
+    }
+    assert exact and len(res) == len(raw) == len(exact)
+    assert len(res & exact) >= len(raw & exact), (
+        f"residual recall {len(res & exact)} < raw {len(raw & exact)}"
+    )
+    assert len(res & exact) > 0
+
+
+def test_ivf_pq_residual_adc_is_reconstruction_distance(spark):
+    """The registered gate's semantic claim, checked through an
+    INDEPENDENT route: rebuild the residual pipeline's artifacts
+    (seeded coarse centroids -> broadcast-argmin assignment -> residuals
+    -> skip-seeded codebook -> codes), then recompute every emitted
+    adc_dist in plain Python as the subspace-ordered sum of left-fold
+    squared distances between the query's per-list residual and the
+    DECODED codebook entries — ||q_res - decode(codes)||^2 summed
+    subspace-wise, bitwise equal to the operator's LUT-lookup fold."""
+    from bigdatapipeline_steamreviews_spark.operators import similarity as sim
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    n_lists, n_sub, dim, cb_k, k = 8, 4, 64, 4, 5
+    sd = dim // n_sub
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        (F.size("embedding") == 64) & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    pred = F.col("vec_id") < 10
+    got = sim.ivf_pq_residual_topk(
+        emb, pred, k=k, n_lists=n_lists, n_probe=n_lists, n_sub=n_sub,
+        codebook_k=cb_k,
+    ).collect()
+    assert len(got) == 50
+
+    # Independent python model of the same deterministic constructions.
+    e_rows = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .collect()
+    )
+    vecs = {r["vec_id"]: [float(x) for x in r["v"]] for r in e_rows}
+    cents = {
+        i: vecs[vid] for i, vid in enumerate(sorted(vecs)[:n_lists])
+    }
+
+    def fold_sq(a, b):
+        t = 0.0
+        for x, y in zip(a, b):
+            t += (x - y) * (x - y)
+        return t
+
+    def assign(v):
+        return min(cents, key=lambda l: (fold_sq(v, cents[l]), l))
+
+    resid = {
+        vid: [a - b for a, b in zip(v, cents[assign(v)])]
+        for vid, v in vecs.items()
+    }
+    seeds = sorted(vecs)[n_lists : n_lists + cb_k]
+    cb = {
+        s: {ci: resid[vid][s * sd : (s + 1) * sd] for ci, vid in enumerate(seeds)}
+        for s in range(n_sub)
+    }
+    codes = {
+        vid: [
+            min(
+                sorted(cb[s]),
+                key=lambda c: (fold_sq(r[s * sd : (s + 1) * sd], cb[s][c]), c),
+            )
+            for s in range(n_sub)
+        ]
+        for vid, r in resid.items()
+    }
+    for row in got:
+        qid, nid = row["query_id"], row["neighbor_id"]
+        qr = [a - b for a, b in zip(vecs[qid], cents[assign(vecs[nid])])]
+        expected = 0.0
+        for s in range(n_sub):
+            expected += fold_sq(
+                qr[s * sd : (s + 1) * sd], cb[s][codes[nid][s]]
+            )
+        assert row["adc_dist"] == expected, (qid, nid)

@@ -75,6 +75,9 @@ PROBE = [
     "stream_quantile_sketch",  # no emissions -> empty pool -> zero rows
     "x3_cosine_topk_blas",  # empty query set -> typed empty frame branch
     "src_skipping_index",  # empty stats -> no probe key -> typed empty
+    # round-15 births
+    "x3_ivf_pq_residual",  # empty coarse seeds -> NULL assignment join
+    "stream_curation_pipeline",  # zero-chunk replay + empty band index
 ]
 
 

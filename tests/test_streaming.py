@@ -440,3 +440,99 @@ def test_displaced_replay_watermarked_closed_windows_are_exact(spark):
     assert 0 < len(s_rows) < len(b_rows)  # something closed, tail open
     for key, row in s_rows.items():
         assert row == b_rows[key]  # stragglers merged BEFORE close, exact
+
+
+def test_stream_curation_pipeline_all_stages_bite_on_planted_corpus(spark):
+    """r15 (r14 verdict ask #3): the one-streaming-query curation
+    pipeline on a PLANTED corpus where every stage provably drops
+    something — on the driver corpora the digest stage happens to be
+    vacuous (no cross-parity exact dup passes the Gopher rules), and a
+    gate that compares survivors only there could green a broken stage
+    (the vacuous-join trap, round-13).  Planted: a rules-failing doc, an
+    exact cross-corpus dup, a near-dup (one token changed -> LSH band
+    collision with the even corpus), a within-stream dup pair
+    (n_copies=2), and a clean survivor.  The streaming final state must
+    equal the registered DuckDB oracle on the same corpus, row for row."""
+    import os
+
+    import duckdb
+
+    from bigdatapipeline_steamreviews_spark.queries_streaming import (
+        stream_curation_pipeline,
+    )
+    from bigdatapipeline_steamreviews_spark.registry import (
+        REGISTRY,
+        _ensure_all_registered,
+    )
+
+    _ensure_all_registered()
+    good = (
+        "the quick brown fox jumps over a lazy dog and runs to the old "
+        "river bank where many small animals of the forest gather during "
+        "warm summer evenings to drink fresh water and rest under tall "
+        "green trees before night falls over the quiet valley again"
+    )  # 48 tokens, stopword-rich, mean len in bounds
+    near = good.replace("valley", "meadow")
+    other = (
+        "a massive data pipeline is built from many streaming stages and "
+        "each stage of the system must shuffle sort join filter and "
+        "aggregate millions of records every single day to keep the "
+        "serving tables fresh while analysts run countless queries over "
+        "the warehouse looking for new insight in old numbers"
+    )
+    third = (
+        "deep in the winter mountains a lone traveler walks slowly across "
+        "frozen ridges and counts every star of the northern sky while "
+        "cold wind carries distant sounds of wolves toward a small cabin "
+        "where warm light promises shelter food and sleep after the long "
+        "hard climb through snow drifts and silent pine woods"
+    )
+    fourth = (
+        "the committee reviewed a detailed annual report about harvest "
+        "yields and concluded that careful rotation of crops with better "
+        "irrigation canals would raise output of grain by a wide margin "
+        "while keeping the soil healthy for future seasons and the whole "
+        "village agreed to fund new tools and shared storage barns"
+    )
+    rows = [
+        (0, good, "web"),      # even: corpus member
+        (2, other, "web"),     # even: corpus member
+        (1, good, "web"),      # odd: exact dup of 0 -> digest stage drops
+        (3, near, "web"),      # odd: near dup of 0 -> LSH stage drops
+        (5, "too short to pass the rules", "web"),  # odd: Gopher drops
+        (7, third, "web"),     # odd: unrelated -> survives
+        (9, fourth, "web"),    # odd: within-stream dup a
+        (11, fourth, "web"),   # odd: within-stream dup b
+    ]
+    planted = "/tmp/spark_graft_sf_curation_test"
+    if not os.path.exists(os.path.join(planted, "_DONE")):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{planted}/documents.parquet"
+        )
+        open(os.path.join(planted, "_DONE"), "w").close()
+
+    got = {
+        tuple(r)
+        for r in stream_curation_pipeline(spark, planted)
+        .select("content_hash", "doc_id", "n_copies", "n_tokens")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{planted}/documents.parquet/*.parquet')"
+    )
+    expected = {
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["stream_curation_pipeline"].oracle
+        ).fetchall()
+    }
+    assert got == expected
+    # every stage bit: survivors are exactly doc 7 (unique) and the 9/11
+    # within-stream pair collapsed to one digest with n_copies=2
+    by_doc = {r[1]: r for r in got}
+    assert set(by_doc) == {7, 9}
+    assert by_doc[9][2] == 2 and by_doc[7][2] == 1
