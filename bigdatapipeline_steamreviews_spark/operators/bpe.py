@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "DEFAULT_MERGES",
     "LARGE_MERGES",
+    "XL_MERGES",
     "bpe_encode_vocab",
     "bpe_token_stats",
 ]
@@ -83,6 +84,22 @@ _CURATED = set(DEFAULT_MERGES)
 LARGE_MERGES: list[tuple[str, str]] = DEFAULT_MERGES + [
     (c1, c2) for c1 in _FREQ for c2 in _FREQ if (c1, c2) not in _CURATED
 ]
+
+# A 2,048-rank table (r15, r14 verdict ask #4: the "plan depth and cost
+# are flat in ranks" claim held at 227 ranks — this is the second data
+# point an order of magnitude up, wall-time-vs-ranks recorded in PERF.md).
+# Construction mirrors a real tokenizer's shape: LARGE_MERGES first (the
+# curated+digraph head that fires), then every remaining a-z digraph,
+# then (digraph, letter) CHAINED triples over the frequent letters —
+# those can fire only after their digraph merged at an earlier rank,
+# exactly how real merge tables compose longer units — truncated to 2048.
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_IN_LARGE = set(LARGE_MERGES)
+XL_MERGES: list[tuple[str, str]] = (
+    LARGE_MERGES
+    + [(c1, c2) for c1 in _ALPHA for c2 in _ALPHA if (c1, c2) not in _IN_LARGE]
+    + [(c1 + c2, c3) for c1 in _FREQ for c2 in _FREQ for c3 in _FREQ]
+)[:2048]
 
 _SEP = "\x01"
 

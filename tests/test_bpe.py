@@ -200,3 +200,59 @@ def test_jvm_fold_matches_python_scan_on_adversarial_words(spark):
     got = _encode(spark, words, merges=LARGE_MERGES)
     want = {w: py_count(w) for w in words}
     assert got == want
+
+
+def test_xl_merges_2048_ranks_bitwise_vs_python_model(spark):
+    """r15 (r14 verdict ask #4): the 2,048-rank XL table through the same
+    correctness gate — every piece count must equal an independent
+    Python replay of the BPE semantics (per rank, one left-to-right
+    non-overlapping pass), on corpus-style words plus the adversarial
+    shapes the small-table tests pin.  Also: the fold-within-fold plan
+    shape is STILL the 12-rank shape (depth O(1) in ranks at 2k)."""
+    from bigdatapipeline_steamreviews_spark.operators.bpe import (
+        DEFAULT_MERGES,
+        XL_MERGES,
+        bpe_encode_vocab,
+    )
+    from bigdatapipeline_steamreviews_spark.plans.lint import plan_text
+
+    assert len(XL_MERGES) == 2048
+    assert XL_MERGES[: len(DEFAULT_MERGES)] == DEFAULT_MERGES  # head stable
+
+    def py_bpe(word, merges):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    words = [
+        "the", "theory", "order", "group", "entertainment", "ttt",
+        "tttt", "international", "reproducibility", "aaaaaa", "zzz",
+        "thethethe", "antidisestablishmentarianism", "xylophone",
+    ]
+    got = _encode(spark, words, merges=XL_MERGES)
+    assert got == {w: py_bpe(w, XL_MERGES) for w in words}
+    # chained triples fire: XL-only (digraph, letter) ranks produce
+    # longer units than the 12-rank head can
+    assert got["entertainment"] < py_bpe("entertainment", DEFAULT_MERGES)
+
+    vocab = spark.createDataFrame([("theory",), ("data",)], "word string")
+
+    def shape(merges):
+        return [
+            line.strip().split("(")[0].split("[")[0]
+            for line in plan_text(
+                bpe_encode_vocab(vocab, merges=merges)
+            ).splitlines()
+            if line.strip().startswith(("*", "+", ":"))
+        ]
+
+    assert shape(DEFAULT_MERGES) == shape(XL_MERGES)
