@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "stream_quantile_sketch",      # bottom-k pool as streaming state
     "x3_cosine_topk_blas",         # GEMM candidate selection + exact rescore
     "src_skipping_index",          # stats-table-pruned point lookup
+    # r15 births (44 above stay comparable):
+    "x3_ivf_pq_residual",          # residual-encoding IVF+PQ (FAISS recipe)
+    "stream_curation_pipeline",    # rules -> exact -> LSH as one stream
 ]
 
 
@@ -187,16 +190,27 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 - record and continue
         errors["__warmup__"] = f"{type(e).__name__}: {e}"[:300]
 
+    # Close-stamp subsetting (r14 verdict ask #5): the one-query-per-
+    # process close protocol (scripts/bench_close.py) runs bench.py once
+    # per query so a noisy host window can poison at most one query's
+    # samples.  The env var is a comma list of names; unset = full set.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = (
+        [n for n in BENCH_QUERIES if n in {s.strip() for s in only.split(",")}]
+        if only
+        else BENCH_QUERIES
+    )
+
     per_query: dict[str, float] = {}
     samples: dict[str, list] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         try:
             per_query[name], samples[name] = run(name)
         except Exception as e:  # noqa: BLE001 - record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             samples.pop(name, None)
 
-    out = build_output(per_query, errors, len(BENCH_QUERIES), SF_DIR, samples)
+    out = build_output(per_query, errors, len(names), SF_DIR, samples)
     # Full artifact (samples + spread + untruncated errors) to a sidecar
     # file; the committed BENCH_r{N}_close.json is a copy of this.
     full_path = os.environ.get(
