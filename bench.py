@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "src_skipping_index",          # stats-table-pruned point lookup
     # r15 births (44 above stay comparable):
     "x3_ivf_pq_residual",          # residual-encoding IVF+PQ (FAISS recipe)
+    "x3_ivf_pq_residual_persisted",  # its train-once/probe-many form
     "stream_curation_pipeline",    # rules -> exact -> LSH as one stream
 ]
 

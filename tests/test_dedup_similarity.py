@@ -1496,3 +1496,41 @@ def test_ivf_pq_residual_adc_is_reconstruction_distance(spark):
                 qr[s * sd : (s + 1) * sd], cb[s][codes[nid][s]]
             )
         assert row["adc_dist"] == expected, (qid, nid)
+
+
+def test_persisted_residual_probe_never_rebuilds(spark, monkeypatch):
+    """x3_ivf_pq_residual_persisted's contract: with the staged 4-tuple
+    present, the probe must re-derive NOTHING — poison every build entry
+    point (coarse seeding, corpus assignment, fine codebook, encode) and
+    the query must still run, its plan scanning the staged codes parquet;
+    and the persisted result must equal the inline build bitwise (every
+    construction is deterministic)."""
+    import bigdatapipeline_steamreviews_spark.operators.similarity as sim
+    from bigdatapipeline_steamreviews_spark.plans.lint import plan_text
+    from bigdatapipeline_steamreviews_spark.queries_similarity import (
+        _staged_residual_index,
+        x3_ivf_pq_residual,
+        x3_ivf_pq_residual_persisted,
+    )
+    from tests.conftest import SF_DIR
+
+    # Warm the stage (build exactly once, outside the poisoned section),
+    # and take the inline result BEFORE poisoning.
+    _staged_residual_index(spark, SF_DIR, n_lists=16, n_sub=4, codebook_k=4)
+    inline = x3_ivf_pq_residual(spark, SF_DIR).orderBy(
+        "query_id", "rank"
+    ).collect()
+
+    def boom(*a, **k):
+        raise AssertionError("persisted probe re-derived an index artifact")
+
+    monkeypatch.setattr(sim, "seeded_centroids", boom)
+    monkeypatch.setattr(sim, "assign_to_centroids", boom)
+    monkeypatch.setattr(sim, "_pq_codebook", boom)
+    monkeypatch.setattr(sim, "_pq_encode", boom)
+
+    df = x3_ivf_pq_residual_persisted(spark, SF_DIR)
+    assert "/codes" in plan_text(df), "plan does not scan the staged codes"
+    persisted = df.orderBy("query_id", "rank").collect()
+    assert persisted == inline
+    assert len(persisted) == 50

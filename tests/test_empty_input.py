@@ -78,6 +78,7 @@ PROBE = [
     # round-15 births
     "x3_ivf_pq_residual",  # empty coarse seeds -> NULL assignment join
     "stream_curation_pipeline",  # zero-chunk replay + empty band index
+    "x3_ivf_pq_residual_persisted",  # staged EMPTY 4-tuple through guard
 ]
 
 
