@@ -82,8 +82,15 @@ def _run_one(name: str, tmp_full: str) -> dict:
 
 
 def _noisy(samples: list[float]) -> bool:
-    lo = min(samples)
-    spread = max(samples) - lo
+    """Was this attempt's window noisy?  Judged on the STEADY-STATE
+    samples only: in a fresh per-query JVM, sample 1 structurally pays
+    codegen/JIT/session warm-up (bench.py's whole-run form amortized it
+    across queries), so including it would flag nearly every query and
+    triple the protocol's cost for nothing.  Streaming replays carry
+    honest multi-hundred-ms trigger jitter — hence the absolute floor."""
+    steady = samples[1:] if len(samples) > 1 else samples
+    lo = min(steady)
+    spread = max(steady) - lo
     return spread > 0.5 and spread > 0.5 * lo
 
 
