@@ -201,6 +201,19 @@ def main() -> None:
         if only
         else BENCH_QUERIES
     )
+    if only:
+        # Unknown names must be loud (r15 ADVICE bench_close.py:119): a
+        # typo'd subset used to intersect to an empty run that LOOKED
+        # like a fast bench; an empty selection is always an error.
+        unknown = {s.strip() for s in only.split(",")} - set(BENCH_QUERIES)
+        if unknown:
+            print(
+                "bench: unknown names in SPARK_GRAFT_BENCH_ONLY: "
+                + ", ".join(sorted(unknown)),
+                file=sys.stderr,
+            )
+        if not names:
+            sys.exit(2)
 
     per_query: dict[str, float] = {}
     samples: dict[str, list] = {}

