@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "x3_ivf_pq_residual",          # residual-encoding IVF+PQ (FAISS recipe)
     "x3_ivf_pq_residual_persisted",  # its train-once/probe-many form
     "stream_curation_pipeline",    # rules -> exact -> LSH as one stream
+    # r16 births (47 above stay comparable):
+    "x3_ivf_pq_rerank",            # ADC shortlist + exact rescore (refine)
+    "x3_ivf_pq_residual_recall",   # approximate-probe recall-as-a-query
+    "stream_curation_semantic",    # curation stream + SemDeDup stage
 ]
 
 

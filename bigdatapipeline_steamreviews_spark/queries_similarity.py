@@ -1505,6 +1505,7 @@ def _pq_residual_oracle(
     dim: int = 64,
     codebook_k: int = 4,
     k: int = 5,
+    n_probe: "int | None" = None,
 ) -> str:
     sub_dim = dim // n_sub
     rslice_cols = ", ".join(
@@ -1536,6 +1537,34 @@ def _pq_residual_oracle(
         f"  FROM qsliced q JOIN cb ON cb.s = {s}"
         for s in range(n_sub)
     )
+    # Approximate probe (r16, n_probe < n_lists): rank centroid distances
+    # per query — the same (dist, list_id) total order as the engine's
+    # probe window — and keep only the n_probe nearest lists' residuals;
+    # downstream the ADC join prunes candidates to probed lists for free
+    # because the LUT is keyed (query_id, list_id).  Exhaustive probe
+    # (the default) keeps the original every-list qres, where no probe
+    # ranking is needed — that string is byte-identical to the r15 form
+    # so the two already-registered residual oracles are unchanged.
+    if n_probe is not None and n_probe < n_lists:
+        qres = f"""qprobe AS (
+  SELECT query_id, list_id FROM (
+    SELECT e.vec_id AS query_id, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cdist}, c.list_id) AS pr
+    FROM e JOIN cseeds c ON TRUE WHERE e.vec_id < 10
+  ) WHERE pr <= {n_probe}
+),
+qres AS (
+  SELECT e.vec_id AS query_id, c.list_id, {residual}
+  FROM e JOIN cseeds c ON TRUE
+  JOIN qprobe p ON p.query_id = e.vec_id AND p.list_id = c.list_id
+  WHERE e.vec_id < 10
+)"""
+    else:
+        qres = f"""qres AS (
+  SELECT e.vec_id AS query_id, c.list_id, {residual}
+  FROM e JOIN cseeds c ON TRUE WHERE e.vec_id < 10
+)"""
     return f"""
 WITH e AS (
   SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM {_CLEAN_EMB_SQL}
@@ -1576,10 +1605,7 @@ codes AS (
     FROM scored
   ) WHERE rn = 1
 ),
-qres AS (
-  SELECT e.vec_id AS query_id, c.list_id, {residual}
-  FROM e JOIN cseeds c ON TRUE WHERE e.vec_id < 10
-),
+{qres},
 qsliced AS (SELECT query_id, list_id, {rslice_cols} FROM qres),
 lut AS (
 {lut_union}
@@ -1776,6 +1802,124 @@ def x3_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = brute.join(
         lsh,
+        (F.col("query_id") == F.col("l_qid"))
+        & (F.col("neighbor_id") == F.col("l_nid")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("l_nid").alias("n_hits"),
+            (F.count("l_nid") * 20).alias("recall_pct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "x3_ivf_pq_rerank",
+    f"""
+WITH shortlist AS (
+  SELECT query_id, neighbor_id
+  FROM ({_pq_residual_oracle(n_lists=16, n_sub=4, dim=64, codebook_k=4, k=20)}) s
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM {_CLEAN_EMB_SQL} WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM {_CLEAN_EMB_SQL}),
+pairs AS (
+  SELECT sl.query_id, sl.neighbor_id, qe, ce
+  FROM shortlist sl JOIN q USING (query_id) JOIN c USING (neighbor_id)
+),
+{_COS_TERMS.format(extra_cols="")}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+""",
+    ("X3",),
+    "IVF+PQ refine/re-rank (r15 verdict ask #2) — the standard FAISS "
+    "deployment knob (IndexRefineFlat over IVFPQ): the residual index's "
+    "ADC shortlist (k' = 4k = 20 candidates per query, corpus floats "
+    "touched nowhere) is re-scored with the EXACT sequential-fold cosine "
+    "— corpus floats are read only for shortlist rows, via a broadcast "
+    "hash join on neighbor_id (at 100 TB: the point-lookup against the "
+    "id-sorted vector store next to the index) — and the final top-5 "
+    "ranks on the exact score.  Exact-math cost O(|q| x 4k) instead of "
+    "O(|q| x corpus); recall@k >= the un-reranked index at equal probes "
+    "(pytest-asserted).  The oracle composes the registered residual "
+    "oracle at k=20 as a subquery with the brute-force cosine recipe "
+    "restricted to it, so the gate is bitwise and definitionally "
+    "consistent with x3_ivf_pq_residual. "
+    "operators/similarity.py::ivf_pq_rerank_topk.",
+)
+def x3_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_pq_rerank_topk
+
+    return ivf_pq_rerank_topk(
+        _clean_emb(spark, sf_dir),
+        F.col("vec_id") < 10,
+        k=5,
+        shortlist_k=20,
+        n_lists=16,
+        n_probe=16,
+        n_sub=4,
+        codebook_k=4,
+    )
+
+
+# Approximate-probe recall-as-a-query (r15 verdict ask #3): the
+# registered residual queries run exhaustive probe (n_probe = n_lists),
+# where the gate is bitwise identity; the APPROXIMATE configuration's
+# quality lived only in pytest.  Same composition discipline as
+# _RECALL_ORACLE: both subqueries are (or generate from) the exact
+# oracles the component queries gate against.
+_RES_RECALL_ORACLE = f"""
+SELECT b.query_id,
+       count(l.neighbor_id)::BIGINT AS n_hits,
+       (count(l.neighbor_id) * 20)::BIGINT AS recall_pct
+FROM ({_REG['x3_cosine_topk'].oracle}) b
+LEFT JOIN ({_pq_residual_oracle(n_lists=16, n_sub=4, dim=64, codebook_k=4, n_probe=4)}) l
+  USING (query_id, neighbor_id)
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+
+@register(
+    "x3_ivf_pq_residual_recall",
+    _RES_RECALL_ORACLE,
+    ("X3", "DQ"),
+    "Recall-as-a-query for the residual IVF+PQ index at an APPROXIMATE "
+    "probe (n_probe = 4 of 16; r15 verdict ask #3): per-query recall@5 "
+    "of the probe-limited index against the brute-force ground truth, "
+    "as one plan — the evaluation loop that picks n_probe in production "
+    "(the recall/latency dial FAISS tunes per deployment).  Exact "
+    "integers (hits, whole-percent recall); the oracle composes the "
+    "brute-force oracle with the residual oracle extended by a probe-"
+    "ranking CTE that mirrors the engine's (dist, list_id) probe window "
+    "order, so the report stays definitionally consistent with the "
+    "gated queries.  operators/similarity.py::ivf_pq_residual_topk(n_probe=4).",
+)
+def x3_ivf_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_pq_residual_topk
+
+    emb = _clean_emb(spark, sf_dir)
+    brute = cosine_topk(emb, F.col("vec_id") < 10, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_pq_residual_topk(
+        emb,
+        F.col("vec_id") < 10,
+        k=5,
+        n_lists=16,
+        n_probe=4,
+        n_sub=4,
+        codebook_k=4,
+    ).select(
+        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    joined = brute.join(
+        approx,
         (F.col("query_id") == F.col("l_qid"))
         & (F.col("neighbor_id") == F.col("l_nid")),
         "left",

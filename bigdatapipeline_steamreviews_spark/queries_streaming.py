@@ -509,8 +509,13 @@ def stream_document_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_curation_pipeline",
+# Shared CTE block: stages 1-3 of the streaming curation pipeline's
+# batch-composition oracle (Gopher rules -> exact dedup vs the even
+# corpus -> cross-corpus MinHash-LSH band collisions).  Both curation
+# registrations compose over this ONE string — the r16 semantic variant
+# appends its centroid-assignment CTEs — so the shared stages can never
+# drift apart between the two oracles.
+_CURATION_CTES = (
     """
 WITH gopher AS (
   SELECT doc_id, text,
@@ -558,37 +563,18 @@ collided AS (
   SELECT DISTINCT b.doc_id
   FROM bands b JOIN bands c ON b.band = c.band AND b.key = c.key
   WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+)"""
 )
-SELECT f.content_hash, min(f.doc_id) AS doc_id,
-       count(*) AS n_copies, min(f.n_tokens) AS n_tokens
-FROM fresh f LEFT JOIN collided c ON c.doc_id = f.doc_id
-WHERE c.doc_id IS NULL
-GROUP BY f.content_hash
-""",
-    ("T3", "T7", "X1", "X2", "X4", "J*", "S3"),
-    "The curation pipeline as ONE STREAMING query (r14 verdict ask #3) — "
-    "the continuous-ingest twin of x1_curation_pipeline, production "
-    "order preserved: Gopher rule filter (map-only expressions on the "
-    "stream) -> exact dedup vs the existing corpus's digest dictionary "
-    "(stream-static broadcast anti-join) -> cross-corpus MinHash-LSH "
-    "fuzzy dedup vs the PERSISTED signature index (per-arrival "
-    "signatures are the shared map-only expression core "
-    "minhash_sig_frame — zero shuffle, no groupBy — and band collisions "
-    "are four chained stream-static broadcast anti-joins, one per band, "
-    "so a doc survives iff NO band key matches the index) -> one "
-    "streaming aggregation per content digest.  Final complete-mode "
-    "state must equal the batch composition over the same corpus — the "
-    "streaming/batch equivalence gate applied to the WHOLE curation "
-    "pipeline, not just its ingest edge.  At 100 TB: every stage before "
-    "the final agg is stateless map/broadcast work per micro-batch; the "
-    "band index is the train-once artifact (staged parquet here, the "
-    "lakehouse table at scale) and its per-band key dictionaries are "
-    "bounded broadcasts.",
-)
-def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    global _query_counter
-    _query_counter += 1
-    name = f"stream_curation_{_query_counter}"
+
+
+def _curation_lsh_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-3 of the streaming curation pipeline, shared by both
+    curation registrations: the micro-batch document replay filtered by
+    Gopher rules (map-only), exact-dedup'd against the even corpus's
+    digest dictionary (stream-static broadcast anti-join), and LSH-
+    dedup'd against the persisted band index (four chained per-band
+    stream-static broadcast anti-joins).  Returns the streaming frame of
+    surviving arrivals carrying (doc_id, content_hash, n_tokens)."""
     from pyspark.sql import functions as F
 
     from .operators.dedup import lsh_band_key, minhash_sig_frame
@@ -648,8 +634,228 @@ def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"key{bi}",
             "left_anti",
         )
+    return keys
+
+
+@register(
+    "stream_curation_pipeline",
+    _CURATION_CTES
+    + """
+SELECT f.content_hash, min(f.doc_id) AS doc_id,
+       count(*) AS n_copies, min(f.n_tokens) AS n_tokens
+FROM fresh f LEFT JOIN collided c ON c.doc_id = f.doc_id
+WHERE c.doc_id IS NULL
+GROUP BY f.content_hash
+""",
+    ("T3", "T7", "X1", "X2", "X4", "J*", "S3"),
+    "The curation pipeline as ONE STREAMING query (r14 verdict ask #3) — "
+    "the continuous-ingest twin of x1_curation_pipeline, production "
+    "order preserved: Gopher rule filter (map-only expressions on the "
+    "stream) -> exact dedup vs the existing corpus's digest dictionary "
+    "(stream-static broadcast anti-join) -> cross-corpus MinHash-LSH "
+    "fuzzy dedup vs the PERSISTED signature index (per-arrival "
+    "signatures are the shared map-only expression core "
+    "minhash_sig_frame — zero shuffle, no groupBy — and band collisions "
+    "are four chained stream-static broadcast anti-joins, one per band, "
+    "so a doc survives iff NO band key matches the index) -> one "
+    "streaming aggregation per content digest.  Final complete-mode "
+    "state must equal the batch composition over the same corpus — the "
+    "streaming/batch equivalence gate applied to the WHOLE curation "
+    "pipeline, not just its ingest edge.  At 100 TB: every stage before "
+    "the final agg is stateless map/broadcast work per micro-batch; the "
+    "band index is the train-once artifact (staged parquet here, the "
+    "lakehouse table at scale) and its per-band key dictionaries are "
+    "bounded broadcasts.",
+)
+def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_curation_{_query_counter}"
+    from pyspark.sql import functions as F
+
+    keys = _curation_lsh_survivors(spark, sf_dir)
     # Stage 4 — one streaming aggregation: final corpus state per digest.
     survivors = keys.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    return run_to_memory_table(
+        survivors, name, checkpoint, "complete", shuffle_partitions=8
+    )
+
+
+def _staged_semantic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted (id, v double[], cluster) nearest-centroid assignment of
+    every well-formed embedding — the train-once artifact the semantic
+    curation stage probes (the SemDeDup assignment table; its batch twin
+    is cached inside ``semantic_dedup_pairs``, whose docstring already
+    notes 'cluster assignments are reused across curation runs' — this
+    stages exactly that).  Centroids are the exact per-label prototypes
+    (``label_centroids``, deterministic and oracle-expressible) and
+    assignment is the shuffle-free broadcast argmin fold
+    (``assign_to_centroids``), so the staged table is bitwise
+    reproducible and ONE fingerprint-keyed build serves every run."""
+    from .operators.similarity import assign_to_centroids, label_centroids
+    from .sources.staging import (
+        source_fingerprint,
+        stage_params_key,
+        staged_parquet,
+    )
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            (F.size("embedding") == 64)
+            & ~F.exists("embedding", lambda x: x.isNull())
+        )
+        cents = label_centroids(emb).select(
+            F.col("label").alias("cluster"), "centroid"
+        )
+        return assign_to_centroids(emb, cents, cluster_col="cluster").select(
+            F.col("vec_id").alias("id"), F.col("__v").alias("v"), "cluster"
+        )
+
+    fp = source_fingerprint(sf_dir, "embeddings")
+    pk = stage_params_key("sem_assign", 64)
+    return staged_parquet(spark, f"semasg_{pk}", fp, build)
+
+
+# Semantic stage of the curation oracle: the x2_semantic_dedup CTE
+# recipe (quantized exact-decimal label centroids -> per-vector argmin
+# assignment with the (dist, cluster) tie-break) over the embeddings
+# table, then an arriving doc is dropped iff SOME even-corpus vector in
+# its cluster has cosine >= 0.4 with it — the cross-corpus (odd vs even)
+# form of the batch pairs query, NULL-safe by construction (a doc with
+# no well-formed embedding has no `assigned` row, joins nothing, and is
+# kept — mirrored by the engine's left join + null cluster).  Two
+# value-preserving cost cuts keep the oracle probe-scale-feasible: the
+# pair set restricts to docs that actually REACH the semantic stage
+# (presurv — drops for already-dropped docs are unobservable), and each
+# vector's norm is computed once in `normed` instead of per pair (the
+# same double sqrt(list_sum(...)) the per-pair _COS_EXPR form folds, so
+# the quotient is bit-identical).
+_SEMANTIC_DROP_CTES = """,
+pos AS (
+  SELECT label, u['pos'] AS pos, u['val'] AS val FROM (
+    SELECT label, unnest([{'pos': i-1, 'val': embedding[i]}
+                          for i in range(1, len(embedding)+1)]) AS u
+    FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings WHERE label IS NOT NULL)
+),
+per AS (
+  SELECT label, pos,
+         ((sum(CAST(floor(val::DOUBLE * 100000000.0 + 0.5) / 100000000.0
+                    AS DECIMAL(28,10)))::VARCHAR)::DOUBLE)
+           / count(val) AS m
+  FROM pos GROUP BY 1, 2
+),
+cents AS (SELECT label AS cluster, list(m ORDER BY pos) AS centroid
+          FROM per GROUP BY label),
+e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM (SELECT * FROM embeddings WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0) embeddings),
+d AS (
+  SELECT id, v, cluster,
+         list_sum(list_transform(list_zip(v, centroid),
+           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+  FROM e, cents
+),
+assigned AS (
+  SELECT id, v, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cluster) AS r
+    FROM d) WHERE r = 1
+),
+presurv AS (
+  SELECT f.doc_id FROM fresh f LEFT JOIN collided c ON c.doc_id = f.doc_id
+  WHERE c.doc_id IS NULL
+),
+normed AS (
+  SELECT id, v, cluster,
+         sqrt(list_sum(list_transform(v, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+  FROM assigned
+),
+semdrop AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a.id AS doc_id,
+           (list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]::DOUBLE * x[2]::DOUBLE))
+            / (a.nrm * b.nrm)) AS cosine
+    FROM normed a JOIN presurv p ON p.doc_id = a.id
+    JOIN normed b ON b.cluster = a.cluster AND b.id % 2 = 0
+  ) WHERE cosine >= 0.4
+)"""
+
+
+@register(
+    "stream_curation_semantic",
+    _CURATION_CTES
+    + _SEMANTIC_DROP_CTES
+    + """
+SELECT f.content_hash, min(f.doc_id) AS doc_id,
+       count(*) AS n_copies, min(f.n_tokens) AS n_tokens
+FROM fresh f LEFT JOIN collided c ON c.doc_id = f.doc_id
+             LEFT JOIN semdrop s ON s.doc_id = f.doc_id
+WHERE c.doc_id IS NULL AND s.doc_id IS NULL
+GROUP BY f.content_hash
+""",
+    ("T3", "T7", "X1", "X2", "X3", "X4", "J*", "S3"),
+    "The streaming curation pipeline extended with the SEMANTIC stage "
+    "(r15 verdict ask #6): after Gopher rules, exact dedup, and cross-"
+    "corpus LSH, each arriving doc is looked up in the PERSISTED "
+    "SemDeDup assignment table (stream-static broadcast join on doc id "
+    "— the sandbox stand-in for embedding the arrival map-side), "
+    "assigned its nearest label-centroid cluster, and dropped iff some "
+    "EXISTING-corpus (even-id) vector in the same cluster has cosine "
+    ">= 0.4 with it — one stream-static broadcast ANTI-join whose "
+    "condition is (cluster equality AND exact-fold cosine >= 0.4), the "
+    "cross-corpus form of x2_semantic_dedup's intra-cluster pairs.  "
+    "Still stateless before the one final streaming agg: the assignment "
+    "table and the even-corpus (cluster, vector) side are bounded "
+    "broadcasts, the intra-cluster restriction keeps the per-arrival "
+    "comparison count at |cluster| not |corpus| (the SemDeDup "
+    "tractability argument, applied per micro-batch).  Final complete-"
+    "mode state must equal the batch composition — the same oracle "
+    "extended with the x2_semantic_dedup centroid/assignment CTEs. "
+    "queries_streaming.py::_staged_semantic_assignments.",
+)
+def stream_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    global _query_counter
+    _query_counter += 1
+    name = f"stream_curation_sem_{_query_counter}"
+    from pyspark.sql import functions as F
+
+    from .functions.columns import cosine_similarity
+
+    keys = _curation_lsh_survivors(spark, sf_dir)
+    asg = _staged_semantic_assignments(spark, sf_dir)
+    # Stage 3.5a — embedding lookup + cluster assignment for the arrival:
+    # LEFT join (an arrival without a well-formed embedding keeps a NULL
+    # cluster, which can never satisfy the anti-join condition => kept,
+    # mirroring the oracle's no-assigned-row case).
+    arrivals = keys.join(
+        F.broadcast(
+            asg.select(
+                F.col("id").alias("doc_id"),
+                F.col("v").alias("__sv"),
+                F.col("cluster").alias("__scl"),
+            )
+        ),
+        "doc_id",
+        "left",
+    )
+    # Stage 3.5b — semantic near-dup filter vs the EXISTING corpus: drop
+    # the arrival iff some even-id vector in its cluster is within the
+    # cosine threshold.  Broadcast anti-join, condition = cluster
+    # equality AND the exact sequential-fold cosine — stateless per
+    # micro-batch like every pre-agg stage.
+    corpus_side = asg.filter(F.col("id") % 2 == 0).select(
+        F.col("cluster").alias("__ecl"), F.col("v").alias("__ev")
+    )
+    survivors_rows = arrivals.join(
+        F.broadcast(corpus_side),
+        (F.col("__scl") == F.col("__ecl"))
+        & (cosine_similarity(F.col("__sv"), F.col("__ev")) >= F.lit(0.4)),
+        "left_anti",
+    )
+    survivors = survivors_rows.groupBy("content_hash").agg(
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
         F.min("n_tokens").alias("n_tokens"),

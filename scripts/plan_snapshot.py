@@ -127,6 +127,7 @@ PLAN_SNAPSHOT_EXCLUDED: dict[str, str] = {
                 "stream_document_ingest_dedup",
                 "stream_quantile_sketch",
                 "stream_curation_pipeline",
+                "stream_curation_semantic",
             ),
             "stateful replay (applyInPandasWithState / dropDuplicates "
             "state): per-trigger plans embed state-store instances and "

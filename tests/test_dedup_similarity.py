@@ -1421,6 +1421,93 @@ def test_ivf_pq_residual_recall_geq_raw_at_equal_probes(spark):
     assert len(res & exact) > 0
 
 
+def test_ivf_pq_rerank_recall_geq_unreranked_and_stays_in_shortlist(spark):
+    """r15 verdict ask #2's acceptance bar for the refine stage: exact
+    re-scoring of the ADC shortlist must recall at least as much of the
+    brute-force COSINE top-k as the un-reranked residual index on the
+    standing corpus (measured at sf0.01: rerank 32/50 vs un-reranked
+    13/50), and every re-ranked result must come FROM the shortlist —
+    the stage reorders candidates, it can never mint one."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_rerank_topk,
+        ivf_pq_residual_topk,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").filter(
+        (F.size("embedding") == 64) & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    pred = F.col("vec_id") < 10
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, pred, k=5).collect()
+    }
+    short = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_residual_topk(
+            emb, pred, k=20, n_lists=16, n_probe=16, n_sub=4, codebook_k=4
+        ).collect()
+    }
+    plain = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_residual_topk(
+            emb, pred, k=5, n_lists=16, n_probe=16, n_sub=4, codebook_k=4
+        ).collect()
+    }
+    rerank = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_rerank_topk(
+            emb, pred, k=5, shortlist_k=20, n_lists=16, n_probe=16,
+            n_sub=4, codebook_k=4,
+        ).collect()
+    }
+    assert len(rerank) == len(plain) == 50
+    assert rerank <= short  # refine reorders, never mints
+    assert len(rerank & brute) >= len(plain & brute), (
+        f"rerank recall {len(rerank & brute)} < un-reranked {len(plain & brute)}"
+    )
+    assert len(rerank & brute) > 0
+
+
+def test_ivf_pq_residual_recall_monotone_in_probes(spark):
+    """x3_ivf_pq_residual_recall's semantic claim (r15 verdict ask #3):
+    probing more lists can only widen the candidate set, so total hits
+    against the brute-force ground truth are monotone in n_probe — and
+    the registered approximate configuration (4 of 16) must actually be
+    approximate on the standing corpus (some query below 5/5), else the
+    recall report measures nothing."""
+    from bigdatapipeline_steamreviews_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_residual_topk,
+    )
+    from bigdatapipeline_steamreviews_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").filter(
+        (F.size("embedding") == 64) & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    pred = F.col("vec_id") < 10
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, pred, k=5).collect()
+    }
+    hits = {}
+    for np_ in (4, 16):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_pq_residual_topk(
+                emb, pred, k=5, n_lists=16, n_probe=np_, n_sub=4,
+                codebook_k=4,
+            ).collect()
+        }
+        hits[np_] = got & brute
+    assert len(hits[16]) >= len(hits[4])
+    per_q4 = {}
+    for q, n in hits[4]:
+        per_q4[q] = per_q4.get(q, 0) + 1
+    assert min(per_q4.get(q, 0) for q in range(10)) < 5  # truly approximate
+
+
 def test_ivf_pq_residual_adc_is_reconstruction_distance(spark):
     """The registered gate's semantic claim, checked through an
     INDEPENDENT route: rebuild the residual pipeline's artifacts

@@ -79,6 +79,10 @@ PROBE = [
     "x3_ivf_pq_residual",  # empty coarse seeds -> NULL assignment join
     "stream_curation_pipeline",  # zero-chunk replay + empty band index
     "x3_ivf_pq_residual_persisted",  # staged EMPTY 4-tuple through guard
+    # round-16 births
+    "x3_ivf_pq_rerank",  # empty shortlist -> empty rescore join
+    "x3_ivf_pq_residual_recall",  # empty brute + empty approx -> 0 rows
+    "stream_curation_semantic",  # empty assignment stage + anti-join
 ]
 
 

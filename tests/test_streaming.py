@@ -563,3 +563,108 @@ def test_stream_curation_pipeline_all_stages_bite_on_planted_corpus(spark):
     by_doc = {r[1]: r for r in got}
     assert set(by_doc) == {7, 9}
     assert by_doc[9][2] == 2 and by_doc[7][2] == 1
+
+
+def test_stream_curation_semantic_stage_bites_on_planted_corpus(spark):
+    """r16 (r15 verdict ask #6): the semantic stage of the curation
+    pipeline on a planted corpus where the stage PROVABLY drops a doc
+    that every earlier stage passes — doc 7 survives rules/exact/LSH
+    (unrelated text) but its embedding near-dups an even-corpus vector
+    in the same centroid cluster (cosine ~0.99 >= 0.4), while doc 9's
+    embedding sits below the threshold in its own cluster (kept) and
+    doc 11 has NO embedding at all (must be kept — the null-cluster
+    keep path).  Final state must equal the registered oracle on the
+    same corpus, and differ from the LSH-only pipeline exactly by
+    doc 7."""
+    import os
+
+    import duckdb
+
+    from bigdatapipeline_steamreviews_spark.queries_streaming import (
+        stream_curation_semantic,
+    )
+    from bigdatapipeline_steamreviews_spark.registry import (
+        REGISTRY,
+        _ensure_all_registered,
+    )
+
+    _ensure_all_registered()
+    good = (
+        "the quick brown fox jumps over a lazy dog and runs to the old "
+        "river bank where many small animals of the forest gather during "
+        "warm summer evenings to drink fresh water and rest under tall "
+        "green trees before night falls over the quiet valley again"
+    )
+    other = (
+        "a massive data pipeline is built from many streaming stages and "
+        "each stage of the system must shuffle sort join filter and "
+        "aggregate millions of records every single day to keep the "
+        "serving tables fresh while analysts run countless queries over "
+        "the warehouse looking for new insight in old numbers"
+    )
+    third = (
+        "deep in the winter mountains a lone traveler walks slowly across "
+        "frozen ridges and counts every star of the northern sky while "
+        "cold wind carries distant sounds of wolves toward a small cabin "
+        "where warm light promises shelter food and sleep after the long "
+        "hard climb through snow drifts and silent pine woods"
+    )
+    fourth = (
+        "the committee reviewed a detailed annual report about harvest "
+        "yields and concluded that careful rotation of crops with better "
+        "irrigation canals would raise output of grain by a wide margin "
+        "while keeping the soil healthy for future seasons and the whole "
+        "village agreed to fund new tools and shared storage barns"
+    )
+    doc_rows = [
+        (0, good, "web"),    # even corpus member (cluster 0 exemplar)
+        (2, other, "web"),   # even corpus member (cluster 1 exemplar)
+        (1, good, "web"),    # odd: exact dup -> digest stage drops
+        (7, third, "web"),   # odd: text-unique, but SEMANTIC near-dup of 2
+        (9, fourth, "web"),  # odd: survives (cosine to cluster-0 even < 0.4)
+        (11, fourth, "web"),  # odd: within-stream dup of 9, NO embedding
+    ]
+    e0 = [1.0] + [0.0] * 63                    # cluster-0 prototype (label 0)
+    e2 = [0.0, 1.0] + [0.0] * 62               # cluster-1 prototype (label 1)
+    e7 = [0.1, 0.9] + [0.0] * 62               # near e2: cosine ~0.993 -> drop
+    e9 = [0.3, 0.0, 0.95] + [0.0] * 61         # cluster 0, cosine to e0 ~0.30
+    emb_rows = [
+        (0, e0, 0),
+        (2, e2, 1),
+        (7, e7, None),
+        (9, e9, None),
+    ]
+    planted = _planted_corpus_dir(spark, doc_rows, emb_rows)
+
+    got = {
+        tuple(r)
+        for r in stream_curation_semantic(spark, planted)
+        .select("content_hash", "doc_id", "n_copies", "n_tokens")
+        .collect()
+    }
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{planted}/{t}.parquet/*.parquet')"
+        )
+    expected = {
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["stream_curation_semantic"].oracle
+        ).fetchall()
+    }
+    assert got == expected
+    # the semantic stage is what dropped doc 7: it passes rules + exact +
+    # LSH (present in the LSH-only oracle's survivors), and 9/11 survive
+    # as one digest group despite 11 having no embedding row.
+    lsh_only = {
+        r[1]
+        for r in con.execute(
+            REGISTRY["stream_curation_pipeline"].oracle
+        ).fetchall()
+    }
+    by_doc = {r[1]: r for r in got}
+    assert 7 in lsh_only and 7 not in by_doc
+    assert set(by_doc) == {9}
+    assert by_doc[9][2] == 2
