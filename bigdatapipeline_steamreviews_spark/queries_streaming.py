@@ -687,16 +687,26 @@ def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged_semantic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted (id, v double[], cluster) nearest-centroid assignment of
-    every well-formed embedding — the train-once artifact the semantic
-    curation stage probes (the SemDeDup assignment table; its batch twin
-    is cached inside ``semantic_dedup_pairs``, whose docstring already
-    notes 'cluster assignments are reused across curation runs' — this
-    stages exactly that).  Centroids are the exact per-label prototypes
-    (``label_centroids``, deterministic and oracle-expressible) and
-    assignment is the shuffle-free broadcast argmin fold
-    (``assign_to_centroids``), so the staged table is bitwise
-    reproducible and ONE fingerprint-keyed build serves every run."""
+    """Persisted (id, v double[], cluster, nrm) nearest-centroid
+    assignment of every well-formed embedding — the train-once artifact
+    the semantic curation stage probes (the SemDeDup assignment table;
+    its batch twin is cached inside ``semantic_dedup_pairs``, whose
+    docstring already notes 'cluster assignments are reused across
+    curation runs' — this stages exactly that).  Centroids are the exact
+    per-label prototypes (``label_centroids``, deterministic and
+    oracle-expressible) and assignment is the shuffle-free broadcast
+    argmin fold (``assign_to_centroids``), so the staged table is
+    bitwise reproducible and ONE fingerprint-keyed build serves every
+    run.
+
+    ``nrm`` is each vector's L2 norm, precomputed at build time (the
+    oracle's ``normed`` CTE, engine-side): the near-dup filter's cosine
+    is then ONE dot-product fold per candidate pair instead of three —
+    measured ~3x on the quadratic stage, the pipeline's cost center at
+    probe scale — and the quotient is bit-identical because the
+    precomputed ``sqrt(fold(x^2))`` is the same double ``l2_norm``
+    evaluates per pair."""
+    from .functions.columns import l2_norm
     from .operators.similarity import assign_to_centroids, label_centroids
     from .sources.staging import (
         source_fingerprint,
@@ -713,11 +723,14 @@ def _staged_semantic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("cluster"), "centroid"
         )
         return assign_to_centroids(emb, cents, cluster_col="cluster").select(
-            F.col("vec_id").alias("id"), F.col("__v").alias("v"), "cluster"
+            F.col("vec_id").alias("id"),
+            F.col("__v").alias("v"),
+            "cluster",
+            l2_norm(F.col("__v")).alias("nrm"),
         )
 
     fp = source_fingerprint(sf_dir, "embeddings")
-    pk = stage_params_key("sem_assign", 64)
+    pk = stage_params_key("sem_assign", 64, "nrm")
     return staged_parquet(spark, f"semasg_{pk}", fp, build)
 
 
@@ -822,37 +835,57 @@ def stream_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_curation_sem_{_query_counter}"
     from pyspark.sql import functions as F
 
-    from .functions.columns import cosine_similarity
+    from .functions.columns import dot_product
 
     keys = _curation_lsh_survivors(spark, sf_dir)
     asg = _staged_semantic_assignments(spark, sf_dir)
     # Stage 3.5a — embedding lookup + cluster assignment for the arrival:
     # LEFT join (an arrival without a well-formed embedding keeps a NULL
     # cluster, which can never satisfy the anti-join condition => kept,
-    # mirroring the oracle's no-assigned-row case).
+    # mirroring the oracle's no-assigned-row case).  The assignment
+    # table is embedding-table-sized (not document-corpus-sized), so the
+    # broadcast is bounded and cheap per micro-batch.
     arrivals = keys.join(
         F.broadcast(
             asg.select(
                 F.col("id").alias("doc_id"),
                 F.col("v").alias("__sv"),
                 F.col("cluster").alias("__scl"),
+                F.col("nrm").alias("__snrm"),
             )
         ),
         "doc_id",
         "left",
     )
+    # The quadratic stage's parallelism comes from THIS shuffle: the
+    # replay batch arrives in 1-2 file partitions, and every pre-agg
+    # stage so far is narrow (map + broadcast joins), so without it the
+    # per-arrival candidate scans below run in those 1-2 tasks (measured
+    # 1 core busy and 53x wall at 30x volume; 12.8x after spreading).
+    arrivals = arrivals.repartition(32, F.col("doc_id"))
     # Stage 3.5b — semantic near-dup filter vs the EXISTING corpus: drop
     # the arrival iff some even-id vector in its cluster is within the
-    # cosine threshold.  Broadcast anti-join, condition = cluster
-    # equality AND the exact sequential-fold cosine — stateless per
-    # micro-batch like every pre-agg stage.
+    # cosine threshold.  Broadcast hash anti-join (the candidate side is
+    # embedding-table-sized), probing early-out per arrival; the cosine
+    # is ONE dot-product fold against the staged norms — bit-identical
+    # to cosine_similarity because the staged nrm IS l2_norm's double.
+    # At 100 TB the candidate side is bounded the SemDeDup way — k grows
+    # with the corpus so per-cluster candidate sets stay broadcast-sized;
+    # this label-count-k sandbox variant is the same degenerate-k caveat
+    # semantic_dedup_pairs documents.
     corpus_side = asg.filter(F.col("id") % 2 == 0).select(
-        F.col("cluster").alias("__ecl"), F.col("v").alias("__ev")
+        F.col("cluster").alias("__ecl"),
+        F.col("v").alias("__ev"),
+        F.col("nrm").alias("__enrm"),
     )
     survivors_rows = arrivals.join(
         F.broadcast(corpus_side),
         (F.col("__scl") == F.col("__ecl"))
-        & (cosine_similarity(F.col("__sv"), F.col("__ev")) >= F.lit(0.4)),
+        & (
+            dot_product(F.col("__sv"), F.col("__ev"))
+            / (F.col("__snrm") * F.col("__enrm"))
+            >= F.lit(0.4)
+        ),
         "left_anti",
     )
     survivors = survivors_rows.groupBy("content_hash").agg(
