@@ -120,11 +120,17 @@ def _run_stream(
     stream = events_file_stream(spark, stage, max_files_per_trigger=2)
     result = streaming_daily_summary(stream, watermark=watermark)
     checkpoint = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
-    # State cardinality is tiny (days x event types), so 8 state partitions
-    # ample; the session's batch default would pay 4x the state-task
-    # overhead per micro-batch (see run_to_memory_table docstring).
+    # State is 150 rows (days x event types), and the r16 profiling pass
+    # measured the replay's wall as ~linear in triggers x state partitions
+    # (~150 ms per state task per trigger: checkpoint delta write + store
+    # commit; the 6x6 matrix is in PERF.md round 16).  2 partitions still
+    # exercises multi-partition state merge while cutting the fixed cost
+    # the session's batch default would pay 16x over (see
+    # run_to_memory_table docstring: size state partitions to state
+    # volume, not input volume — at arrival-rate-sized triggers the same
+    # rule picks the big number instead).
     return run_to_memory_table(
-        result, name, checkpoint, output_mode, shuffle_partitions=8
+        result, name, checkpoint, output_mode, shuffle_partitions=2
     )
 
 
