@@ -87,6 +87,36 @@ BENCH_QUERIES = [
 ]
 
 
+def _cpu_ticks() -> tuple[int, int, int] | None:
+    """(busy, idle-ish, steal) jiffies from /proc/stat, or None off-Linux.
+
+    Steal is the direct instrument for the 'noisy regime' mystery that ran
+    from r14 to r16: whole bench sessions inflate 1.2-1.5x while loadavg
+    reads ~0, because the HYPERVISOR is giving this VM's vCPUs to a
+    co-tenant — r16 measured 33% steal-of-busy during a flagship run on an
+    otherwise idle box.  Loadavg cannot see it; /proc/stat's steal field
+    counts exactly those involuntary-wait ticks, so each query's samples
+    now carry the contention that produced them."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        v = [int(x) for x in parts[1:]]
+        busy = sum(v) - v[3] - v[4]  # minus idle, iowait
+        return busy, v[3] + v[4], v[7]
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    """Steal as % of this window's busy demand (the busy sum above already
+    counts steal ticks, so the quotient is steal / (work done + work
+    withheld))."""
+    if before is None or after is None:
+        return None
+    busy = after[0] - before[0]
+    steal = after[2] - before[2]
+    return round(100.0 * steal / busy, 1) if busy > 0 else None
+
+
 def build_output(
     per_query: dict[str, float],
     errors: dict[str, str],
@@ -143,7 +173,7 @@ def compact_output(out: dict) -> dict:
     and spread live in the sidecar artifact only; error messages are
     truncated and capped in count (a mass failure must not evict the
     per-query numbers from the capture window)."""
-    slim = {k: v for k, v in out.items() if k not in ("samples", "spread")}
+    slim = {k: v for k, v in out.items() if k not in ("samples", "spread", "steal_pct")}
     if "errors" in slim:
         errs = {k: v[:80] for k, v in list(slim["errors"].items())[:5]}
         if len(slim["errors"]) > len(errs):
@@ -221,14 +251,27 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     samples: dict[str, list] = {}
+    steal: dict[str, float] = {}
+    run_t0 = _cpu_ticks()
     for name in names:
+        q_t0 = _cpu_ticks()
         try:
             per_query[name], samples[name] = run(name)
         except Exception as e:  # noqa: BLE001 - record and continue
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             samples.pop(name, None)
+        pct = _steal_pct(q_t0, _cpu_ticks())
+        if pct is not None:
+            steal[name] = pct
 
     out = build_output(per_query, errors, len(names), SF_DIR, samples)
+    # Contention evidence rides the artifact (sidecar gets the per-query
+    # map; the compact stdout line keeps only the run-level number).
+    run_steal = _steal_pct(run_t0, _cpu_ticks())
+    if steal:
+        out["steal_pct"] = steal
+    if run_steal is not None:
+        out["run_steal_pct"] = run_steal
     # Full artifact (samples + spread + untruncated errors) to a sidecar
     # file; the committed BENCH_r{N}_close.json is a copy of this.
     full_path = os.environ.get(
