@@ -573,9 +573,12 @@ def interval_peak_concurrency(
     ``peak_concurrency = carry_in`` and ``n_changes = 0``; fully idle
     delta-free days (carry 0) stay absent.
 
-    Caching contract: persists the ~|days|-row delta rollup and never
-    unpersists it (three consumers; see comment at the persist site).
-    One-shot callers own cleanup via ``spark.catalog.clearCache()``.
+    Caching contract: persists the 2-rows-per-interval delta set (two
+    consumers whose shared lineage is the caller's full interval
+    derivation — for w18, the sessionization shuffle+window) and the
+    ~|days|-row delta rollup (three consumers), never unpersisting
+    either (see comments at the persist sites).  One-shot callers own
+    cleanup via ``spark.catalog.clearCache()``.
 
     NULL contract: an interval with a NULL start or end is DROPPED before
     the sweep.  A half-NULL interval would otherwise contribute an
@@ -593,11 +596,22 @@ def interval_peak_concurrency(
     ends = intervals.select(
         F.col(end_col).alias("t"), F.lit(-1).alias("d"), *tiebreak_cols
     )
-    deltas = starts.unionByName(ends).withColumn(
-        "day", F.expr("(t DIV 86400) * 86400")
+    # Two consumers (the day rollup below and the within-day sweep
+    # ``with_c``) would each re-run the full interval lineage — for w18
+    # that is the whole sessionization shuffle+window over events, and it
+    # measurably ran TWICE per execution before r16.  The delta set is 2
+    # rows per interval over an ALREADY-AGGREGATED interval table (this
+    # operator's input contract), so the persist stays within the
+    # caching.py bound discipline.
+    deltas = persisted_intermediate(
+        starts.unionByName(ends).withColumn(
+            "day", F.expr("(t DIV 86400) * 86400")
+        ),
+        bound="2 rows per interval (input is an aggregated interval set)",
     )
     # Three consumers (spine bounds, spine join, carry) would each re-run
-    # the full interval lineage (for w18: the sessionization window).
+    # the delta rollup (cheap now that deltas is cached, but |days| rows
+    # is still smaller to replay than |deltas|).
     day_sums = persisted_intermediate(
         deltas.groupBy("day").agg(F.sum("d").alias("day_delta")),
         bound="|days| rows",

@@ -80,6 +80,25 @@ def _topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for the heavy per-row vector-math
+    stages (centroid argmin, PQ encode, cosine folds: ~1k interpreted
+    higher-order-function evaluations PER ROW), whose wall-clock is
+    bounded by the SCAN's parallelism — a single-row-group parquet file
+    plans as one task no matter what ``maxPartitionBytes`` says
+    (optimization guide §2.5, "one huge unsplittable file ... repartition
+    immediately after the read").  Delegates to the repo-wide
+    ``ensure_min_parallelism`` guard: a no-op at production scale (scan
+    partitions >= cores), one cheap narrow-row shuffle on compact inputs.
+    Every consumer below the exchange is row-local or totally ordered, so
+    results are bitwise independent of placement."""
+    from .partitioning import ensure_min_parallelism
+
+    if df.isStreaming:
+        return df
+    return ensure_min_parallelism(df)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_pred: Column,
@@ -106,8 +125,13 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     corpus = embeddings if corpus_pred is None else embeddings.filter(corpus_pred)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    # The cosine fold below costs ~2*dim interpreted lambda evaluations
+    # per (corpus row x query); spread the corpus scan so that math is
+    # not serialized on a single-split file (no-op at scale, guide §2.5).
+    c = spread_scan(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
     )
     pairs = (
         c.crossJoin(F.broadcast(q))
@@ -509,7 +533,9 @@ def cosine_topk_rp(
         (F.size(F.col(vec_col)) == dim)
         & ~F.exists(F.col(vec_col), lambda x: x.isNull())
     )
-    with_bucket = clean.withColumn("bucket", rp_bucket(F.col(vec_col), planes))
+    with_bucket = spread_scan(clean).withColumn(
+        "bucket", rp_bucket(F.col(vec_col), planes)
+    )
     q = with_bucket.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
     )
@@ -1262,10 +1288,12 @@ def _pq_sliced_corpus(
             f"n_sub must be >= 1 and divide dim: n_sub={n_sub}, dim={dim}"
         )
     sub_dim = dim // n_sub
-    e = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        query_pred.alias("is_q"),
+    e = spread_scan(
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            query_pred.alias("is_q"),
+        )
     )
     return e, n_sub, sub_dim
 
@@ -2015,9 +2043,11 @@ def ivf_pq_residual_topk(
       reconstruction distance ``||q_res - decode(codes)||^2`` summed
       subspace-wise (the identity the oracle recomputes; bitwise).
 
-    Corpus floats are read exactly twice (assign+residual, encode) at
-    index-build time and NEVER at probe time; nothing shuffles the
-    corpus.  At 100 TB the (vid, list_id, codes) table is written
+    Corpus floats are read exactly ONCE at index-build time (r16: the
+    assign -> residual -> encode chain is one fused map pass emitting
+    (vid, list_id, codes); the fine-codebook seeds come from a
+    pre-limited (n_lists + codebook_k)-row frame, not a corpus pass) and
+    NEVER at probe time; nothing shuffles the corpus.  At 100 TB the (vid, list_id, codes) table is written
     partitioned by list_id so probes prune to files — identical layout
     story to :func:`ivf_pq_topk`, one extra subtraction per vector at
     build time.  Registered in the exhaustive-probe configuration
@@ -2040,19 +2070,55 @@ def ivf_pq_residual_topk(
     if index is not None:
         asg, centroids, codes, cb = index
         _validate_pq_index(cb, n_sub, sub_dim, codebook_k, codes=codes)
+        coded = codes.join(asg.select("vid", "list_id"), "vid")
     else:
         centroids = seeded_centroids(embeddings, n_lists, id_col, vec_col)
+
+        # Fine-codebook seeds are the codebook_k smallest-vid residuals
+        # PAST the coarse seeds — a property of (n_lists + codebook_k)
+        # rows only, and the residual of a row depends on nothing but
+        # that row and the broadcast centroids.  Pre-limiting to those
+        # rows BEFORE the assignment math (r16, guide §1.2 step 1: don't
+        # compute things you throw away) removes what used to be a full
+        # corpus pass of argmin+residual arithmetic feeding a corpus-wide
+        # TakeOrdered that kept 20 rows; ``_pq_codebook``'s own
+        # offset/limit then runs on the 20-row frame.  Bitwise identical:
+        # TakeOrdered by vid commutes with the row-local residual map.
+        seed_rows = e.orderBy("vid").limit(n_lists + codebook_k)
+        seed_asg = assign_to_centroids(
+            seed_rows, centroids, id_col="vid", vec_col="v",
+            cluster_col="list_id",
+        )
+        seed_res = seed_asg.join(F.broadcast(centroids), "list_id").select(
+            "vid",
+            F.zip_with("v", "centroid", lambda a, b: a - b).alias("v"),
+        )
+        cb = _pq_codebook(seed_res, n_sub, sub_dim, codebook_k, skip=n_lists)
+
+        # Assignment -> residual -> encode FUSED into one map pass (r16):
+        # the residual corpus already carries list_id, so emitting
+        # (vid, list_id, codes) directly both drops the former
+        # codes-join-assignments exchange pair (2 Exchange -> 0 on the
+        # build path) and evaluates the broadcast-argmin assignment
+        # expression once instead of three times (codebook path, encode
+        # path, join probe side).  Same expressions, same per-row math,
+        # so codes stay bitwise-reproducible.
         asg = assign_to_centroids(
             e, centroids, id_col="vid", vec_col="v", cluster_col="list_id"
         )
         res = asg.join(F.broadcast(centroids), "list_id").select(
             "vid",
-            "is_q",
             "list_id",
             F.zip_with("v", "centroid", lambda a, b: a - b).alias("v"),
         )
-        cb = _pq_codebook(res, n_sub, sub_dim, codebook_k, skip=n_lists)
-        codes = _pq_encode(res.select("vid", "v"), cb, n_sub, sub_dim)
+        nested_cb = _pq_codebook_nested(cb, n_sub)
+        coded = res.crossJoin(F.broadcast(nested_cb)).select(
+            "vid",
+            "list_id",
+            F.array(
+                *[_pq_code_col(F.col("v"), s, sub_dim) for s in range(n_sub)]
+            ).alias("codes"),
+        )
 
     # Coarse probe: rank centroid distances per query, keep n_probe lists
     # (ivf_pq_topk's shape), carrying the centroid for the residual LUT.
@@ -2100,7 +2166,6 @@ def ivf_pq_residual_topk(
         )
     )
 
-    coded = codes.join(asg.select("vid", "list_id"), "vid")
     adc = (
         coded.join(F.broadcast(lutf), "list_id")
         .select(

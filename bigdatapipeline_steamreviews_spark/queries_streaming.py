@@ -603,11 +603,18 @@ def _curation_lsh_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Stage 2 — exact dedup vs the existing corpus (even ids): digest
     # anti-join against the static dictionary, broadcast once per batch.
+    # persist(): a stream-static join re-executes its static subtree on
+    # EVERY micro-batch (each trigger re-plans and rebuilds the broadcast)
+    # — without it this md5+distinct scan of half the corpus runs once per
+    # trigger instead of once per query (r16, guide §5: reuse-justified
+    # caching; the bench clears the cache between timed runs, so nothing
+    # is amortized across invocations).
     base_digests = (
         load_table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") % 2 == 0) & F.col("text").isNotNull())
         .select(F.md5(F.col("text")).alias("content_hash"))
         .distinct()
+        .persist()
     )
     fresh = kept.withColumn("content_hash", F.md5(F.col("text"))).join(
         F.broadcast(base_digests), "content_hash", "left_anti"
@@ -631,11 +638,16 @@ def _curation_lsh_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bid") % 2 == 0
     )
     for bi in range(4):
+        # Same per-trigger re-execution story as base_digests: each band
+        # dictionary (filter + distinct over the staged band index) is a
+        # static side rebuilt every micro-batch — persist the kB-sized
+        # key set so triggers after the first reuse it (r16).
         keys = keys.join(
             F.broadcast(
                 even_bands.filter(F.col("band") == bi)
                 .select(F.col("key").alias(f"key{bi}"))
                 .distinct()
+                .persist()
             ),
             f"key{bi}",
             "left_anti",
@@ -858,7 +870,7 @@ def stream_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v").alias("__sv"),
                 F.col("cluster").alias("__scl"),
                 F.col("nrm").alias("__snrm"),
-            )
+            ).persist()
         ),
         "doc_id",
         "left",
@@ -868,7 +880,9 @@ def stream_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage so far is narrow (map + broadcast joins), so without it the
     # per-arrival candidate scans below run in those 1-2 tasks (measured
     # 1 core busy and 53x wall at 30x volume; 12.8x after spreading).
-    arrivals = arrivals.repartition(32, F.col("doc_id"))
+    arrivals = arrivals.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     # Stage 3.5b — semantic near-dup filter vs the EXISTING corpus: drop
     # the arrival iff some even-id vector in its cluster is within the
     # cosine threshold.  Broadcast hash anti-join (the candidate side is
@@ -883,7 +897,7 @@ def stream_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").alias("__ecl"),
         F.col("v").alias("__ev"),
         F.col("nrm").alias("__enrm"),
-    )
+    ).persist()
     survivors_rows = arrivals.join(
         F.broadcast(corpus_side),
         (F.col("__scl") == F.col("__ecl"))

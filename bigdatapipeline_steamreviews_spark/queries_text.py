@@ -2686,10 +2686,13 @@ LIMIT 100
     "deterministically, in both engines.",
 )
 def x4_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.partitioning import ensure_min_parallelism
+
     docs = load_table(spark, sf_dir, "documents")
     tgt_pred = F.col("source").isin("src1", "src18")
     toks = (
-        docs.select(
+        ensure_min_parallelism(docs, "doc_id")
+        .select(
             "doc_id",
             "source",
             F.explode(F.split(F.col("text"), " ")).alias("t"),
@@ -2706,16 +2709,27 @@ def x4_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    docb = toks.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    rawb = toks.groupBy("b").agg(F.count(F.lit(1)).alias("raw_cnt"))
-    tgtb = (
-        toks.filter(tgt_pred)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    # ONE aggregation over the token stream (r16, guide §1.2 step 1 /
+    # §2.3 "aggregate before you shuffle"): the explode+md5 token pass is
+    # the query's cost center and used to run FOUR times (docb, rawb,
+    # tgtb, tot were four independent aggregations over the same
+    # subtree).  (doc_id, source, b) counts are a lossless factorization
+    # — source is functional on doc_id, so every downstream stat is an
+    # exact integer rollup of these counts — and the persisted base is
+    # |docs| x 256 tiny rows, recomputed from parquet on every run.
+    base = (
+        toks.groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
-    tot = toks.agg(
-        F.count(F.lit(1)).alias("raw_total"),
-        F.sum(tgt_pred.cast("long")).alias("tgt_total"),
+    docb = base.groupBy("doc_id", "b").agg(F.sum("c").alias("c"))
+    rawb = base.groupBy("b").agg(F.sum("c").alias("raw_cnt"))
+    tgtb = base.filter(tgt_pred).groupBy("b").agg(F.sum("c").alias("tgt_cnt"))
+    tot = base.agg(
+        F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("raw_total"),
+        F.sum(F.when(tgt_pred, F.col("c")).otherwise(F.lit(0).cast("long"))).alias(
+            "tgt_total"
+        ),
     )
     bstats = rawb.join(tgtb, "b", "left").select(
         "b", "raw_cnt", F.coalesce(F.col("tgt_cnt"), F.lit(0)).alias("tgt_cnt")
