@@ -52,12 +52,21 @@ def exact_quantile_threshold(
     (zero-row) result.  Fully lazy — compose with ``F.broadcast`` +
     ``crossJoin`` to filter the corpus against it in one pass.
     """
+    from ..caching import persisted_intermediate
+
     c = F.col(col) if isinstance(col, str) else col
     vals = df.select(c.cast("double").alias("__v")).filter(F.col("__v").isNotNull())
-    stats = vals.agg(
-        F.min("__v").alias("__mn"),
-        F.max("__v").alias("__mx"),
-        F.count(F.lit(1)).alias("__n"),
+    # (min, max, count) feeds the degenerate branch, the grid broadcast
+    # and the rank arithmetic — each consumer would re-run this full
+    # corpus aggregate (a second/third corpus scan at scale; r16, guide
+    # §1.2 step 1).  One row, persisted.
+    stats = persisted_intermediate(
+        vals.agg(
+            F.min("__v").alias("__mn"),
+            F.max("__v").alias("__mx"),
+            F.count(F.lit(1)).alias("__n"),
+        ),
+        bound="1 row (global min/max/count)",
     )
 
     # Branch A: all values identical (or a single row) — the threshold is
@@ -79,7 +88,13 @@ def exact_quantile_threshold(
             ),
         ).cast("int"),
     )
-    bucket_counts = with_b.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    # The cell-count table locates the target cell AND (via the running
+    # sum) the residual rank; without the persist the corpus-wide count
+    # pass re-runs once per consumer lineage (r16).  <= n_buckets rows.
+    bucket_counts = persisted_intermediate(
+        with_b.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt")),
+        bound=f"<= {n_buckets} cell-count rows",
+    )
     wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = (
         bucket_counts.withColumn("__cum", F.sum("__cnt").over(wb))
@@ -174,12 +189,21 @@ def equi_depth_boundaries(
     Degenerate input (all values equal) returns that constant at every
     rank; empty input returns no rows.
     """
+    from ..caching import persisted_intermediate
+
     c = F.col(col) if isinstance(col, str) else col
     vals = df.select(c.cast("double").alias("__v")).filter(F.col("__v").isNotNull())
-    stats = vals.agg(
-        F.min("__v").alias("__mn"),
-        F.max("__v").alias("__mx"),
-        F.count(F.lit(1)).alias("__n"),
+    # Same multi-consumer corpus aggregate as exact_quantile_threshold
+    # (ranks, degenerate branch, grid broadcast x2 lineages) — persisted
+    # so the corpus is aggregated once (r16, measured 1.20 -> 0.97 s on
+    # a20 together with the cell-count persist below).
+    stats = persisted_intermediate(
+        vals.agg(
+            F.min("__v").alias("__mn"),
+            F.max("__v").alias("__mx"),
+            F.count(F.lit(1)).alias("__n"),
+        ),
+        bound="1 row (global min/max/count)",
     )
     ranks = (
         stats.select(
@@ -211,7 +235,12 @@ def equi_depth_boundaries(
             ),
         ).cast("int"),
     )
-    cell_counts = with_b.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt"))
+    # Located once, consumed by every rank's target join AND the per-cell
+    # candidate prune — persisted so the corpus-wide cell count runs once.
+    cell_counts = persisted_intermediate(
+        with_b.groupBy("__b").agg(F.count(F.lit(1)).alias("__cnt")),
+        bound=f"<= {n_cells} cell-count rows",
+    )
     wb = Window.orderBy("__b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -1835,12 +1835,15 @@ def ivf_pq_topk(
     candidate pruning reads only the broadcast centroid table, scoring
     reads only the per-vector code table.
 
-    Plan shape: the corpus floats are scanned exactly twice ever — once at
-    index-train/assign time (amortized: ``index`` accepts the persisted
-    ``train_ivf`` pair) and once to PQ-encode (amortized the same way:
-    ``pq_index`` accepts the persisted ``(codes, codebook)`` pair from
-    :func:`train_pq` — with both supplied, the probe-side plan never
-    touches a corpus float and never fits k-means).  Per query: centroid
+    Plan shape: the corpus floats are scanned once at index-train/assign
+    time (amortized: ``index`` accepts the persisted ``train_ivf`` pair)
+    and the PQ encode is FUSED onto the assignment table (r16) — it
+    carries the vectors, so codes come out of the same pass/artifact as
+    the list ids with no second corpus scan and no corpus-keyed
+    codes ⋈ assignments join; ``pq_index`` still accepts the persisted
+    ``(codes, codebook)`` pair from :func:`train_pq`, and with both
+    supplied the probe-side plan never touches a corpus float and never
+    fits k-means.  Per query: centroid
     ranking is a broadcast of n_lists rows, probing is an equi-join of
     the code table against a broadcast (query_id, list_id) probe set —
     candidates ~ n_probe/n_lists of the corpus — and ADC is a broadcast
@@ -1864,15 +1867,52 @@ def ivf_pq_topk(
     e, n_sub, sub_dim = _pq_sliced_corpus(
         embeddings, query_pred, n_sub, dim, id_col, vec_col
     )
-    if pq_index is None:
-        pq_index = train_pq(
-            embeddings, n_sub, codebook_k, dim, id_col, vec_col
+    if pq_index is None and vec_col in assignments.columns:
+        # Fused encode (r16, guide §1.2 step 1 / §2.4): the assignment
+        # table (from train_ivf, or the staged full-assignments artifact)
+        # already carries the vectors, so the PQ codes are computed
+        # DIRECTLY on it — one map pass emitting (vid, list_id, codes) —
+        # instead of a second corpus scan through train_pq followed by a
+        # corpus-keyed codes ⋈ assignments hash join (2 Exchanges over
+        # corpus-cardinality rows, both gone).  Same _pq_code_col
+        # expressions over the same per-row floats, so codes are bitwise
+        # identical; the codebook seeding is train_pq's own recipe
+        # (_pq_codebook over the sliced corpus — only vid/v are read, so
+        # the query_pred difference is immaterial).
+        cb = _pq_codebook(e, n_sub, sub_dim, codebook_k)
+        asg_sliced = spread_scan(
+            assignments.select(
+                F.col(id_col).alias("vid"),
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double")
+                ).alias("v"),
+                "list_id",
+            )
+        )
+        nested_cb = _pq_codebook_nested(cb, n_sub)
+        coded = asg_sliced.crossJoin(F.broadcast(nested_cb)).select(
+            "vid",
+            "list_id",
+            F.array(
+                *[_pq_code_col(F.col("v"), s, sub_dim) for s in range(n_sub)]
+            ).alias("codes"),
         )
     else:
-        _validate_pq_index(
-            pq_index[1], n_sub, sub_dim, codebook_k, codes=pq_index[0]
+        # Prebuilt (vid, codes) pairs — e.g. the persisted PQ artifacts,
+        # or an assignments table staged without its vectors — keep the
+        # generic join path.
+        if pq_index is None:
+            pq_index = train_pq(
+                embeddings, n_sub, codebook_k, dim, id_col, vec_col
+            )
+        else:
+            _validate_pq_index(
+                pq_index[1], n_sub, sub_dim, codebook_k, codes=pq_index[0]
+            )
+        codes, cb = pq_index
+        coded = codes.join(
+            assignments.select(F.col(id_col).alias("vid"), "list_id"), "vid"
         )
-    codes, cb = pq_index
     lut = _pq_query_lut(e, cb, n_sub, sub_dim)
 
     # Coarse probe: rank centroid distances per query, keep the n_probe
@@ -1902,14 +1942,11 @@ def ivf_pq_topk(
         .select("query_id", "list_id")
     )
 
-    # Candidates: code table joined to its inverted-list id, pruned to the
-    # probed lists.  Each vector lives in exactly one list and each
+    # Candidates: the (vid, list_id, codes) table pruned to the probed
+    # lists.  Each vector lives in exactly one list and each
     # (query, list) probe pair is unique, so no (query, neighbor) pair can
-    # duplicate.  At scale ``codes`` would be co-written with list_id
-    # (partitioned by it); here the vid join is code-table-sized rows.
-    coded = codes.join(
-        assignments.select(F.col(id_col).alias("vid"), "list_id"), "vid"
-    )
+    # duplicate.  At scale ``coded`` is written partitioned by list_id so
+    # probes prune to files.
     adc = (
         coded.join(F.broadcast(qprobe), "list_id")
         .join(F.broadcast(lut), "query_id")

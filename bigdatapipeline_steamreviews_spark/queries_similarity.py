@@ -1643,7 +1643,8 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
     "the query's own per-list residual and ADC stays the positional "
     "ordered fold — adc_dist IS the reconstruction distance "
     "||q_res - decode(codes)||^2, which the oracle recomputes bitwise.  "
-    "Corpus floats are read twice at build, never at probe; at 100 TB "
+    "Corpus floats are read once at build (fused assign->residual->"
+    "encode pass, r16), never at probe; at 100 TB "
     "the (vid, list_id, codes) table is written partitioned by list_id.  "
     "operators/similarity.py::ivf_pq_residual_topk.",
 )
