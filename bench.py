@@ -174,6 +174,17 @@ def compact_output(out: dict) -> dict:
     truncated and capped in count (a mass failure must not evict the
     per-query numbers from the capture window)."""
     slim = {k: v for k, v in out.items() if k not in ("samples", "spread", "steal_pct")}
+    # Steal summary (r17 verdict ask #2): the per-query steal map cannot
+    # ride the compact line (50 long-named entries would blow the 2000-char
+    # capture budget the test above pins), but PERF's round-over-round
+    # comparison needs to see per-query contention without opening the
+    # sidecar — so the line carries the run-level number (main() adds
+    # run_steal_pct) plus the WORST per-query window and how many queries
+    # were measured over the 5% dirty threshold.  Full map: sidecar.
+    steal = out.get("steal_pct")
+    if steal:
+        slim["steal_hi"] = max(steal.values())
+        slim["steal_n_over5"] = sum(1 for v in steal.values() if v > 5.0)
     if "errors" in slim:
         errs = {k: v[:80] for k, v in list(slim["errors"].items())[:5]}
         if len(slim["errors"]) > len(errs):

@@ -934,6 +934,7 @@ def assign_to_centroids(
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
     centroid_col: str = "centroid",
+    carry_centroid: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment with ZERO shuffle of the corpus.
 
@@ -953,6 +954,23 @@ def assign_to_centroids(
 
     Adds ``__v`` (the double-cast vector, reusable by callers) and
     ``cluster_col`` to ``embeddings``.
+
+    ``carry_centroid`` (r17): also emit the MATCHED centroid's vector
+    under this column name, picked by the SAME single argmin — the
+    residual encoder needs ``x - centroid(list(x))``, and joining back to
+    the centroid table on ``cluster_col`` both re-broadcasts a table this
+    operator already holds AND lets the optimizer push the inner join's
+    inferred ``isnotnull(cluster)`` below the projection, where it
+    substitutes the whole argmin expression into a join condition — the
+    full-corpus assignment fold evaluated TWICE per row (r17 plan audit:
+    plans/r17/x3_ivf_pq_residual_before.txt ops 15-16).  The argmin
+    struct gains the centroid as its LAST field, strictly after the
+    (distance, cluster) pair that already totally orders the entries, so
+    the picked centroid is exactly the one the join would have fetched.
+    The picked struct is materialized in its own projection and the
+    fields extracted a projection above: CollapseProject keeps a
+    non-cheap alias referenced twice in the lower project, so the fold
+    runs once per row.
     """
     cent_arr = centroids.select(
         F.struct(
@@ -967,19 +985,42 @@ def assign_to_centroids(
             lambda acc, x: acc + x,
         )
 
+    if carry_centroid is None:
+        scored = F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                sq_dist(F.col("__v"), s["cv"]).alias("d"), s["c"].alias("c")
+            ),
+        )
+        return (
+            embeddings.withColumn(
+                "__v", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            )
+            .crossJoin(F.broadcast(cent_arr))
+            .withColumn(cluster_col, F.array_min(scored)["c"])
+            .drop("__cents")
+        )
     scored = F.transform(
         F.col("__cents"),
         lambda s: F.struct(
-            sq_dist(F.col("__v"), s["cv"]).alias("d"), s["c"].alias("c")
+            sq_dist(F.col("__v"), s["cv"]).alias("d"),
+            s["c"].alias("c"),
+            s["cv"].alias("cv"),
         ),
     )
-    return (
-        embeddings.withColumn(
-            "__v", F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        )
-        .crossJoin(F.broadcast(cent_arr))
-        .withColumn(cluster_col, F.array_min(scored)["c"])
+    base = embeddings.withColumn(
+        "__v", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+    picked = (
+        base.crossJoin(F.broadcast(cent_arr))
+        .withColumn("__picked", F.array_min(scored))
         .drop("__cents")
+    )
+    keep = [c for c in picked.columns if c != "__picked"]
+    return picked.select(
+        *keep,
+        F.col("__picked")["c"].alias(cluster_col),
+        F.col("__picked")["cv"].alias(carry_centroid),
     )
 
 
@@ -1278,23 +1319,31 @@ def _pq_sliced_corpus(
     dim: int,
     id_col: str,
     vec_col: str,
+    spread: bool = True,
 ):
     """Shared PQ front door: (vid, v, is_q) projection + subspace geometry.
     ``n_sub`` is arbitrary as long as it divides ``dim`` (round-10: the
     former n_sub=2 unroll is gone — subspaces are DATA now, see
-    ``_pq_codebook``)."""
+    ``_pq_codebook``).
+
+    ``spread=False`` is the per-path opt-out of the r16 ``spread_scan``
+    (r17 verdict ask #3, the ``cosine_topk_bucketed`` precedent): the
+    plain-ADC path's per-row math (4x4 sub-distances per vector) is an
+    order of magnitude lighter than the IVF paths' coarse argmin, so the
+    round-robin exchange costs more than the fan-out buys there —
+    measured by an in-session alternating A/B (OPTIMIZATION_r17.md)."""
     if n_sub < 1 or dim % n_sub != 0:
         raise ValueError(
             f"n_sub must be >= 1 and divide dim: n_sub={n_sub}, dim={dim}"
         )
     sub_dim = dim // n_sub
-    e = spread_scan(
-        embeddings.select(
-            F.col(id_col).alias("vid"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-            query_pred.alias("is_q"),
-        )
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        query_pred.alias("is_q"),
     )
+    if spread:
+        e = spread_scan(e)
     return e, n_sub, sub_dim
 
 
@@ -1716,6 +1765,7 @@ def train_pq(
     vec_col: str = "embedding",
     lloyd_iters: int = 0,
     train_sample: int | None = 4096,
+    spread: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the PQ pair a pipeline PERSISTS between queries: ``(codes,
     codebook)`` — ``(vid, codes: array<long>)`` (n_sub small ints per
@@ -1734,7 +1784,7 @@ def train_pq(
     exhaustive-probe identity hold for ANY codebook and are
     pytest-pinned for the trained one (tests/test_dedup_similarity.py)."""
     e, n_sub, sub_dim = _pq_sliced_corpus(
-        embeddings, F.lit(False), n_sub, dim, id_col, vec_col
+        embeddings, F.lit(False), n_sub, dim, id_col, vec_col, spread=spread
     )
     if lloyd_iters > 0:
         cb = _pq_lloyd_codebook(
@@ -1755,6 +1805,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pq_index: tuple[DataFrame, DataFrame] | None = None,
+    spread: bool = False,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation (ADC)
     — the memory-compression half of the IVF+PQ recipe behind
@@ -1783,12 +1834,22 @@ def pq_adc_topk(
     Distances are deterministic sequential squared-diff folds and the ADC
     sum is an ordered fold, so the whole pipeline (codes, ADC values,
     ranking) hash-gates bitwise at any n_sub.
+
+    ``spread=False`` (default; r17 verdict ask #3): this path OPTS OUT of
+    the r16 ``spread_scan`` its siblings keep — plain ADC's per-row math
+    (n_sub x codebook_k tiny sub-distances) is too light to pay for the
+    round-robin exchange, the same evidence class that reverted the
+    ``cosine_topk_bucketed`` spread in r16; decided by an in-session
+    alternating A/B (OPTIMIZATION_r17.md).  Placement-only either way —
+    results are bitwise identical.
     """
     e, n_sub, sub_dim = _pq_sliced_corpus(
-        embeddings, query_pred, n_sub, dim, id_col, vec_col
+        embeddings, query_pred, n_sub, dim, id_col, vec_col, spread=spread
     )
     if pq_index is None:
-        pq_index = train_pq(embeddings, n_sub, codebook_k, dim, id_col, vec_col)
+        pq_index = train_pq(
+            embeddings, n_sub, codebook_k, dim, id_col, vec_col, spread=spread
+        )
     else:
         _validate_pq_index(
             pq_index[1], n_sub, sub_dim, codebook_k, codes=pq_index[0]
@@ -2124,11 +2185,11 @@ def ivf_pq_residual_topk(
         seed_rows = e.orderBy("vid").limit(n_lists + codebook_k)
         seed_asg = assign_to_centroids(
             seed_rows, centroids, id_col="vid", vec_col="v",
-            cluster_col="list_id",
+            cluster_col="list_id", carry_centroid="__cent",
         )
-        seed_res = seed_asg.join(F.broadcast(centroids), "list_id").select(
+        seed_res = seed_asg.select(
             "vid",
-            F.zip_with("v", "centroid", lambda a, b: a - b).alias("v"),
+            F.zip_with("v", "__cent", lambda a, b: a - b).alias("v"),
         )
         cb = _pq_codebook(seed_res, n_sub, sub_dim, codebook_k, skip=n_lists)
 
@@ -2140,13 +2201,21 @@ def ivf_pq_residual_topk(
         # expression once instead of three times (codebook path, encode
         # path, join probe side).  Same expressions, same per-row math,
         # so codes stay bitwise-reproducible.
+        #
+        # r17: the residual's centroid now rides OUT of the argmin itself
+        # (carry_centroid) instead of a join back to the centroid table on
+        # list_id — that inner join's inferred isnotnull(list_id) was
+        # being pushed below the projection as isnotnull(<whole argmin
+        # fold>), i.e. the full-corpus assignment math evaluated TWICE
+        # per row (plans/r17/x3_ivf_pq_residual_before.txt ops 15-16).
         asg = assign_to_centroids(
-            e, centroids, id_col="vid", vec_col="v", cluster_col="list_id"
+            e, centroids, id_col="vid", vec_col="v", cluster_col="list_id",
+            carry_centroid="__cent",
         )
-        res = asg.join(F.broadcast(centroids), "list_id").select(
+        res = asg.select(
             "vid",
             "list_id",
-            F.zip_with("v", "centroid", lambda a, b: a - b).alias("v"),
+            F.zip_with("v", "__cent", lambda a, b: a - b).alias("v"),
         )
         nested_cb = _pq_codebook_nested(cb, n_sub)
         coded = res.crossJoin(F.broadcast(nested_cb)).select(
@@ -2203,8 +2272,21 @@ def ivf_pq_residual_topk(
         )
     )
 
+    # Null-safe equality on the probe join (r17): a plain inner join on
+    # list_id makes the optimizer infer isnotnull(list_id) on the coded
+    # side and push it below the encode projection, where it substitutes
+    # the whole argmin fold into a filter — the same full-corpus
+    # double-evaluation the carry_centroid change removes on the build
+    # side.  <=> has identical semantics here (no null list_id can exist
+    # on either side: lutf's come from a row_number window, coded's from
+    # an argmin over a non-empty codebook) but carries no notnull
+    # constraint, so the projection stays single-evaluation.  The planner
+    # still picks BroadcastHashJoin (EqualNullSafe is an equi-key).
     adc = (
-        coded.join(F.broadcast(lutf), "list_id")
+        coded.join(
+            F.broadcast(lutf),
+            coded["list_id"].eqNullSafe(lutf["list_id"]),
+        )
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),

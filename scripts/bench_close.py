@@ -43,6 +43,12 @@ from bench import BENCH_QUERIES, build_output, compact_output  # noqa: E402
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1.0"))
 LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "600"))
 MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+# Hypervisor-steal gate (r17 verdict ask #2): loadavg cannot see the
+# co-tenant (the r16 record shows 13-52% steal at ~0 load), so the quiet-
+# window check alone is not enough — an attempt whose own /proc/stat steal
+# window exceeded this is retried like a noisy-spread attempt, and a
+# whole-run artifact over it is refused as a stamp (see gate_artifact).
+STEAL_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_GATE", "5.0"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -94,7 +100,40 @@ def _noisy(samples: list[float]) -> bool:
     return spread > 0.5 and spread > 0.5 * lo
 
 
+def gate_artifact(path: str) -> int:
+    """Refuse to bless a whole-run bench artifact measured under steal
+    (r17 verdict ask #2): a stamp is credible iff its own instrument says
+    the window was clean (run_steal_pct <= STEAL_GATE) OR it was built by
+    a min-over-sessions protocol (this script, or a composite artifact
+    that says so).  Returns a process exit code; prints the reason."""
+    with open(path) as f:
+        art = json.load(f)
+    steal = art.get("run_steal_pct")
+    protocol = art.get("protocol", "")
+    is_composite = "min" in str(protocol) or art.get("n_sessions")
+    if is_composite:
+        print(f"gate: OK ({path}: min-over-sessions protocol artifact)")
+        return 0
+    if steal is None:
+        print(
+            f"gate: REFUSED ({path}: no run_steal_pct recorded — re-run "
+            "with the current bench.py so the stamp carries its window)"
+        )
+        return 1
+    if steal > STEAL_GATE:
+        print(
+            f"gate: REFUSED ({path}: run_steal_pct={steal} > {STEAL_GATE}%"
+            " — a whole run in a stolen window is not a stamp; use the "
+            "min-over-sessions protocol or wait for a clean window)"
+        )
+        return 1
+    print(f"gate: OK ({path}: run_steal_pct={steal} <= {STEAL_GATE}%)")
+    return 0
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--gate":
+        sys.exit(gate_artifact(sys.argv[2]))
     names = sys.argv[1:] or BENCH_QUERIES
     # Validate up front (r15 ADVICE bench_close.py:119): an unknown name
     # used to make the child bench.py silently run ZERO queries and the
@@ -109,6 +148,7 @@ def main() -> None:
     tmp_full = os.path.join(ROOT, ".bench_close_query.json")
     per_query: dict[str, float] = {}
     samples: dict[str, list] = {}
+    steal_map: dict[str, float] = {}
     errors: dict[str, str] = {}
     attempts_log: dict[str, list] = {}
     for name in names:
@@ -127,17 +167,22 @@ def main() -> None:
                 log.append({"attempt": attempt, "load": load, "error": True})
                 break
             s = out["samples"][name]
+            st = out.get("steal_pct", {}).get(name)
             log.append(
-                {"attempt": attempt, "load": load, "samples": s}
+                {"attempt": attempt, "load": load, "samples": s, "steal": st}
             )
             if best is None or min(s) < best[0]:
-                best = (min(s), s)
-            if not _noisy(s):
+                best = (min(s), s, st)
+            # Retry on a stolen window exactly like a noisy spread: the
+            # co-tenant is invisible to loadavg, so the attempt's own
+            # /proc/stat steal is the authoritative cleanliness signal.
+            if not _noisy(s) and (st is None or st <= STEAL_GATE):
                 break
         attempts_log[name] = log
         if best is not None:
             per_query[name] = best[0]
             samples[name] = best[1]
+            steal_map[name] = best[2]
             errors.pop(name, None)
         print(
             json.dumps({name: per_query.get(name), "attempts": len(log)}),
@@ -145,10 +190,14 @@ def main() -> None:
         )
 
     out = build_output(per_query, errors, len(names), SF_DIR, samples)
+    if any(v is not None for v in steal_map.values()):
+        out["steal_pct"] = {
+            k: v for k, v in steal_map.items() if v is not None
+        }
     out["protocol"] = (
         "one-query-per-process close stamp (scripts/bench_close.py): "
         f"min-of-3 per query, per-query quiet-window gate < {LOAD_GATE}, "
-        f"noisy-spread retry up to {MAX_ATTEMPTS} attempts"
+        f"noisy-spread/steal>{STEAL_GATE}% retry up to {MAX_ATTEMPTS} attempts"
     )
     out["attempts"] = attempts_log
     full_path = os.environ.get(

@@ -10,6 +10,7 @@ complete run.
 from __future__ import annotations
 
 import json
+import os
 
 from bench import BENCH_QUERIES, STDOUT_BYTE_BUDGET, build_output, compact_output
 
@@ -109,3 +110,56 @@ def test_compact_output_caps_error_verbosity():
     assert len(json.dumps(slim)) + 1 <= STDOUT_BYTE_BUDGET
     # the full artifact keeps every untruncated message
     assert len(out["errors"]) == len(BENCH_QUERIES)
+
+
+def test_compact_output_carries_steal_summary_within_budget():
+    """r17 verdict ask #2: the compact line must tell PERF whether the
+    window was stolen — run-level plus a per-query SUMMARY (worst window,
+    count over the 5% gate).  The full per-query map stays sidecar-only:
+    50 long-named entries would blow the 2000-char capture budget."""
+    per_query = {q: 999.999 for q in BENCH_QUERIES}
+    out = build_output(
+        per_query, {}, len(BENCH_QUERIES), "/root/testdata/sf0.1"
+    )
+    out["steal_pct"] = {q: float(i) for i, q in enumerate(BENCH_QUERIES)}
+    out["run_steal_pct"] = 7.5
+    slim = compact_output(out)
+    assert "steal_pct" not in slim  # map is sidecar-only
+    assert slim["steal_hi"] == float(len(BENCH_QUERIES) - 1)
+    assert slim["steal_n_over5"] == sum(
+        1 for v in out["steal_pct"].values() if v > 5.0
+    )
+    assert slim["run_steal_pct"] == 7.5
+    assert len(json.dumps(slim)) + 1 <= STDOUT_BYTE_BUDGET
+
+
+def test_bench_close_gate_refuses_stolen_whole_run(tmp_path):
+    """scripts/bench_close.py --gate: a whole-run artifact measured over
+    the steal gate is refused as a stamp; a clean run or a
+    min-over-sessions composite passes (r17 verdict ask #2)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_close",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "bench_close.py"),
+    )
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+
+    def art(path, payload):
+        with open(path, "w") as f:
+            json.dump(payload, f)
+        return str(path)
+
+    assert bc.gate_artifact(art(tmp_path / "stolen.json", {"run_steal_pct": 35.5})) == 1
+    assert bc.gate_artifact(art(tmp_path / "clean.json", {"run_steal_pct": 1.8})) == 0
+    assert bc.gate_artifact(art(tmp_path / "noinstr.json", {"value": 1.0})) == 1
+    assert (
+        bc.gate_artifact(
+            art(
+                tmp_path / "composite.json",
+                {"protocol": "per-query min over 18 sessions"},
+            )
+        )
+        == 0
+    )

@@ -289,3 +289,52 @@ def test_src_skipping_index_registered_query_nonvacuous(spark):
     out = queries()["src_skipping_index"](spark, SF_DIR).collect()
     assert len(out) > 0
     assert sum(r["n_events"] for r in out) > 0
+
+
+def test_split_estimate_matches_rdd_probe(spark, tmp_path):
+    """ensure_min_parallelism's non-materializing file-split estimate
+    (r17 verdict ask #6) must agree with the exact ``df.rdd`` probe on
+    every plan shape the guard sees: raw scans, filtered/projected scans,
+    exploded scans, multi-file staged directories — plus refuse (None)
+    the shapes whose partitioning is NOT the scan's (joins, aggregates,
+    repartitions, in-memory frames)."""
+    from bigdatapipeline_steamreviews_spark.operators.partitioning import (
+        _file_split_estimate,
+    )
+
+    frames = []
+    for table in ("events", "documents", "lineitem", "nation", "embeddings"):
+        t = load_table(spark, SF_DIR, table)
+        frames.append(t)
+        frames.append(t.select(*t.columns[:2]))
+    docs = load_table(spark, SF_DIR, "documents")
+    frames.append(docs.filter(F.col("doc_id") % 2 == 1))
+    frames.append(
+        docs.filter(F.col("text").isNotNull()).select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+    )
+    # multi-file directory (3 small files)
+    multi = str(tmp_path / "multi")
+    docs.limit(30).repartition(3).write.parquet(multi)
+    frames.append(spark.read.parquet(multi))
+    for df in frames:
+        est = _file_split_estimate(df)
+        assert est is not None, df._jdf.queryExecution().analyzed().treeString()
+        assert est == df.rdd.getNumPartitions(), (
+            df._jdf.queryExecution().analyzed().treeString()
+        )
+    # Shapes the estimate must decline (fall back to the exact probe):
+    ev = load_table(spark, SF_DIR, "events")
+    declined = [
+        ev.groupBy("event_type").count(),
+        ev.join(docs, ev.event_id == docs.doc_id),
+        ev.repartition(7),
+        ev.limit(5),
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+        ev.select("event_id").union(ev.select("user_id")),
+    ]
+    for df in declined:
+        assert _file_split_estimate(df) is None, (
+            df._jdf.queryExecution().analyzed().treeString()
+        )
