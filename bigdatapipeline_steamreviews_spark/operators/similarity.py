@@ -450,8 +450,13 @@ def cosine_topk_blas(
         .drop("brank", "blas")
     )
     # rescore against the staged block read back through Spark — the
-    # query side stays distributed end-to-end (broadcast is plan-side)
-    qframe = spark.read.parquet(qpath)
+    # query side stays distributed end-to-end (broadcast is plan-side);
+    # schema-memoized read (r17): the block is an immutable published
+    # stage, so the per-call footer inference is catalog work, not query
+    # work.
+    from ..sources.staging import read_stage_parquet
+
+    qframe = read_stage_parquet(spark, qpath)
     rescored = pruned.join(F.broadcast(qframe), "query_id").select(
         "query_id",
         "neighbor_id",

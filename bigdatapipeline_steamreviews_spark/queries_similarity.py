@@ -302,6 +302,7 @@ def _staged_ivf_index(spark, sf_dir, n_lists=16, seed=7):
         STAGE_ROOT,
         STAGE_VERSION,
         publish_dir,
+        read_stage_parquet,
         source_fingerprint,
         stage_params_key,
     )
@@ -322,7 +323,7 @@ def _staged_ivf_index(spark, sf_dir, n_lists=16, seed=7):
         centroids.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
         # centroids is written LAST, so its marker proves a complete stage.
         publish_dir(tmp, root, marker="centroids/_SUCCESS")
-    return spark.read.parquet(a_path), spark.read.parquet(c_path)
+    return read_stage_parquet(spark, a_path), read_stage_parquet(spark, c_path)
 
 
 def _staged_pq_index(spark, sf_dir, n_sub=4, codebook_k=4):
@@ -342,6 +343,7 @@ def _staged_pq_index(spark, sf_dir, n_sub=4, codebook_k=4):
         STAGE_ROOT,
         STAGE_VERSION,
         publish_dir,
+        read_stage_parquet,
         source_fingerprint,
         stage_params_key,
     )
@@ -363,7 +365,7 @@ def _staged_pq_index(spark, sf_dir, n_sub=4, codebook_k=4):
         cb.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
         # codebook is written LAST, so its marker proves a complete stage.
         publish_dir(tmp, root, marker="codebook/_SUCCESS")
-    return spark.read.parquet(codes_path), spark.read.parquet(cb_path)
+    return read_stage_parquet(spark, codes_path), read_stage_parquet(spark, cb_path)
 
 
 @register(
@@ -1324,6 +1326,7 @@ def _staged_incremental_base(
         STAGE_ROOT,
         STAGE_VERSION,
         publish_dir,
+        read_stage_parquet,
         source_fingerprint,
         stage_params_key,
     )
@@ -1365,8 +1368,8 @@ def _staged_incremental_base(
             os.path.join(tmp, "base_index")
         )
         publish_dir(tmp, root, marker="base_index/_SUCCESS")
-    cb_staged = spark.read.parquet(paths["codebook"])
-    base_staged = spark.read.parquet(paths["base_index"])
+    cb_staged = read_stage_parquet(spark, paths["codebook"])
+    base_staged = read_stage_parquet(spark, paths["base_index"])
     # Geometry-validate the staged codebook like the other prebuilt-index
     # paths (pq_adc_topk / ivf_pq_topk) — a stale or foreign stage must
     # fail loudly, not ADC against mismatched slices (round-12 ADVICE).
@@ -1384,7 +1387,7 @@ def _staged_incremental_base(
         ),
     )
     return (
-        spark.read.parquet(paths["centroids"]),
+        read_stage_parquet(spark, paths["centroids"]),
         cb_staged,
         base_staged,
     )
@@ -1687,6 +1690,7 @@ def _staged_residual_index(
         STAGE_ROOT,
         STAGE_VERSION,
         publish_dir,
+        read_stage_parquet,
         source_fingerprint,
         stage_params_key,
     )
@@ -1723,7 +1727,10 @@ def _staged_residual_index(
         cb.write.mode("overwrite").parquet(os.path.join(tmp, "codebook"))
         # codebook is written LAST, so its marker proves a complete stage.
         publish_dir(tmp, root, marker="codebook/_SUCCESS")
-    return tuple(spark.read.parquet(parts[n]) for n in ("assign", "centroids", "codes", "codebook"))
+    return tuple(
+        read_stage_parquet(spark, parts[n])
+        for n in ("assign", "centroids", "codes", "codebook")
+    )
 
 
 @register(

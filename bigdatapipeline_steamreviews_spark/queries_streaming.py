@@ -637,17 +637,20 @@ def _curation_lsh_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     even_bands = _staged_bands(spark, sf_dir, k=8, bands=4).filter(
         F.col("bid") % 2 == 0
     )
+    # ONE persisted (band, key) dictionary instead of four per-band
+    # persists (r17): the four dictionaries are disjoint slices of the
+    # same distinct, so building them as one table costs one staged scan
+    # + one shuffle + one cache entry where r16 paid four of each; every
+    # micro-batch's four broadcast builds then read the same
+    # InMemoryRelation.  Content per band is identical (filter and
+    # distinct commute).  Still bounded: the whole band index is the
+    # kB-sized train-once artifact.
+    band_dict = even_bands.select("band", "key").distinct().persist()
     for bi in range(4):
-        # Same per-trigger re-execution story as base_digests: each band
-        # dictionary (filter + distinct over the staged band index) is a
-        # static side rebuilt every micro-batch — persist the kB-sized
-        # key set so triggers after the first reuse it (r16).
         keys = keys.join(
             F.broadcast(
-                even_bands.filter(F.col("band") == bi)
+                band_dict.filter(F.col("band") == bi)
                 .select(F.col("key").alias(f"key{bi}"))
-                .distinct()
-                .persist()
             ),
             f"key{bi}",
             "left_anti",
@@ -856,7 +859,12 @@ def stream_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.columns import dot_product
 
     keys = _curation_lsh_survivors(spark, sf_dir)
-    asg = _staged_semantic_assignments(spark, sf_dir)
+    # ONE persist of the staged assignment table serves BOTH static sides
+    # below (r17): the arrival-lookup projection and the even-corpus
+    # candidate set are projections/filters of the same embedding-table-
+    # sized artifact, and r16 cached each separately — two staged scans,
+    # two cache copies.  Bounded as before (embedding-table-sized).
+    asg = _staged_semantic_assignments(spark, sf_dir).persist()
     # Stage 3.5a — embedding lookup + cluster assignment for the arrival:
     # LEFT join (an arrival without a well-formed embedding keeps a NULL
     # cluster, which can never satisfy the anti-join condition => kept,
@@ -870,7 +878,7 @@ def stream_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v").alias("__sv"),
                 F.col("cluster").alias("__scl"),
                 F.col("nrm").alias("__snrm"),
-            ).persist()
+            )
         ),
         "doc_id",
         "left",
@@ -897,7 +905,7 @@ def stream_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").alias("__ecl"),
         F.col("v").alias("__ev"),
         F.col("nrm").alias("__enrm"),
-    ).persist()
+    )
     survivors_rows = arrivals.join(
         F.broadcast(corpus_side),
         (F.col("__scl") == F.col("__ecl"))

@@ -668,3 +668,29 @@ def test_stream_curation_semantic_stage_bites_on_planted_corpus(spark):
     assert 7 in lsh_only and 7 not in by_doc
     assert set(by_doc) == {9}
     assert by_doc[9][2] == 2
+
+
+def test_state_provider_env_resolution(monkeypatch):
+    """SPARK_GRAFT_STREAM_STATE resolves the state-store flags when the
+    caller leaves them None (r17: the provider is a deployment setting —
+    100 TB flips the env var, query code stays identical); explicit args
+    win, junk values fail loudly."""
+    from bigdatapipeline_steamreviews_spark.streaming.summarizer import (
+        _resolve_state_provider,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE", raising=False)
+    assert _resolve_state_provider(None, None) == (False, False)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE", "rocksdb")
+    assert _resolve_state_provider(None, None) == (True, False)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE", "rocksdb_changelog")
+    assert _resolve_state_provider(None, None) == (True, True)
+    # explicit args always win over the env
+    assert _resolve_state_provider(False, False) == (False, False)
+    # an explicit non-rocksdb choice cannot inherit changelog from the env
+    assert _resolve_state_provider(False, None) == (False, False)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE", "bogus")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _resolve_state_provider(None, None)
